@@ -1,0 +1,11 @@
+package graft.queries
+
+import graft.QueryDef
+
+/** Central registry of every named engine query. Query groups append
+  * here as they land; SparkEntry derives its `queries`/`oracleSql` maps
+  * from this single sequence. */
+object Registry {
+  def all: Seq[QueryDef] =
+    RelationalQueries.all
+}

@@ -1,0 +1,465 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.etl.{Dedup, Validation}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference-parity relational operator inventory (SURVEY.md §2) over
+  * the driver testdata, each with a DuckDB oracle.
+  *
+  * Parity discipline: see [[graft.QueryDef]] — decimal-exact aggregation,
+  * final-step double casts, total ORDER BY.
+  *
+  * Scale notes are per-query in the Scaladoc of each definition.
+  */
+object RelationalQueries {
+
+  // ---- decimal-exact helpers (order-independent aggregation) ----
+  private def dMoney(c: Column): Column = c.cast(DecimalType(12, 2))
+  private def dRate(c: Column): Column  = c.cast(DecimalType(4, 2))
+  private val oneD: Column = lit(1).cast(DecimalType(3, 2))
+  /** Exact sum of a 2-decimal money column, as double. */
+  private def exactSum(c: Column): Column = sum(dMoney(c)).cast(DoubleType)
+  /** Exact revenue term: price * (1 - discount), decimal arithmetic. */
+  private def revTerm: Column = dMoney(col("l_extendedprice")) * (oneD - dRate(col("l_discount")))
+  private val sqlRevTerm =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+  private def weekOf(c: Column): Column = date_trunc("week", c).cast(DateType)
+
+  // =========================================================================
+  // P — projections / scalar transforms (SURVEY §2.2)
+  // =========================================================================
+
+  /** P4/P8/P9 — sentinel→NULL, cast, date-from-timestamp, recode. Narrow
+    * ops only: fuses into the scan under whole-stage codegen, zero shuffle
+    * at any scale (ref: load_hhs.py:49-53, load_quality.py:103). */
+  val p01CleanCast = QueryDef("p01_clean_cast",
+    (s, d) => Tables.events(s, d).select(
+      col("event_id"),
+      col("ts").cast(DateType).as("day"),
+      when(col("value") === lit(-999999d), lit(null)).otherwise(col("value")).as("value_clean"),
+      when(col("event_type") === "purchase", lit("buy")).otherwise(col("event_type")).as("etype"),
+      (col("event_type") === "error").as("is_error"))
+      .orderBy("event_id"),
+    Some("""SELECT event_id, CAST(ts AS DATE) AS day,
+           |  CASE WHEN value = -999999 THEN NULL ELSE value END AS value_clean,
+           |  CASE WHEN event_type = 'purchase' THEN 'buy' ELSE event_type END AS etype,
+           |  event_type = 'error' AS is_error
+           |FROM events ORDER BY event_id""".stripMargin))
+
+  // =========================================================================
+  // V — validation split (SURVEY §2.3)
+  // =========================================================================
+
+  private def shiftedEvents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).withColumn("value_shift", col("value") - lit(100.0))
+  private val shiftRule =
+    Validation.Rule("negative_value_shift", Validation.nonNegativeTruncated(col("value_shift")))
+
+  /** V1 valid side — non-negativity with the reference's int() truncation
+    * quirk: values in (-1, 0) PASS (ref: load_hhs.py:104-127). The shift
+    * derives negatives from the all-positive testdata. */
+  val v01ValidSplit = QueryDef("v01_validation_valid",
+    (s, d) => Validation.split(shiftedEvents(s, d), Seq(shiftRule))._1
+      .select("event_id", "user_id", "value_shift").orderBy("event_id"),
+    Some("""SELECT event_id, user_id, value - 100.0 AS value_shift FROM events
+           |WHERE value - 100.0 IS NULL OR TRUNC(value - 100.0) >= 0
+           |ORDER BY event_id""".stripMargin))
+
+  /** V1 reject side with reject_reason (first failing rule). */
+  val v02RejectSplit = QueryDef("v02_validation_rejects",
+    (s, d) => Validation.split(shiftedEvents(s, d), Seq(shiftRule))._2
+      .select("event_id", "user_id", "value_shift", "reject_reason").orderBy("event_id"),
+    Some("""SELECT event_id, user_id, value - 100.0 AS value_shift,
+           |  'negative_value_shift' AS reject_reason FROM events
+           |WHERE NOT (value - 100.0 IS NULL OR TRUNC(value - 100.0) >= 0)
+           |ORDER BY event_id""".stripMargin))
+
+  /** V5 — range filter pushed to the parquet scan (timestamp literals so
+    * PushedFilters can use row-group min/max stats; ref: Reporting.py:38,149). */
+  val v05RangeFilter = QueryDef("v05_range_filter",
+    (s, d) => Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(revTerm).cast(DoubleType).as("revenue"))
+      .orderBy("l_returnflag"),
+    Some(s"""SELECT l_returnflag, COUNT(*) AS n,
+            |  CAST(SUM($sqlRevTerm) AS DOUBLE) AS revenue
+            |FROM lineitem
+            |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+            |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  /** V6 — na.drop before aggregation (ref: Reporting.py:254). */
+  val v06DropNa = QueryDef("v06_dropna",
+    (s, d) => Tables.events(s, d).na.drop(Seq("value", "props"))
+      .groupBy("event_type").agg(count(lit(1)).as("n")).orderBy("event_type"),
+    Some("""SELECT event_type, COUNT(*) AS n FROM events
+           |WHERE value IS NOT NULL AND props IS NOT NULL
+           |GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  // =========================================================================
+  // D — dedup / anti-join (SURVEY §2.4, the reference's signature operator)
+  // =========================================================================
+
+  /** D1 — within-batch first-occurrence-wins, single key. One hash
+    * shuffle on the key; per-key sort inside partitions (no global sort).
+    * At 100 TB: AQE skew handling; ordering column is a cheap total order
+    * captured at scan (ref: load_hhs.py:75). */
+  val d01DedupFirstWins = QueryDef("d01_dedup_first_wins",
+    (s, d) => Dedup.firstOccurrenceWins(Tables.events(s, d), Seq("user_id"), "event_id")
+      .select("user_id", "event_id", "event_type").orderBy("user_id"),
+    Some("""SELECT user_id, event_id, event_type FROM (
+           |  SELECT user_id, event_id, event_type,
+           |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+           |  FROM events) t WHERE rn = 1 ORDER BY user_id""".stripMargin))
+
+  /** D2 — composite-key first-occurrence-wins (ref: load_hhs.py:103). */
+  val d02DedupComposite = QueryDef("d02_dedup_composite_key",
+    (s, d) => Dedup.firstOccurrenceWins(Tables.events(s, d), Seq("user_id", "event_type"), "event_id")
+      .select("user_id", "event_type", "event_id").orderBy("user_id", "event_type"),
+    Some("""SELECT user_id, event_type, event_id FROM (
+           |  SELECT user_id, event_type, event_id,
+           |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+           |  FROM events) t WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin))
+
+  /** D3 — anti-join: incoming keys not in the "warehouse" (customers with
+    * no orders). Existing side pruned to its key column; Catalyst plans
+    * broadcast-hash anti-join when it fits (ref: load_quality.py:122-126). */
+  val d03AntiJoin = QueryDef("d03_antijoin_new_keys",
+    (s, d) => Dedup.antiJoinExisting(
+      Tables.customer(s, d),
+      Tables.orders(s, d).select(col("o_custkey").as("c_custkey")), Seq("c_custkey"))
+      .select("c_custkey", "c_name").orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name FROM customer
+           |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+           |ORDER BY c_custkey""".stripMargin))
+
+  /** D3 complement — semi-join duplicate channel (ref: load_quality.py:124). */
+  val d04SemiJoin = QueryDef("d04_semijoin_existing",
+    (s, d) => Dedup.duplicatesOfExisting(
+      Tables.customer(s, d),
+      Tables.orders(s, d).select(col("o_custkey").as("c_custkey")), Seq("c_custkey"))
+      .select("c_custkey", "c_name").orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name FROM customer
+           |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+           |ORDER BY c_custkey""".stripMargin))
+
+  // =========================================================================
+  // A — aggregations (SURVEY §2.6) + J — joins (§2.5)
+  // =========================================================================
+
+  /** A1/V4 — scalar count under an equality filter (ref: Reporting.py:29-33).
+    * Partial counts combine map-side; one row crosses the wire per task. */
+  val a01CountFilter = QueryDef("a01_count_filter",
+    (s, d) => Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      .agg(count(lit(1)).as("n_records")),
+    Some("SELECT COUNT(*) AS n_records FROM lineitem WHERE l_returnflag = 'R'"))
+
+  /** A2/T1 — count per group, ordered (ref: Reporting.py:36-41). */
+  val a02CountByGroup = QueryDef("a02_count_by_group",
+    (s, d) => Tables.orders(s, d).groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders")).orderBy("o_orderstatus"),
+    Some("""SELECT o_orderstatus, COUNT(*) AS n_orders FROM orders
+           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+
+  /** A3 — multi-column global sums (ref: Reporting.py:59-67). Decimal
+    * partial aggregation: exact, order-independent, map-side combined. */
+  val a03GlobalSums = QueryDef("a03_global_sums",
+    (s, d) => Tables.lineitem(s, d).agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("l_quantity").cast(DecimalType(12, 2))).cast(DoubleType).as("sum_qty"),
+      exactSum(col("l_extendedprice")).as("sum_base"),
+      (sum(dRate(col("l_discount"))).cast(DoubleType) / count(lit(1))).as("avg_disc")),
+    Some("""SELECT COUNT(*) AS n_rows,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base,
+           |  CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc
+           |FROM lineitem""".stripMargin))
+
+  /** A4 — grouped weekly sums (ref: Reporting.py:84-96). */
+  val a04SumsByWeek = QueryDef("a04_sums_by_week",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy(weekOf(col("l_shipdate")).as("week"))
+      .agg(
+        sum(col("l_quantity").cast(DecimalType(12, 2))).cast(DoubleType).as("sum_qty"),
+        sum(revTerm).cast(DoubleType).as("revenue"))
+      .orderBy("week"),
+    Some(s"""SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS week,
+            |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+            |  CAST(SUM($sqlRevTerm) AS DOUBLE) AS revenue
+            |FROM lineitem GROUP BY 1 ORDER BY week""".stripMargin))
+
+  /** A5/J1 — ratio-of-sums after a fact⨝fact join, the flagship report
+    * shape (ref: Reporting.py:109-135). Join shuffles both sides on
+    * orderkey (sort-merge at scale; AQE may broadcast the filtered side).
+    * Both sums reduce in the same aggregation — one shuffle, one pass. */
+  val a05RatioByStatus = QueryDef("a05_ratio_by_status",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+          sum(revTerm).cast(DoubleType).as("revenue"),
+          exactSum(col("l_extendedprice")).as("base"))
+        .withColumn("discounted_fraction", col("revenue") / col("base"))
+        .orderBy("o_orderstatus")
+    },
+    Some(s"""SELECT o_orderstatus,
+            |  CAST(SUM($sqlRevTerm) AS DOUBLE) AS revenue,
+            |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS base,
+            |  CAST(SUM($sqlRevTerm) AS DOUBLE) /
+            |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS discounted_fraction
+            |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+
+  /** A6/P11 — sum of column arithmetic (ref: Reporting.py:144-153). */
+  val a06SumArithmetic = QueryDef("a06_sum_arithmetic",
+    (s, d) => Tables.lineitem(s, d).groupBy("l_returnflag")
+      .agg(
+        sum(dMoney(col("l_extendedprice")) * (oneD + dRate(col("l_tax"))))
+          .cast(DoubleType).as("charge"),
+        sum(revTerm).cast(DoubleType).as("revenue"))
+      .orderBy("l_returnflag"),
+    Some(s"""SELECT l_returnflag,
+            |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+            |    (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS charge,
+            |  CAST(SUM($sqlRevTerm) AS DOUBLE) AS revenue
+            |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  /** A7/J2 — count after a 3-way dim join (ref: Reporting.py:180-196).
+    * nation and region are broadcast (tiny dims): zero shuffle on the
+    * customer side beyond the final group-by. */
+  val a07Join3Count = QueryDef("a07_join3_count",
+    (s, d) => Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_customers"), exactSum(col("c_acctbal")).as("total_balance"))
+      .orderBy("r_name"),
+    Some("""SELECT r_name, COUNT(*) AS n_customers,
+           |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_balance
+           |FROM customer
+           |JOIN nation ON c_nationkey = n_nationkey
+           |JOIN region ON n_regionkey = r_regionkey
+           |GROUP BY r_name ORDER BY r_name""".stripMargin))
+
+  /** A8/J4 — two-key grouped ratio with a dimension filter
+    * (ref: Reporting.py:200-224). */
+  val a08RatioByPriorityWeek = QueryDef("a08_ratio_by_priority_week",
+    (s, d) => {
+      val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+      val l = Tables.lineitem(s, d)
+      o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("o_orderpriority"), weekOf(col("o_orderdate")).as("week"))
+        .agg(sum(revTerm).cast(DoubleType).as("revenue"),
+          exactSum(col("l_extendedprice")).as("base"))
+        .withColumn("discounted_fraction", col("revenue") / col("base"))
+        .orderBy("o_orderpriority", "week")
+    },
+    Some(s"""SELECT o_orderpriority, CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+            |  CAST(SUM($sqlRevTerm) AS DOUBLE) AS revenue,
+            |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS base,
+            |  CAST(SUM($sqlRevTerm) AS DOUBLE) /
+            |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS discounted_fraction
+            |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            |WHERE o_orderstatus = 'F'
+            |GROUP BY o_orderpriority, 2 ORDER BY o_orderpriority, week""".stripMargin))
+
+  /** A9 — per-group average as exact-sum / count (ref: Reporting.py:259). */
+  val a09AvgByGroup = QueryDef("a09_avg_by_group",
+    (s, d) => Tables.customer(s, d).groupBy("c_mktsegment")
+      .agg((exactSum(col("c_acctbal")) / count(lit(1))).as("avg_balance"),
+        count(lit(1)).as("n"))
+      .orderBy("c_mktsegment"),
+    Some("""SELECT c_mktsegment,
+           |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_balance,
+           |  COUNT(*) AS n
+           |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+
+  // =========================================================================
+  // T — sorts / limits / top-k (SURVEY §2.7)
+  // =========================================================================
+
+  /** T2 — k most recent weeks then re-sort ascending (ref:
+    * Reporting.py:84-106). Spark plans TakeOrderedAndProject: true top-k,
+    * no global sort of the grouped frame. */
+  val t02RecentWeeks = QueryDef("t02_recent_weeks",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy(weekOf(col("l_shipdate")).as("week"))
+      .agg(sum(revTerm).cast(DoubleType).as("revenue"))
+      .orderBy(col("week").desc).limit(4)
+      .orderBy("week"),
+    Some(s"""SELECT * FROM (
+            |  SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS week,
+            |    CAST(SUM($sqlRevTerm) AS DOUBLE) AS revenue
+            |  FROM lineitem GROUP BY 1 ORDER BY week DESC LIMIT 4) t
+            |ORDER BY week""".stripMargin))
+
+  /** T3/J2 — top-20 customers by lifetime spend (ref: Reporting.py:196).
+    * Aggregate first (shuffle on custkey), top-k via TakeOrdered, and only
+    * THEN join the 20-row result to the customer dim (broadcast) — at
+    * 100 TB the join input is 20 rows, not the whole fact table. */
+  val t03TopkCustomers = QueryDef("t03_topk_customers",
+    (s, d) => {
+      val top = Tables.orders(s, d).groupBy("o_custkey")
+        .agg(exactSum(col("o_totalprice")).as("total_spent"), count(lit(1)).as("n_orders"))
+        .orderBy(col("total_spent").desc, col("o_custkey")).limit(20)
+      top.join(broadcast(Tables.customer(s, d)), top("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("total_spent"), col("n_orders"))
+        .orderBy(col("total_spent").desc, col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_name, total_spent, n_orders FROM (
+           |  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spent,
+           |    COUNT(*) AS n_orders
+           |  FROM orders GROUP BY o_custkey
+           |  ORDER BY total_spent DESC, o_custkey LIMIT 20) t
+           |JOIN customer ON o_custkey = c_custkey
+           |ORDER BY total_spent DESC, c_custkey""".stripMargin))
+
+  /** T4/A9 — top-10 + bottom-10 by group average, union-distinct
+    * (ref: Reporting.py:259-263). */
+  val t04TopBottom = QueryDef("t04_top_bottom_nations",
+    (s, d) => {
+      val avgByNation = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg((exactSum(col("c_acctbal")) / count(lit(1))).as("avg_balance"))
+      val top = avgByNation.orderBy(col("avg_balance").desc, col("n_name")).limit(10)
+      val bottom = avgByNation.orderBy(col("avg_balance").asc, col("n_name")).limit(10)
+      top.unionByName(bottom).distinct().orderBy(col("avg_balance").desc, col("n_name"))
+    },
+    Some("""WITH a AS (
+           |  SELECT n_name, CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_balance
+           |  FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name)
+           |SELECT * FROM (
+           |  SELECT * FROM (SELECT * FROM a ORDER BY avg_balance DESC, n_name LIMIT 10)
+           |  UNION
+           |  SELECT * FROM (SELECT * FROM a ORDER BY avg_balance ASC, n_name LIMIT 10))
+           |ORDER BY avg_balance DESC, n_name""".stripMargin))
+
+  // =========================================================================
+  // U — set operations (SURVEY §2.8)
+  // =========================================================================
+
+  /** UNION DISTINCT of two key sets. */
+  val u01UnionDistinct = QueryDef("u01_union_distinct",
+    (s, d) => Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      .union(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+      .distinct().orderBy("nationkey"),
+    Some("""SELECT c_nationkey AS nationkey FROM customer
+           |UNION SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin))
+
+  /** EXCEPT DISTINCT — nations with customers but no suppliers. */
+  val u02Except = QueryDef("u02_except",
+    (s, d) => Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      .except(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey"),
+    Some("""SELECT DISTINCT c_nationkey AS nationkey FROM customer
+           |EXCEPT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin))
+
+  // =========================================================================
+  // W — window functions (SURVEY §2.10 — the idiomatic replacements for
+  // the reference's client-side week-over-week logic)
+  // =========================================================================
+
+  /** W1 — lag/delta over ordered weekly counts. The window runs over the
+    * ALREADY-AGGREGATED frame (a few hundred rows at any scale), so the
+    * single-partition global order is fine — never window raw facts. */
+  val w01LagDelta = QueryDef("w01_lag_delta",
+    (s, d) => {
+      val weekly = Tables.orders(s, d)
+        .groupBy(weekOf(col("o_orderdate")).as("week"))
+        .agg(count(lit(1)).as("n_orders"))
+      val w = Window.orderBy("week")
+      weekly.withColumn("prev_n", lag("n_orders", 1).over(w))
+        .withColumn("delta", col("n_orders") - col("prev_n"))
+        .orderBy("week")
+    },
+    Some("""WITH weekly AS (
+           |  SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week, COUNT(*) AS n_orders
+           |  FROM orders GROUP BY 1)
+           |SELECT week, n_orders,
+           |  LAG(n_orders, 1) OVER (ORDER BY week) AS prev_n,
+           |  n_orders - LAG(n_orders, 1) OVER (ORDER BY week) AS delta
+           |FROM weekly ORDER BY week""".stripMargin))
+
+  /** W2 — per-group top-k via row_number (the distributed form of T4's
+    * pandas nlargest). One shuffle on the partition key. */
+  val w02TopkPerGroup = QueryDef("w02_topk_per_group",
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rn")
+    },
+    Some("""SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+           |  SELECT o_custkey, o_orderkey, o_totalprice,
+           |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+           |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           |  FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin))
+
+  /** W3 — trailing 4-week frame over weekly revenue (T2's intent as a
+    * window). Rolling sum in DECIMAL (exact), divided by the frame count. */
+  val w03RollingAvg = QueryDef("w03_rolling_avg",
+    (s, d) => {
+      val weekly = Tables.lineitem(s, d)
+        .groupBy(weekOf(col("l_shipdate")).as("week"))
+        .agg(sum(revTerm).as("rev_dec"))
+      val w = Window.orderBy("week").rowsBetween(-3, 0)
+      weekly
+        .withColumn("revenue", col("rev_dec").cast(DoubleType))
+        .withColumn("trailing_avg",
+          sum(col("rev_dec")).over(w).cast(DoubleType) / count(lit(1)).over(w))
+        .select("week", "revenue", "trailing_avg")
+        .orderBy("week")
+    },
+    Some(s"""WITH wk AS (
+            |  SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS week,
+            |    SUM($sqlRevTerm) AS rev_dec
+            |  FROM lineitem GROUP BY 1)
+            |SELECT week, CAST(rev_dec AS DOUBLE) AS revenue,
+            |  CAST(SUM(rev_dec) OVER w AS DOUBLE) / COUNT(*) OVER w AS trailing_avg
+            |FROM wk WINDOW w AS (ORDER BY week ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+            |ORDER BY week""".stripMargin))
+
+  // =========================================================================
+  // X — distinct counting
+  // =========================================================================
+
+  /** Exact distinct counts (expand + two-phase aggregate). */
+  val x01DistinctCount = QueryDef("x01_distinct_count",
+    (s, d) => Tables.lineitem(s, d).agg(
+      countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_suppkey")).as("n_supps")),
+    Some("SELECT COUNT(DISTINCT l_partkey) AS n_parts, COUNT(DISTINCT l_suppkey) AS n_supps FROM lineitem"))
+
+  /** HyperLogLog++ approximate distinct — the 100 TB path (no expand, one
+    * pass, fixed-size sketch per partition). Algorithm differs from
+    * DuckDB's → rows-only check, exactness asserted in ScalaTest. */
+  val x02ApproxDistinct = QueryDef("x02_approx_distinct",
+    (s, d) => Tables.lineitem(s, d).agg(
+      approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+      approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders")),
+    None)
+
+  val all: Seq[QueryDef] = Seq(
+    p01CleanCast,
+    v01ValidSplit, v02RejectSplit, v05RangeFilter, v06DropNa,
+    d01DedupFirstWins, d02DedupComposite, d03AntiJoin, d04SemiJoin,
+    a01CountFilter, a02CountByGroup, a03GlobalSums, a04SumsByWeek,
+    a05RatioByStatus, a06SumArithmetic, a07Join3Count,
+    a08RatioByPriorityWeek, a09AvgByGroup,
+    t02RecentWeeks, t03TopkCustomers, t04TopBottom,
+    u01UnionDistinct, u02Except,
+    w01LagDelta, w02TopkPerGroup, w03RollingAvg,
+    x01DistinctCount, x02ApproxDistinct)
+}
