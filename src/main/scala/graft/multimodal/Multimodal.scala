@@ -1,0 +1,80 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads travel as
+  * opaque `binary` columns with typed metadata; decode/feature-extract
+  * runs per-partition in batches.
+  *
+  * The DECODE step is a clearly-marked deterministic stub (no image/
+  * audio codecs in this environment); everything around it — the
+  * schema, the partition-batched execution shape, the feature-vector
+  * contract — is real and tested. Swapping `decodeStub` for a JNI/
+  * native decoder changes no plumbing.
+  *
+  * Scale notes: mapPartitions is the right boundary for codec work —
+  * per-partition batching amortizes decoder init (model load, JNI
+  * handles), exactly like mapInPandas batches in PySpark. Binary
+  * payloads stay columnar (parquet binary) at rest; repartition by size
+  * class before decode when payload sizes are skewed.
+  */
+object Multimodal {
+
+  /** Payload row contract: id + raw bytes + media metadata. */
+  val payloadSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = false)))
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+
+  /** Build a payload table from the documents table (text bytes stand in
+    * for an image payload; real pipelines read binary parquet columns). */
+  def payloadsFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), lit("image/fake").as("media_type"),
+      col("text").cast(BinaryType).as("payload"))
+
+  /** DECODE STUB — deterministic fake "image decode + feature extract":
+    * an 8-bin byte histogram normalized by length. A real implementation
+    * replaces ONLY this function (signature: bytes → fixed-size float
+    * vector). */
+  private def decodeStub(bytes: Array[Byte]): Array[Float] = {
+    val hist = new Array[Float](8)
+    var i = 0
+    while (i < bytes.length) {
+      hist((bytes(i) & 0xff) >>> 5) += 1f
+      i += 1
+    }
+    if (bytes.length > 0) {
+      var j = 0
+      while (j < 8) { hist(j) /= bytes.length.toFloat; j += 1 }
+    }
+    hist
+  }
+
+  /** Per-partition batched decode: the multimodal execution shape.
+    * One decoder context per partition (the `iter =>` scope), rows
+    * streamed through it. */
+  def extractFeatures(payloads: DataFrame): DataFrame = {
+    val spark = payloads.sparkSession
+    val enc = org.apache.spark.sql.Encoders.row(featureSchema)
+    payloads.select("doc_id", "payload").mapPartitions { iter =>
+      // decoder init would happen here, once per partition
+      iter.map { r =>
+        val bytes = r.getAs[Array[Byte]]("payload")
+        Row(r.getAs[Long]("doc_id"), bytes.length,
+          decodeStub(bytes).toIndexedSeq)
+      }
+    }(enc)
+  }
+
+  /** Payload metadata pass (no decode): pure column expressions. */
+  def payloadMeta(payloads: DataFrame): DataFrame =
+    payloads.select(col("doc_id"), col("media_type"),
+      length(col("payload")).as("n_bytes"))
+}

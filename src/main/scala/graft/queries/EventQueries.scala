@@ -1,0 +1,62 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.events.Sessions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Sessionization and event-stream analytics (batch form; the streaming
+  * form shares operators via graft.streaming). Gap rule: 30 minutes. */
+object EventQueries {
+
+  /** Per-user session counts (lag → boundary flag → running sum).
+    * Epoch comparison in integer microseconds — exact in both engines. */
+  val s01SessionCounts = QueryDef("s01_session_counts",
+    (s, d) => Sessions.sessionCounts(Tables.events(s, d), gapSeconds = 1800)
+      .orderBy("user_id"),
+    Some("""WITH e AS (
+           |  SELECT user_id, epoch_us(ts) AS us,
+           |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+           |  FROM events)
+           |SELECT user_id,
+           |  SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END) AS n_sessions
+           |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin))
+
+  /** Per-session aggregates via Spark's session_window operator; the
+    * oracle reconstructs sessions with the equivalent lag/cumsum SQL.
+    * total_value aggregated in decimal for cross-engine exactness. */
+  val s02SessionWindow = QueryDef("s02_session_window",
+    (s, d) => Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType).as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"), col("total_value"))
+      .orderBy("user_id", "session_start"),
+    Some("""WITH e AS (
+           |  SELECT user_id, ts, value,
+           |    CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+           |           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+           |         THEN 1 ELSE 0 END AS new_s
+           |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |g AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM e)
+           |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+           |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+           |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin))
+
+  /** Event-type funnel counts per day — V4-style equality filters over a
+    * derived date with decimal-exact value sums. */
+  val s03DailyByType = QueryDef("s03_daily_by_type",
+    (s, d) => Tables.events(s, d)
+      .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType).as("total_value"))
+      .orderBy("day", "event_type"),
+    Some("""SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n,
+           |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+           |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(s01SessionCounts, s02SessionWindow, s03DailyByType)
+}

@@ -1,0 +1,34 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Multimodal-column plumbing queries: binary payload metadata (pure
+  * expressions, oracle-checked) and the partition-batched decode/
+  * feature-extract path (stubbed decoder → rows-only). */
+object MultimodalQueries {
+
+  /** Payload metadata over binary columns. */
+  val mm01PayloadMeta = QueryDef("mm01_payload_meta",
+    (s, d) => Multimodal.payloadMeta(
+      Multimodal.payloadsFromDocuments(Tables.documents(s, d)))
+      .withColumn("n_bytes", col("n_bytes").cast(LongType))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, 'image/fake' AS media_type,
+           |  octet_length(encode(text)) AS n_bytes
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** Partition-batched feature extraction (decode stub): real schema,
+    * real mapPartitions execution shape, fake decoder. The byte-count
+    * column is independently checkable; features are deterministic. */
+  val mm02Features = QueryDef("mm02_feature_extract",
+    (s, d) => Multimodal.extractFeatures(
+      Multimodal.payloadsFromDocuments(Tables.documents(s, d)))
+      .withColumn("n_bytes", col("n_bytes").cast(LongType))
+      .orderBy("doc_id"),
+    None)
+
+  val all: Seq[QueryDef] = Seq(mm01PayloadMeta, mm02Features)
+}

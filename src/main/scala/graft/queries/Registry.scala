@@ -7,5 +7,6 @@ import graft.QueryDef
   * from this single sequence. */
 object Registry {
   def all: Seq[QueryDef] =
-    RelationalQueries.all
+    RelationalQueries.all ++ TextQueries.all ++ VectorQueries.all ++
+      EventQueries.all ++ MultimodalQueries.all
 }

@@ -1,0 +1,158 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.text.{TextDedup, TextFunctions}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Text-analysis and document-dedup queries over the documents table —
+  * the LLM-pipeline operator surface (lang-ID, quality, token stats,
+  * fingerprints; exact / Jaccard / MinHash / SimHash dedup).
+  *
+  * All integer outputs are cast to LongType so parquet physical types
+  * match DuckDB's BIGINT results.
+  */
+object TextQueries {
+
+  // SQL fragments shared with the Spark expressions (kept literally in
+  // sync — a drift here is exactly what the oracle gate catches).
+  private val sqlTokArr = """regexp_split_to_array(trim(text), '\s+')"""
+  private def sqlWordCount(w: String) =
+    s"""(len(regexp_split_to_array(text, '\\b$w\\b')) - 1)"""
+  private val sqlNormalize =
+    """trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'), '\s+', ' ', 'g'))"""
+
+  /** Token statistics per language partition. */
+  val x10TokenStats = QueryDef("x10_token_stats",
+    (s, d) => Tables.documents(s, d).groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum(TextFunctions.tokenCount(col("text")).cast(LongType)).as("total_tokens"),
+      sum(col("n_chars")).as("total_chars"),
+      (sum(TextFunctions.tokenCount(col("text")).cast(LongType)).cast(DoubleType) /
+        count(lit(1))).as("avg_tokens"))
+      .orderBy("lang"),
+    Some(s"""SELECT lang, COUNT(*) AS n_docs,
+            |  SUM(len($sqlTokArr)) AS total_tokens,
+            |  SUM(n_chars) AS total_chars,
+            |  CAST(SUM(len($sqlTokArr)) AS DOUBLE) / COUNT(*) AS avg_tokens
+            |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
+
+  /** Per-document quality scoring (length / punctuation / stopword
+    * heuristics — deterministic double arithmetic both engines). */
+  val x11QualityScore = QueryDef("x11_quality_score",
+    (s, d) => Tables.documents(s, d).select(
+      col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+      TextFunctions.punctCount(col("text")).cast(LongType).as("n_punct"),
+      TextFunctions.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id"),
+    Some(s"""SELECT doc_id,
+            |  len($sqlTokArr) AS n_tokens,
+            |  length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+            |  (CASE WHEN len($sqlTokArr) >= 5 AND len($sqlTokArr) <= 1000 THEN 1.0 ELSE 0.0 END
+            |   + CASE WHEN CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+            |            / length(text) <= 0.2 THEN 1.0 ELSE 0.0 END
+            |   + LEAST(CAST(${sqlWordCount("the")} + ${sqlWordCount("and")} + ${sqlWordCount("of")} AS DOUBLE)
+            |            / len($sqlTokArr) * 2.0, 1.0)) / 3.0 AS quality
+            |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** Language-ID confusion matrix: declared lang vs marker-word argmax.
+    * The oracle replicates the argmax fold (strictly-greater replaces,
+    * first-listed wins ties) as a CTE chain. */
+  val x12LangId = QueryDef("x12_lang_id",
+    (s, d) => Tables.documents(s, d)
+      .select(col("lang"), TextFunctions.langId(col("text")).as("lang_pred"))
+      .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "lang_pred"),
+    Some(s"""WITH s AS (SELECT lang,
+            |    ${sqlWordCount("the")} + ${sqlWordCount("and")} + ${sqlWordCount("of")} + ${sqlWordCount("is")} AS s_en,
+            |    ${sqlWordCount("el")} + ${sqlWordCount("la")} + ${sqlWordCount("los")} + ${sqlWordCount("que")} AS s_es,
+            |    ${sqlWordCount("der")} + ${sqlWordCount("die")} + ${sqlWordCount("und")} + ${sqlWordCount("nicht")} AS s_de,
+            |    ${sqlWordCount("le")} + ${sqlWordCount("les")} + ${sqlWordCount("est")} + ${sqlWordCount("une")} AS s_fr,
+            |    ${sqlWordCount("de")} + ${sqlWordCount("shi")} + ${sqlWordCount("bu")} + ${sqlWordCount("le")} AS s_zh
+            |  FROM documents),
+            |p1 AS (SELECT *, CASE WHEN s_es > s_en THEN 'es' ELSE 'en' END AS b1,
+            |       GREATEST(s_en, s_es) AS g1 FROM s),
+            |p2 AS (SELECT *, CASE WHEN s_de > g1 THEN 'de' ELSE b1 END AS b2,
+            |       GREATEST(g1, s_de) AS g2 FROM p1),
+            |p3 AS (SELECT *, CASE WHEN s_fr > g2 THEN 'fr' ELSE b2 END AS b3,
+            |       GREATEST(g2, s_fr) AS g3 FROM p2),
+            |p4 AS (SELECT *, CASE WHEN s_zh > g3 THEN 'zh' ELSE b3 END AS lang_pred FROM p3)
+            |SELECT lang, lang_pred, COUNT(*) AS n FROM p4
+            |GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin))
+
+  /** Content fingerprints (md5 of normalized text). */
+  val x13Fingerprint = QueryDef("x13_fingerprint",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id"),
+    Some(s"SELECT doc_id, md5($sqlNormalize) AS fp FROM documents ORDER BY doc_id"))
+
+  /** Polynomial rolling hash (Karp-Rabin) — no SQL fold in DuckDB, so
+    * rows-only here; algorithm verified against a JVM reference in
+    * ScalaTest. */
+  val x14RollingHash = QueryDef("x14_rolling_hash",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), TextFunctions.rollingHash(col("text")).as("rhash"))
+      .orderBy("doc_id"),
+    None)
+
+  /** Exact-dup groups by content hash (first-wins keeper). */
+  val dd01ExactGroups = QueryDef("dd01_exact_dup_groups",
+    (s, d) => TextDedup.exactGroups(Tables.documents(s, d)).orderBy("keep_id"),
+    Some(s"""SELECT md5($sqlNormalize) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+            |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin))
+
+  /** Exact dedup — surviving documents. */
+  val dd02ExactKept = QueryDef("dd02_exact_dedup_kept",
+    (s, d) => TextDedup.exactDedup(Tables.documents(s, d))
+      .select("doc_id", "n_chars").orderBy("doc_id"),
+    Some(s"""SELECT doc_id, n_chars FROM documents
+            |WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5($sqlNormalize))
+            |ORDER BY doc_id""".stripMargin))
+
+  /** Exact 3-gram Jaccard near-dup pairs on a probe subset (all-pairs is
+    * quadratic; the subset keeps the oracle tractable — the MinHash/
+    * SimHash variants below are the scale path). */
+  val dd03Jaccard = QueryDef("dd03_ngram_jaccard",
+    (s, d) => TextDedup.jaccardPairs(
+      Tables.documents(s, d).filter(col("doc_id") % 10 === 0), k = 3, threshold = 0.5)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .orderBy("id1", "id2"),
+    Some("""WITH docs AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+           |tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+           |        generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS i FROM docs),
+           |sh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+           |       FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+           |                  JOIN tok c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+           |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+           |inter AS (SELECT x.doc_id AS id1, y.doc_id AS id2, COUNT(*) AS i
+           |          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+           |          GROUP BY 1, 2)
+           |SELECT id1, id2,
+           |  round(CAST(i AS DOUBLE) / (n1.n + n2.n - i), 6) AS jaccard
+           |FROM inter
+           |JOIN sizes n1 ON n1.doc_id = id1
+           |JOIN sizes n2 ON n2.doc_id = id2
+           |WHERE CAST(i AS DOUBLE) / (n1.n + n2.n - i) >= 0.5
+           |ORDER BY id1, id2""".stripMargin))
+
+  /** MinHash+LSH near-dup candidates (est. Jaccard from 32 minhashes,
+    * 8 bands × 4 rows). Hash permutations aren't SQL-portable →
+    * rows-only; recall vs exact Jaccard asserted in ScalaTest. */
+  val dd04MinHash = QueryDef("dd04_minhash_candidates",
+    (s, d) => TextDedup.minHashCandidates(Tables.documents(s, d))
+      .orderBy("id1", "id2"),
+    None)
+
+  /** SimHash near-dup pairs (hamming ≤ 3 via 4-chunk blocking). */
+  val dd05SimHash = QueryDef("dd05_simhash_pairs",
+    (s, d) => TextDedup.simHashPairs(Tables.documents(s, d))
+      .withColumn("hamming", col("hamming").cast(LongType))
+      .orderBy("id1", "id2"),
+    None)
+
+  val all: Seq[QueryDef] = Seq(
+    x10TokenStats, x11QualityScore, x12LangId, x13Fingerprint, x14RollingHash,
+    dd01ExactGroups, dd02ExactKept, dd03Jaccard, dd04MinHash, dd05SimHash)
+}

@@ -1,0 +1,65 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.vector.SimilaritySearch
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity-search queries. The oracle uses DuckDB's
+  * list_cosine_similarity over CAST(... AS DOUBLE[]), which computes
+  * dot/(sqrt(na)·sqrt(nb)) with left-to-right double accumulation —
+  * verified bit-identical to graft.vector.VectorFunctions.cosine.
+  * Similarities are rounded to 6dp BEFORE ranking/thresholding so both
+  * engines make identical ordering decisions. */
+object VectorQueries {
+
+  private val sqlCos =
+    "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+
+  /** Exact brute-force cosine top-5 for a query subset — the ANN
+    * exactness baseline. Queries broadcast; corpus scanned once. */
+  val nn01BruteTopK = QueryDef("nn01_cosine_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilaritySearch.bruteForceTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH scored AS (
+            |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+            |    round($sqlCos, 6) AS sim_r
+            |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+            |  WHERE a.vec_id % 100 = 0)
+            |SELECT query_id, rank, neighbor_id, sim_r FROM (
+            |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            |    ORDER BY sim_r DESC, neighbor_id) AS rank FROM scored) t
+            |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+
+  /** LSH-bucketed approximate top-k — the 100 TB path (candidates share
+    * a hyperplane-signature band; cost ~ corpus/2^bandBits per query).
+    * Approximate by construction → rows-only; recall vs nn01 asserted
+    * in ScalaTest. */
+  val nn02LshTopK = QueryDef("nn02_lsh_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilaritySearch.lshTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    None)
+
+  /** Exact embedding near-duplicate pairs (cosine ≥ 0.8) from a probe
+    * subset against the full corpus. */
+  val nn03NearDup = QueryDef("nn03_embedding_neardup",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilaritySearch.nearDupPairs(emb, emb.filter(col("vec_id") % 50 === 0), 0.8)
+        .orderBy("id1", "id2")
+    },
+    Some(s"""SELECT a.vec_id AS id1, b.vec_id AS id2, round($sqlCos, 6) AS sim_r
+            |FROM embeddings a JOIN embeddings b
+            |  ON a.vec_id % 50 = 0 AND a.vec_id < b.vec_id
+            |WHERE $sqlCos >= 0.8
+            |ORDER BY id1, id2""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(nn01BruteTopK, nn02LshTopK, nn03NearDup)
+}

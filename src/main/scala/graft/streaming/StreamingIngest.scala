@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.Row
+
+/** Structured Streaming forms of the engine's ingest and sessionization
+  * (SURVEY §2.11 — the reference is weekly batch; this is the "if
+  * streaming is wanted later" path, built on the same operators).
+  *
+  * Scale notes: file-source streaming scales by listing cost — at
+  * production scale use a notification-based source. Watermarked
+  * dropDuplicates bounds state; windowed aggs emit on watermark close.
+  */
+object StreamingIngest {
+
+  /** Streaming dedup-ingest: file source → watermark → key dedup within
+    * the watermark — the streaming analogue of the batch anti-join dedup
+    * (D1-D3). */
+  def dedupStream(spark: SparkSession, schema: StructType, srcDir: String,
+                  eventTimeCol: String, watermark: String,
+                  keys: Seq[String]): DataFrame =
+    spark.readStream.schema(schema).parquet(srcDir)
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Windowed per-type counts with watermarking — the streaming form of
+    * the weekly report aggregations (A2/A4). */
+  def windowedCounts(events: DataFrame, eventTimeCol: String,
+                     window_ : String, watermark: String): DataFrame =
+    events.withWatermark(eventTimeCol, watermark)
+      .groupBy(window(col(eventTimeCol), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  /** Gap-based streaming sessionization via session_window — shares
+    * semantics with the batch graft.events.Sessions. */
+  def streamingSessions(events: DataFrame, eventTimeCol: String,
+                        gap: String, watermark: String): DataFrame =
+    events.withWatermark(eventTimeCol, watermark)
+      .groupBy(col("user_id"), session_window(col(eventTimeCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+
+  /** Run a streaming frame to completion against currently-available
+    * input via the memory sink; returns the materialized result. Batch
+    * test harness for streaming semantics. */
+  def runToMemory(df: DataFrame, name: String,
+                  mode: OutputMode = OutputMode.Append): DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory")
+      .queryName(name).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+}

@@ -1,0 +1,178 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Document deduplication for training-data pipelines: exact (hash),
+  * n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design:
+  *  - Exact: groupBy on a 128-bit content hash — one shuffle keyed by
+  *    hash, no text comparison. At 100 TB this is the cheapest pass and
+  *    always runs first.
+  *  - Jaccard: exact set similarity via shingle-join; candidate pairs
+  *    bounded by shingle co-occurrence (document-frequency cap guards
+  *    against degenerate shingles at scale).
+  *  - MinHash+LSH: fixed-size signature per doc (computed row-local, no
+  *    shuffle), banded so only same-bucket docs pair up — the standard
+  *    sub-quadratic near-dup path (cf. Broder; Spark ML's MinHashLSH
+  *    implements the same scheme).
+  *  - SimHash: 64-bit weighted-token fingerprint; near-dups = hamming
+  *    distance ≤ k found by (k+1)-chunk blocking (pigeonhole: any pair
+  *    within hamming k agrees on ≥1 chunk).
+  */
+object TextDedup {
+
+  /** Exact-dup groups by content fingerprint: one row per distinct
+    * content, keeper = min id (first-wins), n = group size. */
+  def exactGroups(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    docs.groupBy(TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact dedup: keep the min-id document per fingerprint. */
+  def exactDedup(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(TextFunctions.fingerprint(col(textCol)))
+      .orderBy(col(idCol))
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Distinct k-shingles per document: (id, shingle). The exploded form
+    * all set-similarity passes share. */
+  def shingleRows(docs: DataFrame, k: Int, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+      explode(TextFunctions.shingles(col(textCol), k)).as("s"))
+
+  /** Exact n-gram Jaccard pairs ≥ threshold. `maxShingleDf` drops
+    * shingles appearing in more than that many documents before pair
+    * generation (guards the quadratic blowup on degenerate content);
+    * intersection counts then come from the SURVIVING shingles only, so
+    * the Jaccard here is over the df-filtered shingle space — callers
+    * wanting fully-exact similarity pass maxShingleDf = Int.MaxValue. */
+  def jaccardPairs(docs: DataFrame, k: Int, threshold: Double,
+                   maxShingleDf: Int = Int.MaxValue,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = shingleRows(docs, k, idCol, textCol)
+    val kept =
+      if (maxShingleDf == Int.MaxValue) sh
+      else {
+        val dfCounts = sh.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxShingleDf)
+        sh.join(dfCounts.select("s"), Seq("s"))
+      }
+    val sizes = kept.groupBy("id").agg(count(lit(1)).as("n"))
+    val a = kept.select(col("id").as("id1"), col("s"))
+    val b = kept.select(col("id").as("id2"), col("s"))
+    val inter = a.join(b, Seq("s")).filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id1"), col("n").as("n1")), Seq("id1"))
+      .join(sizes.select(col("id").as("id2"), col("n").as("n2")), Seq("id2"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  private val MersennePrime = 2147483647L // 2^31 - 1: a·h stays < 2^62,
+  // safe under ANSI long arithmetic; 2^31 hash space is ample for
+  // min-hashing shingle sets
+
+  /** MinHash signature columns: for permutation i, min over shingles of
+    * ((aᵢ·h + bᵢ) mod p) where h = xxhash64(shingle). Row-local
+    * (aggregate over the shingle array) — no shuffle to build
+    * signatures. Returns df with columns mh_0..mh_{n-1}. */
+  def withMinHashes(docs: DataFrame, k: Int, nHashes: Int,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val hashes = transform(TextFunctions.shingles(col(textCol), k),
+      s => pmod(xxhash64(s), lit(MersennePrime)))
+    val mhCols = (0 until nHashes).map { i =>
+      // deterministic per-permutation coefficients from the index
+      val a = pmod(xxhash64(lit(s"minhash_a_$i")), lit(MersennePrime - 1)) + 1
+      val b = pmod(xxhash64(lit(s"minhash_b_$i")), lit(MersennePrime))
+      aggregate(hashes, lit(MersennePrime),
+        (acc, h) => least(acc, pmod(a * h + b, lit(MersennePrime)))).as(s"mh_$i")
+    }
+    docs.select((col(idCol).as("id") +: mhCols).toIndexedSeq: _*)
+  }
+
+  /** MinHash-LSH candidate pairs: docs sharing at least one band
+    * signature, with estimated Jaccard = fraction of equal minhashes.
+    * bands × rowsPerBand = nHashes. */
+  def minHashCandidates(docs: DataFrame, k: Int = 3, nHashes: Int = 32,
+                        bands: Int = 8, minEstJaccard: Double = 0.5,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(nHashes % bands == 0)
+    val rowsPerBand = nHashes / bands
+    val sigs = withMinHashes(docs, k, nHashes, idCol, textCol)
+    val banded = sigs.withColumn("band", explode(array((0 until bands).map(bId =>
+      struct(lit(bId).as("band_id"),
+        xxhash64((bId * rowsPerBand until (bId + 1) * rowsPerBand)
+          .map(i => col(s"mh_$i")): _*).as("band_sig"))): _*)))
+      .select(col("id"), col("band.band_id").as("band_id"),
+        col("band.band_sig").as("band_sig"),
+        array((0 until nHashes).map(i => col(s"mh_$i")): _*).as("sig"))
+    val left = banded.select(col("id").as("id1"), col("band_id"),
+      col("band_sig"), col("sig").as("sig1"))
+    val right = banded.select(col("id").as("id2"), col("band_id"),
+      col("band_sig"), col("sig").as("sig2"))
+    left.join(right, Seq("band_id", "band_sig")).filter(col("id1") < col("id2"))
+      .dropDuplicates("id1", "id2")
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig1"), col("sig2"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, e) => acc + e).cast("double") / nHashes)
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select("id1", "id2", "est_jaccard")
+  }
+
+  /** 64-bit SimHash per document from whitespace tokens of the
+    * NORMALIZED text (case/punct-insensitive, like the fingerprint),
+    * weighted by occurrence count via the explode/groupBy path — one
+    * shuffle keyed by doc id. */
+  def withSimHash(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"),
+      explode(TextFunctions.tokens(TextFunctions.normalize(col(textCol)))).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val bitSums = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$b"))
+    val summed = tok.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    summed.select(col("id"),
+      (0 until 64).map(b =>
+        when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+      ).reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxHamming, found by
+    * (maxHamming+1)-chunk pigeonhole blocking then exact bit_count
+    * verification. */
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val nChunks = maxHamming + 1
+    require(64 % nChunks == 0,
+      s"maxHamming+1 must divide 64 (got $nChunks); use 1, 3, 7, 15 or 31 — " +
+        "the pigeonhole blocking needs chunks to partition all 64 bits")
+    val chunkBits = 64 / nChunks
+    val sigs = withSimHash(docs, idCol, textCol)
+    val chunked = sigs.withColumn("chunk", explode(array((0 until nChunks).map(cId =>
+      struct(lit(cId).as("chunk_id"),
+        shiftright(col("simhash"), cId * chunkBits)
+          .bitwiseAND(lit((1L << chunkBits) - 1)).as("chunk_val"))): _*)))
+      .select(col("id"), col("simhash"), col("chunk.chunk_id"), col("chunk.chunk_val"))
+    val l = chunked.select(col("id").as("id1"), col("simhash").as("sh1"),
+      col("chunk_id"), col("chunk_val"))
+    val r = chunked.select(col("id").as("id2"), col("simhash").as("sh2"),
+      col("chunk_id"), col("chunk_val"))
+    l.join(r, Seq("chunk_id", "chunk_val")).filter(col("id1") < col("id2"))
+      .dropDuplicates("id1", "id2")
+      .withColumn("hamming", bit_count(col("sh1").bitwiseXOR(col("sh2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id1", "id2", "hamming")
+  }
+}

@@ -1,0 +1,94 @@
+package graft.vector
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Approximate-nearest-neighbor and near-duplicate search over an
+  * embedding column.
+  *
+  * Scale design:
+  *  - `bruteForceTopK` is the exactness baseline: queries × corpus is a
+  *    broadcast-join (queries side is small by construction); per-pair
+  *    cosine reuses precomputed squared norms. At 100 TB corpus this is
+  *    one scan of the corpus per query batch — the right brute-force
+  *    shape, but the LSH variant is the scale path.
+  *  - `lshTopK` buckets both sides by a random-hyperplane signature
+  *    prefix: candidate generation is an equi-join on the bucket key
+  *    (shuffle/broadcast decided by Catalyst), so cost ~ corpus/2^bits
+  *    per query instead of the full corpus. Recall measured in tests.
+  *  - `nearDupPairs` restricts to a probe subset (all-pairs at corpus
+  *    scale is quadratic; callers shard the probe side or use LSH
+  *    blocking via `lshNearDupPairs`).
+  */
+object SimilaritySearch {
+
+  /** Exact top-k neighbors for each query vector (excluding self).
+    * Output: (query_id, rank, neighbor_id, sim_r) with sim rounded to
+    * 6dp and id tie-breaks — deterministic across engines. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      VectorFunctions.normSq(col(vecCol)).as("c_norm"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      VectorFunctions.normSq(col(vecCol)).as("q_norm"))
+    val sim = VectorFunctions.cosinePrenormed(
+      VectorFunctions.dot(col("q_vec"), col("c_vec")), col("q_norm"), col("c_norm"))
+    val scored = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim_r", round(sim, 6))
+    val w = Window.partitionBy("query_id").orderBy(col("sim_r").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim_r")
+  }
+
+  /** LSH-bucketed approximate top-k: candidates must share the signature
+    * of at least one of `nBands` bit-bands before scoring. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nBits: Int = 16, nBands: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nBits % nBands == 0, "nBits must divide into nBands")
+    val bandWidth = nBits / nBands
+    def withBands(df: DataFrame, id: String, vec: String, norm: String): DataFrame = {
+      val sig = VectorFunctions.hyperplaneSignature(col(vecCol), nBits)
+      df.select(col(idCol).as(id), col(vecCol).as(vec + "_v"),
+        VectorFunctions.normSq(col(vecCol)).as(norm), sig.as(s"${id}_sig"))
+        .withColumn("band", explode(array((0 until nBands).map(b =>
+          struct(lit(b).as("band_id"),
+            (shiftright(col(s"${id}_sig"), b * bandWidth)
+              .bitwiseAND(lit((1L << bandWidth) - 1))).as("band_val"))): _*)))
+        .select(col(id), col(vec + "_v"), col(norm),
+          col("band.band_id"), col("band.band_val"))
+    }
+    val c = withBands(corpus, "neighbor_id", "c_vec", "c_norm")
+    val q = withBands(queries, "query_id", "q_vec", "q_norm")
+    val cands = q.join(c, Seq("band_id", "band_val"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "q_vec_v", "q_norm", "neighbor_id", "c_vec_v", "c_norm")
+      .dropDuplicates("query_id", "neighbor_id")
+    val sim = VectorFunctions.cosinePrenormed(
+      VectorFunctions.dot(col("q_vec_v"), col("c_vec_v")), col("q_norm"), col("c_norm"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim_r").desc, col("neighbor_id"))
+    cands.withColumn("sim_r", round(sim, 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim_r")
+  }
+
+  /** Exact near-duplicate pairs (cosine ≥ threshold) between a probe
+    * subset and the corpus, id1 < id2. */
+  def nearDupPairs(corpus: DataFrame, probes: DataFrame, threshold: Double,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("id2"), col(vecCol).as("c_vec"),
+      VectorFunctions.normSq(col(vecCol)).as("c_norm"))
+    val p = probes.select(col(idCol).as("id1"), col(vecCol).as("p_vec"),
+      VectorFunctions.normSq(col(vecCol)).as("p_norm"))
+    val sim = VectorFunctions.cosinePrenormed(
+      VectorFunctions.dot(col("p_vec"), col("c_vec")), col("p_norm"), col("c_norm"))
+    broadcast(p).join(c, col("id1") < col("id2"))
+      .withColumn("sim", sim)
+      .filter(col("sim") >= threshold)
+      .select(col("id1"), col("id2"), round(col("sim"), 6).as("sim_r"))
+  }
+}

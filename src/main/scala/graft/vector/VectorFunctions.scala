@@ -1,0 +1,55 @@
+package graft.vector
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Embedding-vector primitives over Array[Float] columns, as Catalyst
+  * higher-order functions (codegen'd, no UDFs, no shuffle).
+  *
+  * Determinism contract: all accumulation is LEFT-TO-RIGHT in double
+  * precision — bit-identical to DuckDB's list_cosine_similarity over
+  * DOUBLE[] (denominator sqrt(na)*sqrt(nb), verified empirically), which
+  * the oracle uses.
+  *
+  * Scale notes: per-row expressions fuse into the scan; the wide ops
+  * (top-k join, near-dup pair generation) live in SimilaritySearch.
+  */
+object VectorFunctions {
+
+  /** Σ aᵢ·bᵢ in double, sequential. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, p) => acc + p)
+
+  /** Σ aᵢ² in double, sequential. */
+  def normSq(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType))
+
+  /** cosine(a,b) = dot / (sqrt(|a|²)·sqrt(|b|²)) — DuckDB-parity form. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
+
+  /** cosine given a precomputed squared norm for each side (avoids
+    * recomputing norms per candidate pair in top-k joins). */
+  def cosinePrenormed(dotAb: Column, normSqA: Column, normSqB: Column): Column =
+    dotAb / (sqrt(normSqA) * sqrt(normSqB))
+
+  /** Random-hyperplane LSH signature: `nBits` sign bits packed into a
+    * long. Plane j's component for dimension i is a deterministic
+    * pseudo-random ±1 derived from xxhash64(j, i) — no stored plane
+    * matrix, reproducible on any cluster. */
+  def hyperplaneSignature(vec: Column, nBits: Int): Column = {
+    val bits = (0 until nBits).map { j =>
+      // s_j = Σ_i sign(hash(j,i)) * v_i  > 0  → bit j
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) =>
+          when(pmod(xxhash64(lit(j), i), lit(2)) === 0, x.cast(DoubleType))
+            .otherwise(-x.cast(DoubleType))),
+        lit(0.0), (acc, p) => acc + p)
+      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+}

@@ -1,0 +1,33 @@
+package graft.multimodal
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("payload plumbing: binary round-trip preserves bytes; meta matches") {
+    val payloads = Multimodal.payloadsFromDocuments(Tables.documents(spark, sfDir))
+    val meta = Multimodal.payloadMeta(payloads)
+    val check = meta.join(Tables.documents(spark, sfDir), Seq("doc_id"))
+      .filter(col("n_bytes") =!= length(col("text")))
+    assert(check.count() == 0) // ascii text: bytes == chars
+  }
+
+  test("feature extraction: deterministic stub, fixed 8-dim output, batched shape") {
+    val payloads = Multimodal.payloadsFromDocuments(
+      Tables.documents(spark, sfDir)).repartition(4)
+    val feats = Multimodal.extractFeatures(payloads).cache()
+    assert(feats.count() == Tables.documents(spark, sfDir).count())
+    val sizes = feats.select(size(col("features"))).distinct().as[Int].collect()
+    assert(sizes.toSeq == Seq(8))
+    // histogram is normalized: sums to ~1 for non-empty payloads
+    val sums = feats.select(aggregate(col("features"), lit(0.0d),
+      (acc, x) => acc + x.cast("double")).as("s")).as[Double].collect()
+    sums.foreach(s => assert(math.abs(s - 1.0) < 1e-3))
+    // determinism: second run identical
+    val again = Multimodal.extractFeatures(payloads)
+    assert(feats.select("doc_id", "features").exceptAll(
+      again.select("doc_id", "features")).count() == 0)
+  }
+}

@@ -1,0 +1,48 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import graft.events.Sessions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import java.nio.file.{Files, Paths}
+
+class StreamingSpec extends SparkSpec {
+
+  private lazy val stagingDir = {
+    val d = Files.createTempDirectory(Paths.get("/root/repo/target"), "stream").toString
+    // stage events (with proper µs timestamps) as the stream source
+    Tables.events(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$d/events")
+    d
+  }
+
+  private def eventsSchema = Tables.events(spark, sfDir).schema
+
+  test("streaming sessionization agrees with batch session counts") {
+    val stream = spark.readStream.schema(eventsSchema).parquet(s"$stagingDir/events")
+    val sessions = StreamingIngest.streamingSessions(
+      stream, "ts", "30 minutes", "0 seconds")
+    val got = StreamingIngest.runToMemory(sessions, "stream_sessions", OutputMode.Complete())
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
+    val want = Sessions.sessionCounts(Tables.events(spark, sfDir), 1800)
+    assert(got.join(want, Seq("user_id"))
+      .filter(got("n_sessions") =!= want("n_sessions")).count() == 0)
+    assert(got.count() == want.count())
+  }
+
+  test("watermarked streaming dedup drops in-stream duplicate keys") {
+    val stream = StreamingIngest.dedupStream(spark, eventsSchema,
+      s"$stagingDir/events", "ts", "1 hour", Seq("user_id"))
+    val got = StreamingIngest.runToMemory(stream, "stream_dedup")
+    // one surviving row per user
+    assert(got.groupBy("user_id").count().filter(col("count") > 1).count() == 0)
+    assert(got.select("user_id").distinct().count() ==
+      Tables.events(spark, sfDir).select("user_id").distinct().count())
+  }
+
+  test("windowed counts total matches batch count") {
+    val stream = spark.readStream.schema(eventsSchema).parquet(s"$stagingDir/events")
+    val counts = StreamingIngest.windowedCounts(stream, "ts", "1 hour", "0 seconds")
+    val got = StreamingIngest.runToMemory(counts, "stream_counts", OutputMode.Complete())
+    assert(got.agg(sum("n")).head().getLong(0) == Tables.events(spark, sfDir).count())
+  }
+}

@@ -1,0 +1,82 @@
+package graft.text
+
+import graft.SparkSpec
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 0
+    (2L, "completely different words entirely unrelated text here"),
+    (3L, "The quick brown fox jumps over the lazy dog."),  // exact dup of 0 after normalize
+    (4L, "the quick brown fox leaps over the lazy dog")    // near-dup of 0
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min-id per normalized content") {
+    val kept = TextDedup.exactDedup(docs).select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(0L, 1L, 2L, 4L)) // 3 collapses into 0
+    val groups = TextDedup.exactGroups(docs)
+      .filter(col("n_copies") > 1).select("keep_id", "n_copies")
+      .as[(Long, Long)].collect().toSeq
+    assert(groups == Seq((0L, 2L)))
+  }
+
+  test("exact jaccard finds near-dup pairs above threshold") {
+    val pairs = TextDedup.jaccardPairs(docs, k = 3, threshold = 0.3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 3L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("minhash candidates ⊇ high-jaccard pairs, est within 0.35 of exact") {
+    val exact = TextDedup.jaccardPairs(docs, k = 3, threshold = 0.6)
+      .select("id1", "id2", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    val cand = TextDedup.minHashCandidates(docs, minEstJaccard = 0.4)
+      .select("id1", "id2", "est_jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    exact.foreach { case (pair, j) =>
+      assert(cand.contains(pair), s"minhash missed exact-jaccard pair $pair (j=$j)")
+      assert(math.abs(cand(pair) - j) <= 0.35,
+        s"est ${cand(pair)} too far from exact $j for $pair")
+    }
+  }
+
+  test("simhash: normalized-identical docs have distance 0; unrelated docs don't pair") {
+    val pairs = TextDedup.simHashPairs(docs, maxHamming = 7)
+      .select("id1", "id2", "hamming").as[(Long, Long, Int)].collect()
+      .map { case (a, b, h) => (a, b) -> h }.toMap
+    assert(pairs((0L, 3L)) == 0) // same token multiset after normalization
+    assert(!pairs.keys.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("simhash blocking requires a chunk count dividing 64") {
+    intercept[IllegalArgumentException] {
+      TextDedup.simHashPairs(docs, maxHamming = 16).collect()
+    }
+  }
+
+  test("rolling hash: matches JVM reference implementation") {
+    val ref = (s: String) => {
+      val norm = s.toLowerCase.replaceAll("[.,!?;:]", "").replaceAll("\\s+", " ").trim
+      norm.foldLeft(0L)((acc, c) => (acc * 131L + c.toLong) % 1000000007L)
+    }
+    val got = docs.select(col("doc_id"), TextFunctions.rollingHash(col("text")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect().toMap
+    texts.foreach { case (id, t) => assert(got(id) == ref(t), s"doc $id") }
+  }
+
+  test("lang-id picks marker-dominant language") {
+    val df = Seq(
+      (0L, "the cat and the dog is of the house"),
+      (1L, "el gato la casa los perros que vive"),
+      (2L, "der hund die katze und nicht der vogel")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextFunctions.langId(col("text")).as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(0L -> "en", 1L -> "es", 2L -> "de"))
+  }
+}

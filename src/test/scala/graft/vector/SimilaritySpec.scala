@@ -1,0 +1,49 @@
+package graft.vector
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine matches JVM sequential double reference") {
+    val emb = Tables.embeddings(spark, sfDir).limit(20).cache()
+    val vecs = emb.select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
+    val got = emb.as("a").join(emb.as("b"), $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id", $"b.vec_id",
+        VectorFunctions.cosine($"a.embedding", $"b.embedding").as("c"))
+      .as[(Long, Long, Double)].collect()
+    got.foreach { case (i, j, c) =>
+      val (a, b) = (vecs(i), vecs(j))
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { k =>
+        dot += a(k).toDouble * b(k).toDouble
+        na += a(k).toDouble * a(k).toDouble
+        nb += b(k).toDouble * b(k).toDouble
+      }
+      val ref = dot / (math.sqrt(na) * math.sqrt(nb))
+      assert(c == ref, s"pair ($i,$j): $c != $ref") // bit-exact, not approx
+    }
+  }
+
+  test("LSH top-k recall ≥ 0.4 vs brute force at k=5") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter($"vec_id" % 100 === 0)
+    val exact = SimilaritySearch.bruteForceTopK(emb, queries, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = SimilaritySearch.lshTopK(emb, queries, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"LSH recall $recall too low")
+    info(f"LSH recall@5 = $recall%.2f (${(exact & approx).size}/${exact.size})")
+  }
+
+  test("near-dup pairs are symmetric-free (id1 < id2) and above threshold") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val pairs = SimilaritySearch.nearDupPairs(emb, emb, 0.8)
+      .select("id1", "id2", "sim_r").as[(Long, Long, Double)].collect()
+    pairs.foreach { case (a, b, s) =>
+      assert(a < b); assert(s >= 0.8 - 1e-6)
+    }
+  }
+}
