@@ -78,50 +78,64 @@ object TextDedup {
       .select("id1", "id2", "jaccard")
   }
 
-  private val MersennePrime = 2147483647L // 2^31 - 1: a·h stays < 2^62,
-  // safe under ANSI long arithmetic; 2^31 hash space is ample for
-  // min-hashing shingle sets
-
-  /** MinHash signature columns: for permutation i, min over shingles of
-    * ((aᵢ·h + bᵢ) mod p) where h = xxhash64(shingle). Row-local
-    * (aggregate over the shingle array) — no shuffle to build
-    * signatures. Returns df with columns mh_0..mh_{n-1}. */
-  def withMinHashes(docs: DataFrame, k: Int, nHashes: Int,
-                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val hashes = transform(TextFunctions.shingles(col(textCol), k),
-      s => pmod(xxhash64(s), lit(MersennePrime)))
-    val mhCols = (0 until nHashes).map { i =>
-      // deterministic per-permutation coefficients from the index
-      val a = pmod(xxhash64(lit(s"minhash_a_$i")), lit(MersennePrime - 1)) + 1
-      val b = pmod(xxhash64(lit(s"minhash_b_$i")), lit(MersennePrime))
-      aggregate(hashes, lit(MersennePrime),
-        (acc, h) => least(acc, pmod(a * h + b, lit(MersennePrime)))).as(s"mh_$i")
-    }
-    docs.select((col(idCol).as("id") +: mhCols).toIndexedSeq: _*)
+  /** MinHash signature array per document: one compiled pass over the
+    * shingle hashes (see [[MinHashesExpr]] for why this is a custom
+    * expression). Returns df(id, sig: array<long>[nHashes]). */
+  def withMinHashSig(docs: DataFrame, k: Int, nHashes: Int,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val shingleHashes = transform(TextFunctions.shingles(col(textCol), k),
+      s => xxhash64(s))
+    docs.select(col(idCol).as("id"),
+      MinHashesExpr.minhashes(shingleHashes, nHashes).as("sig"))
   }
+
+  /** How LSH buckets turn into candidate pairs:
+    *  - AllPairs: every pair in the bucket — exhaustive, but O(B²) per
+    *    bucket: fine for small corpora / tests, pathological when the
+    *    corpus is duplicate-heavy (one bucket of B near-identical docs
+    *    → B²/2 pairs).
+    *  - Star: each bucket member pairs with the bucket's min id —
+    *    O(B) edges that still connect every duplicate cluster
+    *    transitively (union-find over star edges = the standard
+    *    100 TB dedup shape). */
+  sealed trait Pairing
+  case object AllPairs extends Pairing
+  case object Star extends Pairing
 
   /** MinHash-LSH candidate pairs: docs sharing at least one band
     * signature, with estimated Jaccard = fraction of equal minhashes.
-    * bands × rowsPerBand = nHashes. */
+    * bands × rowsPerBand = nHashes. Signature arrays are re-joined by id
+    * AFTER pair dedup so wide rows never travel through the pair
+    * shuffle. */
   def minHashCandidates(docs: DataFrame, k: Int = 3, nHashes: Int = 32,
                         bands: Int = 8, minEstJaccard: Double = 0.5,
+                        pairing: Pairing = Star,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(nHashes % bands == 0)
     val rowsPerBand = nHashes / bands
-    val sigs = withMinHashes(docs, k, nHashes, idCol, textCol)
+    val sigs = withMinHashSig(docs, k, nHashes, idCol, textCol)
     val banded = sigs.withColumn("band", explode(array((0 until bands).map(bId =>
       struct(lit(bId).as("band_id"),
-        xxhash64((bId * rowsPerBand until (bId + 1) * rowsPerBand)
-          .map(i => col(s"mh_$i")): _*).as("band_sig"))): _*)))
+        xxhash64(lit(bId) +: (0 until rowsPerBand)
+          .map(r => element_at(col("sig"), bId * rowsPerBand + r + 1)): _*)
+          .as("band_sig"))): _*)))
       .select(col("id"), col("band.band_id").as("band_id"),
-        col("band.band_sig").as("band_sig"),
-        array((0 until nHashes).map(i => col(s"mh_$i")): _*).as("sig"))
-    val left = banded.select(col("id").as("id1"), col("band_id"),
-      col("band_sig"), col("sig").as("sig1"))
-    val right = banded.select(col("id").as("id2"), col("band_id"),
-      col("band_sig"), col("sig").as("sig2"))
-    left.join(right, Seq("band_id", "band_sig")).filter(col("id1") < col("id2"))
-      .dropDuplicates("id1", "id2")
+        col("band.band_sig").as("band_sig"))
+    val rawPairs = pairing match {
+      case AllPairs =>
+        val l = banded.select(col("id").as("id1"), col("band_id"), col("band_sig"))
+        val r = banded.select(col("id").as("id2"), col("band_id"), col("band_sig"))
+        l.join(r, Seq("band_id", "band_sig")).filter(col("id1") < col("id2"))
+      case Star =>
+        val w = Window.partitionBy("band_id", "band_sig")
+        banded.withColumn("id1", min(col("id")).over(w))
+          .filter(col("id") =!= col("id1"))
+          .select(col("id1"), col("id").as("id2"))
+    }
+    val pairs = rawPairs.select("id1", "id2").dropDuplicates("id1", "id2")
+    pairs
+      .join(sigs.select(col("id").as("id1"), col("sig").as("sig1")), Seq("id1"))
+      .join(sigs.select(col("id").as("id2"), col("sig").as("sig2")), Seq("id2"))
       .withColumn("est_jaccard",
         aggregate(zip_with(col("sig1"), col("sig2"),
           (x, y) => when(x === y, 1).otherwise(0)),

@@ -17,15 +17,21 @@ import org.apache.spark.sql.types.DoubleType
   */
 object VectorFunctions {
 
-  /** Σ aᵢ·bᵢ in double, sequential. */
-  def dot(a: Column, b: Column): Column =
+  /** Σ aᵢ·bᵢ in double, sequential — compiled via [[DotProductExpr]]
+    * (whole-stage codegen; the `aggregate(zip_with(...))` higher-order
+    * formulation computes the identical value but runs interpreted,
+    * ~5-10× slower on similarity scans). */
+  def dot(a: Column, b: Column): Column = DotProductExpr.dot(a, b)
+
+  /** Σ aᵢ·bᵢ via interpreted higher-order functions — kept as the
+    * reference/regression-check formulation for [[dot]]. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (acc, p) => acc + p)
 
   /** Σ aᵢ² in double, sequential. */
-  def normSq(a: Column): Column =
-    aggregate(a, lit(0.0), (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType))
+  def normSq(a: Column): Column = DotProductExpr.dot(a, a)
 
   /** cosine(a,b) = dot / (sqrt(|a|²)·sqrt(|b|²)) — DuckDB-parity form. */
   def cosine(a: Column, b: Column): Column =

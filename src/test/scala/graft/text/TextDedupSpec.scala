@@ -31,11 +31,12 @@ class TextDedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
-  test("minhash candidates ⊇ high-jaccard pairs, est within 0.35 of exact") {
+  test("minhash AllPairs candidates ⊇ high-jaccard pairs, est within 0.35 of exact") {
     val exact = TextDedup.jaccardPairs(docs, k = 3, threshold = 0.6)
       .select("id1", "id2", "jaccard").as[(Long, Long, Double)].collect()
       .map { case (a, b, j) => (a, b) -> j }.toMap
-    val cand = TextDedup.minHashCandidates(docs, minEstJaccard = 0.4)
+    val cand = TextDedup.minHashCandidates(docs, minEstJaccard = 0.4,
+      pairing = TextDedup.AllPairs)
       .select("id1", "id2", "est_jaccard").as[(Long, Long, Double)].collect()
       .map { case (a, b, j) => (a, b) -> j }.toMap
     exact.foreach { case (pair, j) =>
@@ -43,6 +44,31 @@ class TextDedupSpec extends SparkSpec {
       assert(math.abs(cand(pair) - j) <= 0.35,
         s"est ${cand(pair)} too far from exact $j for $pair")
     }
+  }
+
+  test("minhash Star edges connect every AllPairs duplicate cluster") {
+    val all = TextDedup.minHashCandidates(docs, minEstJaccard = 0.0,
+      pairing = TextDedup.AllPairs)
+      .select("id1", "id2").as[(Long, Long)].collect()
+    val star = TextDedup.minHashCandidates(docs, minEstJaccard = 0.0,
+      pairing = TextDedup.Star)
+      .select("id1", "id2").as[(Long, Long)].collect()
+    // union-find over star edges must reach the same components
+    def components(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    val ca = components(all.toSeq)
+    val cs = components(star.toSeq)
+    all.foreach { case (a, b) =>
+      assert(cs(a) == cs(b), s"star edges split cluster of ($a,$b)")
+    }
+    assert(star.length <= all.length)
   }
 
   test("simhash: normalized-identical docs have distance 0; unrelated docs don't pair") {

@@ -6,6 +6,16 @@ import org.apache.spark.sql.functions._
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
+  test("codegen dot equals interpreted HOF dot bit-for-bit") {
+    val emb = Tables.embeddings(spark, sfDir).limit(50)
+    val mism = emb.as("a").join(emb.as("b"), $"a.vec_id" < $"b.vec_id")
+      .select(
+        VectorFunctions.dot($"a.embedding", $"b.embedding").as("fast"),
+        VectorFunctions.dotHof($"a.embedding", $"b.embedding").as("ref"))
+      .filter($"fast" =!= $"ref")
+    assert(mism.count() == 0)
+  }
+
   test("cosine matches JVM sequential double reference") {
     val emb = Tables.embeddings(spark, sfDir).limit(20).cache()
     val vecs = emb.select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
