@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan auditor: prints the formatted physical plan of each named query
+  * and greps it for the physical properties the 100 TB design depends
+  * on (scan-level filter pushdown, pruned read schemas, broadcast dim
+  * joins, true top-k, codegen coverage). Run:
+  *   sbt "runMain graft.Plans [sfDir]"
+  */
+object Plans {
+  final case class Check(query: String, wantAll: Seq[String])
+
+  /** Plan properties that must hold (substring match on formatted plan). */
+  val checks: Seq[Check] = Seq(
+    // range filter reaches the parquet scan as a pushed filter
+    Check("v05_range_filter", Seq("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate", "ReadSchema")),
+    // dim joins broadcast
+    Check("a07_join3_count", Seq("BroadcastHashJoin", "BroadcastExchange")),
+    Check("t03_topk_customers", Seq("TakeOrderedAndProject", "BroadcastHashJoin")),
+    // top-k is TakeOrdered, not global sort
+    Check("t02_recent_weeks", Seq("TakeOrderedAndProject")),
+    // anti join planned as broadcast or shuffled hash/merge — just require the join type
+    Check("d03_antijoin_new_keys", Seq("LeftAnti")),
+    // column pruning: lineitem scan for a01 must read only the filter column
+    Check("a01_count_filter", Seq("ReadSchema: struct<l_returnflag:string>")),
+    // partial aggregation before the shuffle
+    Check("a02_count_by_group", Seq("HashAggregate", "Exchange")))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    var failed = 0
+    checks.foreach { case Check(name, wants) =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      wants.foreach { w =>
+        val ok = plan.contains(w)
+        if (!ok) failed += 1
+        println(s"${if (ok) "PLAN_OK " else "PLAN_FAIL"} $name :: $w")
+      }
+    }
+    if (args.contains("--dump")) {
+      checks.foreach { c =>
+        println(s"\n===== ${c.query} =====")
+        println(SparkEntry.queries(c.query)(spark, sfDir).queryExecution
+          .explainString(ExplainMode.fromString("formatted")))
+      }
+    }
+    println(s"PLAN_CHECKS_FAILED=$failed")
+    spark.stop()
+  }
+}

@@ -47,18 +47,20 @@ object VectorQueries {
     },
     None)
 
-  /** Exact embedding near-duplicate pairs (cosine ≥ 0.8) from a probe
-    * subset against the full corpus. */
+  /** Exact embedding near-duplicate pairs (cosine ≥ threshold) from a
+    * probe subset against the full corpus. Threshold 0.4 because the
+    * synthetic embeddings contain no engineered duplicates (max pairwise
+    * cosine ≈ 0.49) — a higher cut would verify an empty set. */
   val nn03NearDup = QueryDef("nn03_embedding_neardup",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-      SimilaritySearch.nearDupPairs(emb, emb.filter(col("vec_id") % 50 === 0), 0.8)
+      SimilaritySearch.nearDupPairs(emb, emb.filter(col("vec_id") % 50 === 0), 0.4)
         .orderBy("id1", "id2")
     },
     Some(s"""SELECT a.vec_id AS id1, b.vec_id AS id2, round($sqlCos, 6) AS sim_r
             |FROM embeddings a JOIN embeddings b
             |  ON a.vec_id % 50 = 0 AND a.vec_id < b.vec_id
-            |WHERE $sqlCos >= 0.8
+            |WHERE $sqlCos >= 0.4
             |ORDER BY id1, id2""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(nn01BruteTopK, nn02LshTopK, nn03NearDup)

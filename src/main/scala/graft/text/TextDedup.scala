@@ -56,7 +56,9 @@ object TextDedup {
   def jaccardPairs(docs: DataFrame, k: Int, threshold: Double,
                    maxShingleDf: Int = Int.MaxValue,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // exploded shingles feed sizes + both join sides — materialize once
     val sh = shingleRows(docs, k, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val kept =
       if (maxShingleDf == Int.MaxValue) sh
       else {
@@ -113,7 +115,12 @@ object TextDedup {
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(nHashes % bands == 0)
     val rowsPerBand = nHashes / bands
+    // The signature table is referenced three times (banding + both
+    // sides of the est-jaccard join); materialize it once — at corpus
+    // scale an LSH signature table is a first-class artifact (~256 B/doc),
+    // not something to recompute per reference.
     val sigs = withMinHashSig(docs, k, nHashes, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.withColumn("band", explode(array((0 until bands).map(bId =>
       struct(lit(bId).as("band_id"),
         xxhash64(lit(bId) +: (0 until rowsPerBand)
@@ -173,7 +180,9 @@ object TextDedup {
       s"maxHamming+1 must divide 64 (got $nChunks); use 1, 3, 7, 15 or 31 — " +
         "the pigeonhole blocking needs chunks to partition all 64 bits")
     val chunkBits = 64 / nChunks
+    // referenced by both sides of the chunk self-join — materialize once
     val sigs = withSimHash(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunked = sigs.withColumn("chunk", explode(array((0 until nChunks).map(cId =>
       struct(lit(cId).as("chunk_id"),
         shiftright(col("simhash"), cId * chunkBits)

@@ -48,12 +48,13 @@ class SimilaritySpec extends SparkSpec {
     info(f"LSH recall@5 = $recall%.2f (${(exact & approx).size}/${exact.size})")
   }
 
-  test("near-dup pairs are symmetric-free (id1 < id2) and above threshold") {
+  test("near-dup pairs are symmetric-free (id1 < id2), above threshold, non-empty") {
     val emb = Tables.embeddings(spark, sfDir)
-    val pairs = SimilaritySearch.nearDupPairs(emb, emb, 0.8)
+    val pairs = SimilaritySearch.nearDupPairs(emb, emb, 0.4)
       .select("id1", "id2", "sim_r").as[(Long, Long, Double)].collect()
+    assert(pairs.nonEmpty)
     pairs.foreach { case (a, b, s) =>
-      assert(a < b); assert(s >= 0.8 - 1e-6)
+      assert(a < b); assert(s >= 0.4 - 1e-6)
     }
   }
 }
