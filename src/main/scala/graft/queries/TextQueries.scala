@@ -88,6 +88,18 @@ object TextQueries {
       .orderBy("doc_id"),
     Some(s"SELECT doc_id, md5($sqlNormalize) AS fp FROM documents ORDER BY doc_id"))
 
+  /** BPE-ish pre-tokenization counts (letter runs / digit runs / single
+    * marks) — the token-count shape LLM data work actually uses. */
+  val x15BpeTokens = QueryDef("x15_bpe_tokens",
+    (s, d) => Tables.documents(s, d).groupBy("lang").agg(
+      sum(size(TextFunctions.bpeTokens(col("text"))).cast(LongType)).as("total_bpe_tokens"),
+      max(size(TextFunctions.bpeTokens(col("text"))).cast(LongType)).as("max_bpe_tokens"))
+      .orderBy("lang"),
+    Some("""SELECT lang,
+           |  SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS total_bpe_tokens,
+           |  MAX(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS max_bpe_tokens
+           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
+
   /** Polynomial rolling hash (Karp-Rabin) — no SQL fold in DuckDB, so
     * rows-only here; algorithm verified against a JVM reference in
     * ScalaTest. */
@@ -154,5 +166,6 @@ object TextQueries {
 
   val all: Seq[QueryDef] = Seq(
     x10TokenStats, x11QualityScore, x12LangId, x13Fingerprint, x14RollingHash,
+    x15BpeTokens,
     dd01ExactGroups, dd02ExactKept, dd03Jaccard, dd04MinHash, dd05SimHash)
 }

@@ -6,6 +6,11 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.Row
 
+/** Typed event row for stateful streaming. */
+final case class UserEvent(user_id: Long, value: Double)
+/** Accumulated per-user state/output. */
+final case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
+
 /** Structured Streaming forms of the engine's ingest and sessionization
   * (SURVEY §2.11 — the reference is weekly batch; this is the "if
   * streaming is wanted later" path, built on the same operators).
@@ -43,6 +48,29 @@ object StreamingIngest {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"))
+
+  /** Custom keyed state via flatMapGroupsWithState: per-user running
+    * totals that emit a record on every update — the shape that covers
+    * everything session_window can't express (cross-session counters,
+    * custom eviction, alerting thresholds). State is bounded per key
+    * (one UserTotals each); timeouts would evict idle users at scale. */
+  def runningUserTotals(events: org.apache.spark.sql.Dataset[UserEvent]):
+      org.apache.spark.sql.Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserTotals, UserTotals](
+        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state) =>
+          val prev = state.getOption.getOrElse(UserTotals(uid, 0L, 0.0))
+          var n = prev.n_events
+          var v = prev.total_value
+          rows.foreach { e => n += 1; v += e.value }
+          val next = UserTotals(uid, n, v)
+          state.update(next)
+          Iterator(next)
+      }
+  }
 
   /** Run a streaming frame to completion against currently-available
     * input via the memory sink; returns the materialized result. Batch

@@ -1,0 +1,68 @@
+package graft.etl
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.ExplainMode
+
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join: identical result to plain join under heavy skew") {
+    // 90% of rows share one hot key
+    val large = (1 to 2000).map(i =>
+      (if (i % 10 == 0) s"k$i" else "HOT", i.toDouble)).toDF("k", "v")
+    val small = (Seq("HOT") ++ (1 to 2000 by 10).map(i => s"k$i"))
+      .zipWithIndex.map { case (k, i) => (k, i) }.toDF("k", "dim")
+    val plain = large.join(small, Seq("k")).agg(
+      count(lit(1)), sum($"v"), sum($"dim")).head()
+    val salted = Scale.saltedJoin(large, small, "k", salts = 8).agg(
+      count(lit(1)), sum($"v"), sum($"dim")).head()
+    assert(plain == salted)
+  }
+
+  test("salted two-phase sum equals direct sum") {
+    val df = (1 to 5000).map(i => (if (i % 3 == 0) "HOT" else s"k${i % 50}", i.toLong))
+      .toDF("k", "v")
+    val direct = df.groupBy("k").agg(sum($"v").as("sum_v"))
+    val salted = Scale.saltedSum(df, "k", "v", salts = 8)
+    assert(direct.exceptAll(salted).count() == 0)
+    assert(salted.exceptAll(direct).count() == 0)
+  }
+
+  test("bucketed tables join without a shuffle (no Exchange in plan)") {
+    val wh = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "buckets").toString
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    Scale.writeBucketed(Tables.orders(spark, sfDir), "b_orders",
+      "o_orderkey", 4, s"$wh/b_orders")
+    Scale.writeBucketed(
+      Tables.lineitem(spark, sfDir).withColumnRenamed("l_orderkey", "o_orderkey"),
+      "b_lineitem", "o_orderkey", 4, s"$wh/b_lineitem")
+    // disable broadcast so the plan shows the bucket-join shape large
+    // tables would take (local test data is small enough to broadcast)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_lineitem"), Seq("o_orderkey"))
+      val plan = joined.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      // and it's not just a plan: the join returns the full fact rowcount
+      assert(joined.count() == Tables.lineitem(spark, sfDir).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("SQL surface: vec_dot and minhashes usable from spark.sql after install") {
+    graft.GraftExtensions.install(spark)
+    val out = spark.sql(
+      "SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d").head().getDouble(0)
+    assert(out == 11.0)
+    val mh = spark.sql(
+      "SELECT size(minhashes(array(CAST(7 AS BIGINT), CAST(9 AS BIGINT)), 16)) AS n")
+      .head().getInt(0)
+    assert(mh == 16)
+  }
+}

@@ -39,6 +39,19 @@ class StreamingSpec extends SparkSpec {
       Tables.events(spark, sfDir).select("user_id").distinct().count())
   }
 
+  test("stateful flatMapGroupsWithState: final per-user totals match batch") {
+    import spark.implicits._
+    val stream = spark.readStream.schema(eventsSchema).parquet(s"$stagingDir/events")
+      .select(col("user_id"), col("value")).as[UserEvent]
+    val totals = StreamingIngest.runningUserTotals(stream)
+    val got = StreamingIngest.runToMemory(totals.toDF(), "stream_totals")
+      // Append mode emits one row per state update; last per user is final
+      .groupBy("user_id").agg(max(col("n_events")).as("n_events"))
+    val want = Tables.events(spark, sfDir).groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"))
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
   test("windowed counts total matches batch count") {
     val stream = spark.readStream.schema(eventsSchema).parquet(s"$stagingDir/events")
     val counts = StreamingIngest.windowedCounts(stream, "ts", "1 hour", "0 seconds")
