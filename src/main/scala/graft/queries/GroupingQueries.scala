@@ -1,0 +1,63 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** Multi-level aggregation (ROLLUP / CUBE / grouping sets) and the
+  * SQL-text query interface — beyond the reference's flat GROUP BYs,
+  * but part of a complete analytics surface. Null-label ordering is
+  * pinned with explicit NULLS FIRST in the oracle (DuckDB defaults
+  * NULLS LAST; Spark defaults NULLS FIRST). */
+object GroupingQueries {
+
+  private def revD = col("l_extendedprice").cast(DecimalType(12, 2)) *
+    (lit(1).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(4, 2)))
+  private val sqlRevTerm =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+
+  /** ROLLUP over (returnflag, linestatus): per-pair, per-flag subtotals
+    * and a grand total in one pass (partial aggregation handles the
+    * expansion; no extra scans). */
+  val g01Rollup = QueryDef("g01_rollup",
+    (s, d) => Tables.lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), sum(revD).cast(DoubleType).as("revenue"))
+      .orderBy(col("l_returnflag"), col("l_linestatus")),
+    Some(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+            |  CAST(SUM($sqlRevTerm) AS DOUBLE) AS revenue
+            |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin))
+
+  /** CUBE over (orderstatus, orderpriority) with grouping_id so the
+    * aggregation level is explicit in the output. */
+  val g02Cube = QueryDef("g02_cube",
+    (s, d) => Tables.orders(s, d)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), grouping_id().cast(LongType).as("gid"))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority")),
+    Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           |  GROUPING(o_orderstatus, o_orderpriority) AS gid
+           |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+           |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin))
+
+  /** S8 fidelity — the reference ships SQL text to its engine
+    * (Reporting.py); this query does exactly that: temp views + ANSI SQL
+    * through spark.sql, same text shape as the oracle. */
+  val g03SqlText = QueryDef("g03_sql_text",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("v_orders")
+      Tables.customer(s, d).createOrReplaceTempView("v_customer")
+      s.sql("""
+        SELECT c_mktsegment, COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM v_orders JOIN v_customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+    },
+    Some("""SELECT c_mktsegment, COUNT(*) AS n_orders,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+           |FROM orders JOIN customer ON o_custkey = c_custkey
+           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(g01Rollup, g02Cube, g03SqlText)
+}

@@ -63,5 +63,19 @@ object VectorQueries {
             |WHERE $sqlCos >= 0.4
             |ORDER BY id1, id2""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(nn01BruteTopK, nn02LshTopK, nn03NearDup)
+  /** IVF-flat ANN (KMeans coarse quantizer, nProbe cells scored) — the
+    * second scale path next to LSH. Approximate → rows-only; recall vs
+    * nn01 asserted in ScalaTest. */
+  val nn04IvfTopK = QueryDef("nn04_ivf_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val idx = graft.vector.IvfIndex.build(emb, nList = 16)
+      graft.vector.IvfIndex.topK(idx, emb.filter(col("vec_id") % 100 === 0),
+        k = 5, nProbe = 4)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    None)
+
+  val all: Seq[QueryDef] = Seq(nn01BruteTopK, nn02LshTopK, nn03NearDup, nn04IvfTopK)
 }

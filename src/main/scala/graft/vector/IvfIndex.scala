@@ -1,0 +1,76 @@
+package graft.vector
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.FloatType
+
+/** IVF (inverted-file) approximate nearest neighbor: a KMeans coarse
+  * quantizer partitions the corpus into nList cells; a query scores only
+  * the nProbe nearest cells instead of the whole corpus.
+  *
+  * Scale design: centroids are tiny (nList × dim) and broadcast; the
+  * corpus is scanned ONCE at index build to assign cells (then persisted/
+  * written partitioned by cell in a real deployment); query cost is
+  * |corpus| · nProbe / nList per query batch. This is the standard IVF
+  * flat index (cf. FAISS IVF-Flat) expressed as DataFrame ops: the cell
+  * assignment is an argmin join against broadcast centroids, candidate
+  * selection is a semi-join on cell id — all Catalyst-planned.
+  */
+object IvfIndex {
+
+  final case class Index(cells: DataFrame, centroids: DataFrame)
+
+  /** Build: KMeans on the (float→double) vectors, deterministic seed.
+    * Returns the cell-assigned corpus and a centroids frame
+    * (cell_id, centroid: array<float>). */
+  def build(corpus: DataFrame, nList: Int,
+            idCol: String = "vec_id", vecCol: String = "embedding"): Index = {
+    val withVec = corpus.withColumn("__features",
+      array_to_vector(col(vecCol).cast("array<double>")))
+    val model = new KMeans().setK(nList).setSeed(42L)
+      .setFeaturesCol("__features").setPredictionCol("cell_id")
+      .fit(withVec)
+    val cells = model.transform(withVec)
+      .select(col(idCol), col(vecCol), col("cell_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }
+      .toSeq.toDF("cell_id", "centroid")
+      .withColumn("centroid", col("centroid").cast(s"array<float>"))
+    Index(cells, centroids)
+  }
+
+  /** Query: per query vector, pick the nProbe nearest cells by centroid
+    * cosine, then exact-score only vectors in those cells. */
+  def topK(index: Index, queries: DataFrame, k: Int, nProbe: Int,
+           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      VectorFunctions.normSq(col(vecCol)).as("q_norm"))
+    // rank cells per query against broadcast centroids
+    val cellSim = VectorFunctions.cosine(col("q_vec"), col("centroid"))
+    val wCell = Window.partitionBy("query_id").orderBy(col("cell_sim").desc, col("cell_id"))
+    val probed = q.crossJoin(broadcast(index.centroids))
+      .withColumn("cell_sim", cellSim)
+      .withColumn("cell_rank", row_number().over(wCell))
+      .filter(col("cell_rank") <= nProbe)
+      .select("query_id", "q_vec", "q_norm", "cell_id")
+    // candidates = corpus vectors in probed cells
+    val c = index.cells.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("c_vec"), col("cell_id"),
+      VectorFunctions.normSq(col(vecCol)).as("c_norm"))
+    val scored = probed.join(c, Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim_r", round(VectorFunctions.cosinePrenormed(
+        VectorFunctions.dot(col("q_vec"), col("c_vec")),
+        col("q_norm"), col("c_norm")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("sim_r").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim_r")
+  }
+}

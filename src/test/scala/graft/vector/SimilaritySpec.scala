@@ -48,6 +48,19 @@ class SimilaritySpec extends SparkSpec {
     info(f"LSH recall@5 = $recall%.2f (${(exact & approx).size}/${exact.size})")
   }
 
+  test("IVF top-k recall ≥ 0.5 vs brute force at k=5, nProbe=4/16") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter($"vec_id" % 100 === 0)
+    val exact = SimilaritySearch.bruteForceTopK(emb, queries, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val idx = IvfIndex.build(emb, nList = 16)
+    val approx = IvfIndex.topK(idx, queries, 5, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall too low")
+    info(f"IVF recall@5 = $recall%.2f")
+  }
+
   test("near-dup pairs are symmetric-free (id1 < id2), above threshold, non-empty") {
     val emb = Tables.embeddings(spark, sfDir)
     val pairs = SimilaritySearch.nearDupPairs(emb, emb, 0.4)
