@@ -1,0 +1,61 @@
+package graft.events
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: attach to each left row the most recent right row with
+  * the same key and rightTime <= leftTime — the time-series operator
+  * Spark's join types don't provide (it IS in DuckDB/Pandas/kdb).
+  *
+  * Implementation is preference (a) from the custom-operator ladder:
+  * COMPOSED from built-ins, no custom SparkPlan needed — union both
+  * sides tagged, then a per-key window ordered by time with a RANGE
+  * frame carries the latest right payload forward onto left rows.
+  *
+  * Scale notes: one shuffle on the key (same as any join on the key),
+  * per-key time sort inside partitions, no point-in-time subquery per
+  * row (the naive correlated form is O(n²) per key; this is O(n log n)).
+  * Skewed keys: AQE-split; the frame is bounded by the carried payload
+  * (one struct), so state is O(1) per row.
+  */
+object AsOfJoin {
+
+  /** leftTime/rightTime must be the same orderable type (timestamp).
+    * Right columns arrive as `right_<name>`; rows with no prior match
+    * get nulls (left-outer as-of semantics). Equal timestamps match
+    * (<=), consistent with DuckDB ASOF JOIN's `l.t >= r.t`. */
+  def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
+           leftTime: String, rightTime: String): DataFrame = {
+    val rightPayloadCols = right.columns.filterNot(c => keys.contains(c))
+    val payload = struct(rightPayloadCols.map(col).toIndexedSeq: _*)
+
+    val taggedRight = right.select(
+      (keys.map(col) :+ col(rightTime).as("__t") :+ lit(1).as("__is_right")
+        :+ payload.as("__payload")).toIndexedSeq: _*)
+    val taggedLeft = left
+      .withColumn("__left_row", struct(left.columns.map(col).toIndexedSeq: _*))
+      .select(
+        (keys.map(col) :+ col(leftTime).as("__t") :+ lit(0).as("__is_right")
+          :+ lit(null).cast(taggedRight.schema("__payload").dataType).as("__payload")
+          :+ col("__left_row")).toIndexedSeq: _*)
+    val unioned = taggedRight.withColumn("__left_row",
+      lit(null).cast(taggedLeft.schema("__left_row").dataType))
+      .unionByName(taggedLeft)
+
+    // RANGE frame to current time value: rows with equal __t are all in
+    // frame regardless of union order → right rows at the same instant
+    // are visible to left rows at that instant (the <= contract).
+    val w = Window.partitionBy(keys.map(col).toIndexedSeq: _*)
+      .orderBy(col("__t"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned.withColumn("__asof",
+      last(col("__payload"), ignoreNulls = true).over(w))
+
+    val leftCols = left.columns.map(c => col("__left_row").getField(c).as(c))
+    val rightCols = rightPayloadCols.map(c =>
+      col("__asof").getField(c).as(s"right_$c"))
+    carried.filter(col("__is_right") === 0)
+      .select((leftCols ++ rightCols).toIndexedSeq: _*)
+  }
+}

@@ -58,5 +58,30 @@ object EventQueries {
            |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
            |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(s01SessionCounts, s02SessionWindow, s03DailyByType)
+  /** As-of join: each purchase event gets the most recent prior (or
+    * simultaneous) signup of the same user. Right side deduped per
+    * (user, ts) so equal-instant ties are deterministic in both engines.
+    * Oracle uses DuckDB's native ASOF JOIN; the engine composes the
+    * operator from a union + range-frame window (graft.events.AsOfJoin). */
+  val aj01AsOf = QueryDef("aj01_asof_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val signups = graft.etl.Dedup.firstOccurrenceWins(
+        ev.filter(col("event_type") === "signup"), Seq("user_id", "ts"), "event_id")
+        .select("user_id", "ts", "value")
+      graft.events.AsOfJoin.asof(purchases, signups, Seq("user_id"), "ts", "ts")
+        .orderBy("event_id")
+    },
+    Some("""WITH s AS (
+           |  SELECT user_id, ts, value FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+           |    FROM events WHERE event_type = 'signup') t WHERE rn = 1),
+           |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+           |SELECT p.event_id, p.user_id, p.ts, s.ts AS right_ts, s.value AS right_value
+           |FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+           |ORDER BY p.event_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(s01SessionCounts, s02SessionWindow, s03DailyByType, aj01AsOf)
 }

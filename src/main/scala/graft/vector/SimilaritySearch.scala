@@ -46,7 +46,7 @@ object SimilaritySearch {
   /** LSH-bucketed approximate top-k: candidates must share the signature
     * of at least one of `nBands` bit-bands before scoring. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nBits: Int = 16, nBands: Int = 4,
+              nBits: Int = 24, nBands: Int = 6,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(nBits % nBands == 0, "nBits must divide into nBands")
     val bandWidth = nBits / nBands

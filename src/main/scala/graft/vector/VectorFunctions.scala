@@ -43,19 +43,9 @@ object VectorFunctions {
     dotAb / (sqrt(normSqA) * sqrt(normSqB))
 
   /** Random-hyperplane LSH signature: `nBits` sign bits packed into a
-    * long. Plane j's component for dimension i is a deterministic
-    * pseudo-random ±1 derived from xxhash64(j, i) — no stored plane
-    * matrix, reproducible on any cluster. */
-  def hyperplaneSignature(vec: Column, nBits: Int): Column = {
-    val bits = (0 until nBits).map { j =>
-      // s_j = Σ_i sign(hash(j,i)) * v_i  > 0  → bit j
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) =>
-          when(pmod(xxhash64(lit(j), i), lit(2)) === 0, x.cast(DoubleType))
-            .otherwise(-x.cast(DoubleType))),
-        lit(0.0), (acc, p) => acc + p)
-      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+    * long, computed by the compiled [[HyperplaneSigExpr]] (plane
+    * components are deterministic ±1 from SplitMix64 of (plane, dim) —
+    * no stored matrix, reproducible on any cluster). */
+  def hyperplaneSignature(vec: Column, nBits: Int): Column =
+    HyperplaneSigExpr.signature(vec, nBits)
 }

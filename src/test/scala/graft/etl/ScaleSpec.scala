@@ -54,6 +54,22 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("partitioned warehouse writes give partition pruning on week filters") {
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "prune").toString
+    // write events partitioned by day (the bedInfo-by-week layout, SURVEY §4)
+    graft.Tables.events(spark, sfDir)
+      .withColumn("day", col("ts").cast("date"))
+      .write.mode("overwrite").partitionBy("day").parquet(s"$dir/events_by_day")
+    val pruned = spark.read.parquet(s"$dir/events_by_day")
+      .filter(col("day") === "2024-01-02")
+    val plan = pruned.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the date filter must land in PartitionFilters (scan skips other days)
+    assert(plan.contains("PartitionFilters: [isnotnull(day"), plan)
+    assert(pruned.count() ==
+      graft.Tables.events(spark, sfDir).filter(col("ts").cast("date") === "2024-01-02").count())
+  }
+
   test("SQL surface: vec_dot and minhashes usable from spark.sql after install") {
     graft.GraftExtensions.install(spark)
     val out = spark.sql(
