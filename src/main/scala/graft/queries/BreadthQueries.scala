@@ -1,0 +1,149 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** Breadth beyond the reference's surface: outer joins, scalar string/
+  * date functions, conditional aggregation, ranking windows, exact
+  * quartiles — the rest of what "a user could switch engines" implies.
+  * All oracle-checked. */
+object BreadthQueries {
+
+  /** LEFT OUTER join — the right side is filtered to recent orders so
+    * some customers genuinely null-extend (at sf0.01 every customer has
+    * *some* order; without the filter the outer branch never fires). */
+  val j01LeftOuter = QueryDef("j01_left_outer",
+    (s, d) => Tables.customer(s, d)
+      .join(Tables.orders(s, d)
+        .filter(col("o_orderdate") >= to_timestamp(lit("2001-01-01 00:00:00")))
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_orders")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(col("c_custkey"), coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, COALESCE(n_orders, 0) AS n_orders
+           |FROM customer LEFT JOIN (
+           |  SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+           |  WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+           |  GROUP BY o_custkey) o
+           |ON c_custkey = o_custkey ORDER BY c_custkey""".stripMargin))
+
+  /** FULL OUTER join between two key sets with disjoint parts. */
+  val j02FullOuter = QueryDef("j02_full_outer",
+    (s, d) => {
+      val custNations = Tables.customer(s, d).groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_cust"))
+      // filter so some nations are supplier-less → both outer branches fire
+      val suppNations = Tables.supplier(s, d)
+        .filter(col("s_nationkey") < 10).groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_supp"))
+      custNations.join(suppNations,
+        col("c_nationkey") === col("s_nationkey"), "full_outer")
+        .select(
+          coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy("nationkey")
+    },
+    Some("""SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+           |  COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+           |FROM (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey) c
+           |FULL JOIN (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier
+           |           WHERE s_nationkey < 10 GROUP BY s_nationkey) s
+           |ON c_nationkey = s_nationkey ORDER BY nationkey""".stripMargin))
+
+  /** Scalar string functions: substr/upper/concat/like/length/replace. */
+  val f01StringFuncs = QueryDef("f01_string_funcs",
+    (s, d) => Tables.part(s, d).select(
+      col("p_partkey"),
+      upper(substring(col("p_name"), 1, 8)).as("name_prefix"),
+      concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+      col("p_name").like("%gold%").as("has_gold"),
+      length(col("p_name")).cast(LongType).as("name_len"),
+      regexp_replace(col("p_type"), "[aeiou]", "_").as("devoweled"))
+      .orderBy("p_partkey"),
+    Some("""SELECT p_partkey,
+           |  upper(substring(p_name, 1, 8)) AS name_prefix,
+           |  concat_ws('-', p_brand, p_type) AS brand_type,
+           |  p_name LIKE '%gold%' AS has_gold,
+           |  length(p_name) AS name_len,
+           |  regexp_replace(p_type, '[aeiou]', '_', 'g') AS devoweled
+           |FROM part ORDER BY p_partkey""".stripMargin))
+
+  /** Date functions: extract parts, date arithmetic, datediff, trunc. */
+  val f02DateFuncs = QueryDef("f02_date_funcs",
+    (s, d) => Tables.orders(s, d).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).cast(LongType).as("yr"),
+      month(col("o_orderdate")).cast(LongType).as("mo"),
+      dayofweek(col("o_orderdate")).cast(LongType).as("dow_sun1"),
+      date_add(col("o_orderdate").cast("date"), 30).as("due_date"),
+      datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date"))
+        .cast(LongType).as("days_to_2002"))
+      .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+           |  EXTRACT(year FROM o_orderdate) AS yr,
+           |  EXTRACT(month FROM o_orderdate) AS mo,
+           |  EXTRACT(dow FROM o_orderdate) + 1 AS dow_sun1,
+           |  CAST(o_orderdate AS DATE) + 30 AS due_date,
+           |  date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002
+           |FROM orders ORDER BY o_orderkey""".stripMargin))
+
+  /** Conditional aggregation: FILTER-style counts and sums in one pass. */
+  val f03ConditionalAgg = QueryDef("f03_conditional_agg",
+    (s, d) => Tables.lineitem(s, d).groupBy("l_linestatus").agg(
+      count(lit(1)).as("n"),
+      count(when(col("l_returnflag") === "R", 1)).as("n_returned"),
+      sum(when(col("l_discount") > 0.05,
+        col("l_extendedprice").cast(DecimalType(12, 2)))).cast(DoubleType)
+        .as("deep_discount_base"),
+      max(when(col("l_quantity") >= 49, col("l_quantity"))).as("max_bulk_qty"))
+      .orderBy("l_linestatus"),
+    Some("""SELECT l_linestatus, COUNT(*) AS n,
+           |  COUNT(*) FILTER (l_returnflag = 'R') AS n_returned,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) FILTER (l_discount > 0.05) AS DOUBLE) AS deep_discount_base,
+           |  MAX(l_quantity) FILTER (l_quantity >= 49) AS max_bulk_qty
+           |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin))
+
+  /** Ranking windows: rank / dense_rank / ntile over grouped revenue. */
+  val w04RankNtile = QueryDef("w04_rank_ntile",
+    (s, d) => {
+      val byNation = Tables.customer(s, d).groupBy("c_nationkey")
+        .agg(sum(col("c_acctbal").cast(DecimalType(12, 2))).cast(DoubleType).as("bal"))
+      val w = Window.orderBy(col("bal").desc, col("c_nationkey"))
+      byNation.select(
+        col("c_nationkey"), col("bal"),
+        rank().over(w).cast(LongType).as("rnk"),
+        dense_rank().over(w).cast(LongType).as("drnk"),
+        ntile(4).over(w).cast(LongType).as("quartile"))
+        .orderBy("rnk", "c_nationkey")
+    },
+    Some("""WITH b AS (SELECT c_nationkey,
+           |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+           |  FROM customer GROUP BY c_nationkey)
+           |SELECT c_nationkey, bal,
+           |  RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk,
+           |  NTILE(4) OVER w AS quartile
+           |FROM b WINDOW w AS (ORDER BY bal DESC, c_nationkey)
+           |ORDER BY rnk, c_nationkey""".stripMargin))
+
+  /** Exact quartiles of an integral column — p ∈ {.25,.5,.75} have
+    * binary-exact interpolation fractions, so Spark's percentile and
+    * DuckDB's quantile_cont produce identical doubles. */
+  val f04Quartiles = QueryDef("f04_quartiles",
+    (s, d) => Tables.lineitem(s, d).groupBy("l_returnflag").agg(
+      expr("percentile(l_quantity, 0.25)").as("q1"),
+      expr("percentile(l_quantity, 0.5)").as("median"),
+      expr("percentile(l_quantity, 0.75)").as("q3"))
+      .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+           |  quantile_cont(l_quantity, 0.25) AS q1,
+           |  quantile_cont(l_quantity, 0.5) AS median,
+           |  quantile_cont(l_quantity, 0.75) AS q3
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(
+    j01LeftOuter, j02FullOuter, f01StringFuncs, f02DateFuncs,
+    f03ConditionalAgg, w04RankNtile, f04Quartiles)
+}

@@ -7,6 +7,7 @@ import graft.QueryDef
   * from this single sequence. */
 object Registry {
   def all: Seq[QueryDef] =
-    RelationalQueries.all ++ GroupingQueries.all ++ TextQueries.all ++
-      VectorQueries.all ++ EventQueries.all ++ MultimodalQueries.all
+    RelationalQueries.all ++ GroupingQueries.all ++ BreadthQueries.all ++
+      TextQueries.all ++ VectorQueries.all ++ EventQueries.all ++
+      MultimodalQueries.all
 }
