@@ -8,6 +8,6 @@ import graft.QueryDef
 object Registry {
   def all: Seq[QueryDef] =
     RelationalQueries.all ++ GroupingQueries.all ++ BreadthQueries.all ++
-      TextQueries.all ++ VectorQueries.all ++ EventQueries.all ++
-      MultimodalQueries.all
+      SemiStructuredQueries.all ++ TextQueries.all ++ VectorQueries.all ++
+      EventQueries.all ++ MultimodalQueries.all
 }

@@ -407,6 +407,27 @@ object RelationalQueries {
            |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
            |  FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin))
 
+  /** W2 again, as the scale-path operator: per-group top-k via the
+    * bounded-heap TypedImperativeAggregate (graft.topk.TopKAgg) instead
+    * of a window sort — partial-aggregates map-side, ships ≤k rows per
+    * group per mapper. Same oracle as w02: the two formulations must
+    * agree exactly. */
+  val w05TopkHeap = QueryDef("w05_topk_heap",
+    (s, d) => {
+      import graft.topk.TopKAgg.top_k
+      Tables.orders(s, d).groupBy("o_custkey")
+        .agg(top_k(col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+        .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "pair")))
+        .select(col("o_custkey"), (col("pos") + 1).cast(LongType).as("rn"),
+          col("pair.tag").as("o_orderkey"), col("pair.value").as("o_totalprice"))
+        .orderBy("o_custkey", "rn")
+    },
+    Some("""SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+           |  SELECT o_custkey, o_orderkey, o_totalprice,
+           |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+           |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           |  FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin))
+
   /** W3 — trailing 4-week frame over weekly revenue (T2's intent as a
     * window). Rolling sum in DECIMAL (exact), divided by the frame count. */
   val w03RollingAvg = QueryDef("w03_rolling_avg",
@@ -460,6 +481,6 @@ object RelationalQueries {
     a08RatioByPriorityWeek, a09AvgByGroup,
     t02RecentWeeks, t03TopkCustomers, t04TopBottom,
     u01UnionDistinct, u02Except,
-    w01LagDelta, w02TopkPerGroup, w03RollingAvg,
+    w01LagDelta, w02TopkPerGroup, w03RollingAvg, w05TopkHeap,
     x01DistinctCount, x02ApproxDistinct)
 }
