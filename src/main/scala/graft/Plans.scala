@@ -26,7 +26,15 @@ object Plans {
     // column pruning: lineitem scan for a01 must read only the filter column
     Check("a01_count_filter", Seq("ReadSchema: struct<l_returnflag:string>")),
     // partial aggregation before the shuffle
-    Check("a02_count_by_group", Seq("HashAggregate", "Exchange")))
+    Check("a02_count_by_group", Seq("HashAggregate", "Exchange")),
+    // TypedImperativeAggregate plans as ObjectHashAggregate with a
+    // partial phase (map-side heap combine)
+    Check("w05_topk_heap", Seq("ObjectHashAggregate")),
+    // band join is an equi-join on buckets (shuffle/broadcast hash),
+    // NOT a BroadcastNestedLoopJoin
+    Check("bj01_band_join", Seq("Join")),
+    // session_window plans through the dedicated session-aggregation
+    Check("s02_session_window", Seq("HashAggregate")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -83,5 +83,29 @@ object EventQueries {
            |FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
            |ORDER BY p.event_id""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(s01SessionCounts, s02SessionWindow, s03DailyByType, aj01AsOf)
+  /** Band join: error events from DIFFERENT users within 10 minutes of
+    * each other (co-occurring incidents) — a no-equi-key proximity join
+    * done via eps-bucketing (graft.events.BandJoin), not a quadratic
+    * nested loop. Oracle is the plain theta join (DuckDB plans IEJoin). */
+  val bj01BandJoin = QueryDef("bj01_band_join",
+    (s, d) => {
+      val errs = Tables.events(s, d).filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.events.BandJoin.bandPairs(
+        errs.select(col("event_id").as("id1"), col("user_id").as("u1"), col("ts").as("ts1")),
+        errs.select(col("event_id").as("id2"), col("user_id").as("u2"), col("ts").as("ts2")),
+        "ts1", "ts2", epsSeconds = 600)
+        .filter(col("id1") < col("id2") && col("u1") =!= col("u2"))
+        .groupBy("u1", "u2").agg(count(lit(1)).as("n_cooccur"))
+        .orderBy("u1", "u2")
+    },
+    Some("""SELECT a.user_id AS u1, b.user_id AS u2, COUNT(*) AS n_cooccur
+           |FROM events a JOIN events b
+           |  ON a.event_id < b.event_id AND a.user_id <> b.user_id
+           | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 600000000
+           |WHERE a.event_type = 'error' AND b.event_type = 'error'
+           |GROUP BY 1, 2 ORDER BY u1, u2""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(s01SessionCounts, s02SessionWindow, s03DailyByType,
+    aj01AsOf, bj01BandJoin)
 }
