@@ -207,14 +207,17 @@ object RelationalQueries {
         .agg(
           sum(revTerm).cast(DoubleType).as("revenue"),
           exactSum(col("l_extendedprice")).as("base"))
-        .withColumn("discounted_fraction", col("revenue") / col("base"))
+        // NULLIF guard: ANSI Spark ERRORS on /0 (like Postgres); null on
+        // both engine and oracle keeps pathological groups comparable
+        .withColumn("discounted_fraction",
+          col("revenue") / when(col("base") =!= 0d, col("base")))
         .orderBy("o_orderstatus")
     },
     Some(s"""SELECT o_orderstatus,
             |  CAST(SUM($sqlRevTerm) AS DOUBLE) AS revenue,
             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS base,
             |  CAST(SUM($sqlRevTerm) AS DOUBLE) /
-            |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS discounted_fraction
+            |    NULLIF(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 0) AS discounted_fraction
             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
 
@@ -259,14 +262,15 @@ object RelationalQueries {
         .groupBy(col("o_orderpriority"), weekOf(col("o_orderdate")).as("week"))
         .agg(sum(revTerm).cast(DoubleType).as("revenue"),
           exactSum(col("l_extendedprice")).as("base"))
-        .withColumn("discounted_fraction", col("revenue") / col("base"))
+        .withColumn("discounted_fraction",
+          col("revenue") / when(col("base") =!= 0d, col("base")))
         .orderBy("o_orderpriority", "week")
     },
     Some(s"""SELECT o_orderpriority, CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
             |  CAST(SUM($sqlRevTerm) AS DOUBLE) AS revenue,
             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS base,
             |  CAST(SUM($sqlRevTerm) AS DOUBLE) /
-            |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS discounted_fraction
+            |    NULLIF(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 0) AS discounted_fraction
             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
             |WHERE o_orderstatus = 'F'
             |GROUP BY o_orderpriority, 2 ORDER BY o_orderpriority, week""".stripMargin))

@@ -44,31 +44,37 @@ object SimilaritySearch {
   }
 
   /** LSH-bucketed approximate top-k: candidates must share the signature
-    * of at least one of `nBands` bit-bands before scoring. */
+    * of at least one of `nBands` bit-bands before scoring. Only
+    * (id, band) rows travel through the candidate join — vectors and
+    * norms re-join by id AFTER pair dedup, so the band explode never
+    * multiplies vector payloads through a shuffle. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nBits: Int = 24, nBands: Int = 6,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(nBits % nBands == 0, "nBits must divide into nBands")
     val bandWidth = nBits / nBands
-    def withBands(df: DataFrame, id: String, vec: String, norm: String): DataFrame = {
+    def payload(df: DataFrame, id: String, vec: String, norm: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+        VectorFunctions.normSq(col(vecCol)).as(norm))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def bands(df: DataFrame, id: String): DataFrame = {
       val sig = VectorFunctions.hyperplaneSignature(col(vecCol), nBits)
-      df.select(col(idCol).as(id), col(vecCol).as(vec + "_v"),
-        VectorFunctions.normSq(col(vecCol)).as(norm), sig.as(s"${id}_sig"))
+      df.select(col(idCol).as(id), sig.as("__sig"))
         .withColumn("band", explode(array((0 until nBands).map(b =>
           struct(lit(b).as("band_id"),
-            (shiftright(col(s"${id}_sig"), b * bandWidth)
+            (shiftright(col("__sig"), b * bandWidth)
               .bitwiseAND(lit((1L << bandWidth) - 1))).as("band_val"))): _*)))
-        .select(col(id), col(vec + "_v"), col(norm),
-          col("band.band_id"), col("band.band_val"))
+        .select(col(id), col("band.band_id"), col("band.band_val"))
     }
-    val c = withBands(corpus, "neighbor_id", "c_vec", "c_norm")
-    val q = withBands(queries, "query_id", "q_vec", "q_norm")
-    val cands = q.join(c, Seq("band_id", "band_val"))
+    val cPay = payload(corpus, "neighbor_id", "c_vec", "c_norm")
+    val qPay = payload(queries, "query_id", "q_vec", "q_norm")
+    val pairs = bands(queries, "query_id").join(bands(corpus, "neighbor_id"),
+      Seq("band_id", "band_val"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "q_vec_v", "q_norm", "neighbor_id", "c_vec_v", "c_norm")
-      .dropDuplicates("query_id", "neighbor_id")
+      .select("query_id", "neighbor_id").dropDuplicates("query_id", "neighbor_id")
+    val cands = pairs.join(qPay, Seq("query_id")).join(cPay, Seq("neighbor_id"))
     val sim = VectorFunctions.cosinePrenormed(
-      VectorFunctions.dot(col("q_vec_v"), col("c_vec_v")), col("q_norm"), col("c_norm"))
+      VectorFunctions.dot(col("q_vec"), col("c_vec")), col("q_norm"), col("c_norm"))
     val w = Window.partitionBy("query_id").orderBy(col("sim_r").desc, col("neighbor_id"))
     cands.withColumn("sim_r", round(sim, 6))
       .withColumn("rank", row_number().over(w))

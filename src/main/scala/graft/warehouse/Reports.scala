@@ -64,7 +64,8 @@ object Reports {
   def bedUseByRating(quality: DataFrame, bedInfo: DataFrame): DataFrame =
     quality.join(bedInfo, quality("facility_id") === bedInfo("hospital_fk"))
       .groupBy("hospital_overall_rating")
-      .agg((sum(inUse) / sum(available)).as("fraction_of_beds_in_use"))
+      .agg((sum(inUse) / when(sum(available) =!= 0d, sum(available)))
+        .as("fraction_of_beds_in_use"))
       .orderBy("hospital_overall_rating")
 
   /** R6 — A6/P11: all cases vs covid cases per week (Reporting.py:144-153). */
@@ -94,7 +95,8 @@ object Reports {
     quality.filter(col("hospital_ownership") === lit(ownership))
       .join(bedInfo, quality("facility_id") === bedInfo("hospital_fk"))
       .groupBy("hospital_ownership", "collection_week")
-      .agg((sum(inUse) / sum(available)).as("fraction_in_use"))
+      .agg((sum(inUse) / when(sum(available) =!= 0d, sum(available)))
+        .as("fraction_in_use"))
       .orderBy("collection_week")
 
   /** R9 — A9/T4/V6: mean rating per state, top-10 + bottom-10
