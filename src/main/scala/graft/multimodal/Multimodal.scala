@@ -77,4 +77,33 @@ object Multimodal {
   def payloadMeta(payloads: DataFrame): DataFrame =
     payloads.select(col("doc_id"), col("media_type"),
       length(col("payload")).as("n_bytes"))
+
+  val frameSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("frame", BinaryType, nullable = false)))
+
+  /** Frame sampling for video-shaped payloads: every `stride`-th
+    * fixed-size chunk becomes a frame row (doc_id, frame_idx, bytes).
+    * The DECODE (chunk boundaries from a container format) is the
+    * stubbed part — fixed-size chunking stands in for keyframe
+    * extraction; the one-payload-row → many-frame-rows explosion with
+    * per-partition batching is the real multimodal pipeline shape.
+    * Frames fan out BEFORE feature extraction so downstream operators
+    * parallelize per frame, not per video. */
+  def sampleFrames(payloads: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    require(frameBytes > 0 && stride > 0)
+    val enc = org.apache.spark.sql.Encoders.row(frameSchema)
+    payloads.select("doc_id", "payload").mapPartitions { iter =>
+      iter.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]]("payload")
+        val nFrames = (bytes.length + frameBytes - 1) / frameBytes
+        (0 until nFrames by stride).iterator.map { i =>
+          val from = i * frameBytes
+          val until = math.min(from + frameBytes, bytes.length)
+          Row(r.getAs[Long]("doc_id"), i, java.util.Arrays.copyOfRange(bytes, from, until))
+        }
+      }
+    }(enc)
+  }
 }

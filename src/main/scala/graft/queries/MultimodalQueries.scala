@@ -30,5 +30,18 @@ object MultimodalQueries {
       .orderBy("doc_id"),
     None)
 
-  val all: Seq[QueryDef] = Seq(mm01PayloadMeta, mm02Features)
+  /** Frame sampling fan-out: one payload row → strided frame rows.
+    * The oracle checks the fan-out arithmetic in closed form
+    * (ceil(ceil(bytes/16)/2) frames per doc). */
+  val mm03FrameSample = QueryDef("mm03_frame_sample",
+    (s, d) => Multimodal.sampleFrames(
+      Multimodal.payloadsFromDocuments(Tables.documents(s, d)),
+      frameBytes = 16, stride = 2)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+           |  CAST(ceil(ceil(octet_length(encode(text)) / 16.0) / 2.0) AS BIGINT) AS n_frames
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(mm01PayloadMeta, mm02Features, mm03FrameSample)
 }

@@ -19,6 +19,9 @@ object TextQueries {
   private val sqlTokArr = """regexp_split_to_array(trim(text), '\s+')"""
   private def sqlWordCount(w: String) =
     s"""(len(regexp_split_to_array(text, '\\b$w\\b')) - 1)"""
+  /** token-equality marker count — mirrors TextFunctions.tokenEquals */
+  private def sqlTokCount(w: String) =
+    s"""len(list_filter($sqlTokArr, x -> x = '$w'))"""
   private val sqlNormalize =
     """trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'), '\s+', ' ', 'g'))"""
 
@@ -65,11 +68,11 @@ object TextQueries {
       .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
       .orderBy("lang", "lang_pred"),
     Some(s"""WITH s AS (SELECT lang,
-            |    ${sqlWordCount("the")} + ${sqlWordCount("and")} + ${sqlWordCount("of")} + ${sqlWordCount("is")} AS s_en,
-            |    ${sqlWordCount("el")} + ${sqlWordCount("la")} + ${sqlWordCount("los")} + ${sqlWordCount("que")} AS s_es,
-            |    ${sqlWordCount("der")} + ${sqlWordCount("die")} + ${sqlWordCount("und")} + ${sqlWordCount("nicht")} AS s_de,
-            |    ${sqlWordCount("le")} + ${sqlWordCount("les")} + ${sqlWordCount("est")} + ${sqlWordCount("une")} AS s_fr,
-            |    ${sqlWordCount("de")} + ${sqlWordCount("shi")} + ${sqlWordCount("bu")} + ${sqlWordCount("le")} AS s_zh
+            |    ${sqlTokCount("the")} + ${sqlTokCount("and")} + ${sqlTokCount("of")} + ${sqlTokCount("is")} AS s_en,
+            |    ${sqlTokCount("el")} + ${sqlTokCount("la")} + ${sqlTokCount("los")} + ${sqlTokCount("que")} AS s_es,
+            |    ${sqlTokCount("der")} + ${sqlTokCount("die")} + ${sqlTokCount("und")} + ${sqlTokCount("nicht")} AS s_de,
+            |    ${sqlTokCount("le")} + ${sqlTokCount("les")} + ${sqlTokCount("est")} + ${sqlTokCount("une")} AS s_fr,
+            |    ${sqlTokCount("de")} + ${sqlTokCount("shi")} + ${sqlTokCount("bu")} + ${sqlTokCount("le")} AS s_zh
             |  FROM documents),
             |p1 AS (SELECT *, CASE WHEN s_es > s_en THEN 'es' ELSE 'en' END AS b1,
             |       GREATEST(s_en, s_es) AS g1 FROM s),

@@ -33,9 +33,17 @@ object TextFunctions {
   def punctCount(text: Column): Column = charClassCount(text, "[.,!?;:]")
 
   /** Occurrences of a word with \b boundaries (Java regex and DuckDB RE2
-    * agree on \b for ASCII). */
+    * agree on \b for ASCII). One regex scan per word — fine for a few
+    * words; see [[tokenEquals]] for the many-marker path. */
   def wordCount(text: Column, word: String): Column =
     size(split(text, s"\\b$word\\b")) - 1
+
+  /** Occurrences of a word as an exact whitespace token. Scans the
+    * ALREADY-TOKENIZED array, so scoring 20 markers costs one tokenize
+    * + 20 array passes instead of 20 regex scans of the raw string —
+    * the per-row shape that holds up at corpus scale. */
+  def tokenEquals(toks: Column, word: String): Column =
+    size(filter(toks, t => t === word))
 
   /** Heuristic quality score in [0,1]: penalizes extreme length, high
     * punctuation density, low stopword density — the standard cheap
@@ -52,9 +60,11 @@ object TextFunctions {
   }
 
   /** Marker-word language ID (n-gram heuristic): score per language =
-    * marker-word hits; argmax with a fixed tie-break order. Pure
-    * expression — the 100 TB path is exactly this, per-row, in codegen. */
+    * marker-token hits over ONE tokenization; argmax with a fixed
+    * tie-break order. Pure expression — the 100 TB path is exactly
+    * this, per-row, in codegen. */
   def langId(text: Column): Column = {
+    val toks = tokens(text)
     val scores = Seq(
       "en" -> Seq("the", "and", "of", "is"),
       "es" -> Seq("el", "la", "los", "que"),
@@ -62,7 +72,7 @@ object TextFunctions {
       "fr" -> Seq("le", "les", "est", "une"),
       "zh" -> Seq("de", "shi", "bu", "le"))
     val scored = scores.map { case (lang, words) =>
-      lang -> words.map(w => wordCount(text, w)).reduce(_ + _)
+      lang -> words.map(w => tokenEquals(toks, w)).reduce(_ + _)
     }
     // argmax, first-listed-wins tie-break, as a CASE chain: a language
     // replaces the running best only with a strictly greater score

@@ -14,6 +14,25 @@ class MultimodalSpec extends SparkSpec {
     assert(check.count() == 0) // ascii text: bytes == chars
   }
 
+  test("frame sampling: strided fixed-size chunks reassemble to a prefix of the payload") {
+    val payloads = Multimodal.payloadsFromDocuments(Tables.documents(spark, sfDir))
+    val frames = Multimodal.sampleFrames(payloads, frameBytes = 16, stride = 2).cache()
+    // stride 2 keeps every other 16-byte chunk: frame_idx are even
+    assert(frames.filter(col("frame_idx") % 2 =!= 0).count() == 0)
+    // frame 0 equals the payload's first 16 bytes for a sample doc
+    val doc = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .as[(Long, String)].head()
+    val frame0 = frames.filter(col("doc_id") === doc._1 && col("frame_idx") === 0)
+      .select("frame").as[Array[Byte]].head()
+    assert(new String(frame0, "UTF-8") == doc._2.take(16))
+    // every doc yields ceil(bytes/16 / 2) frames
+    val counts = frames.groupBy("doc_id").count()
+      .join(Tables.documents(spark, sfDir), Seq("doc_id"))
+      .withColumn("expected",
+        ceil(ceil(length(col("text")) / 16.0) / 2.0).cast("long"))
+    assert(counts.filter(col("count") =!= col("expected")).count() == 0)
+  }
+
   test("feature extraction: deterministic stub, fixed 8-dim output, batched shape") {
     val payloads = Multimodal.payloadsFromDocuments(
       Tables.documents(spark, sfDir)).repartition(4)
