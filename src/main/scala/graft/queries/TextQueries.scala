@@ -167,8 +167,19 @@ object TextQueries {
       .orderBy("id1", "id2"),
     None)
 
+  /** Deterministic key-stable train/test split counts per language —
+    * xxhash64 bucket membership isn't reproducible in DuckDB (rows-only);
+    * split properties (partition, stability, salt sensitivity) are
+    * asserted in SamplingSpec. */
+  val sm01TrainTestSplit = QueryDef("sm01_train_test_split",
+    (s, d) => graft.etl.Sampling.trainTestSplit(
+      Tables.documents(s, d), "doc_id", testPermille = 200)
+      .groupBy("lang", "split").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "split"),
+    None)
+
   val all: Seq[QueryDef] = Seq(
     x10TokenStats, x11QualityScore, x12LangId, x13Fingerprint, x14RollingHash,
-    x15BpeTokens,
+    x15BpeTokens, sm01TrainTestSplit,
     dd01ExactGroups, dd02ExactKept, dd03Jaccard, dd04MinHash, dd05SimHash)
 }
