@@ -78,6 +78,17 @@ object Multimodal {
     payloads.select(col("doc_id"), col("media_type"),
       length(col("payload")).as("n_bytes"))
 
+  /** Resize stub: cap payloads at maxBytes (stands in for image
+    * downscaling — a real implementation replaces the byte-truncation
+    * with a decoder+scaler, same signature). Pure column expression:
+    * fuses into the scan, no shuffle. */
+  def resizePayload(payloads: DataFrame, maxBytes: Int): DataFrame = {
+    require(maxBytes > 0)
+    payloads.withColumn("payload",
+      expr(s"substring(payload, 1, $maxBytes)").cast(BinaryType))
+      .withColumn("resized", length(col("payload")) === maxBytes)
+  }
+
   val frameSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("frame_idx", IntegerType, nullable = false),

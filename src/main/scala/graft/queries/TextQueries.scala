@@ -178,8 +178,61 @@ object TextQueries {
       .orderBy("lang", "split"),
     None)
 
+  /** Capstone: the corpus-curation pipeline end-to-end in ONE plan —
+    * predicted-language filter → quality threshold → exact dedup
+    * (first-wins) → per-source survivor stats. Composes langId,
+    * qualityScore, and fingerprint dedup; the oracle replays the whole
+    * pipeline in SQL. One scan, one dedup shuffle, one agg shuffle —
+    * the shape a 100 TB curation run takes. */
+  val cp01CorpusCuration = QueryDef("cp01_corpus_curation",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      // materialize every expensive expression exactly once, and dedup
+      // on the fp COLUMN (an expression partition key would re-evaluate
+      // normalize+md5 through the shuffle/sort stages)
+      val scored = docs
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+          TextFunctions.langId(col("text")).as("lang_pred"),
+          TextFunctions.qualityScore(col("text")).as("quality"),
+          TextFunctions.fingerprint(col("text")).as("fp"))
+        .filter(col("lang_pred") === "en" && col("quality") >= 0.5)
+        .select("doc_id", "source", "n_tokens", "fp")
+      val w = Window.partitionBy("fp").orderBy("doc_id")
+      scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .groupBy("source").agg(
+          count(lit(1)).as("n_kept"),
+          sum(col("n_tokens")).as("kept_tokens"))
+        .orderBy("source")
+    },
+    Some(s"""WITH s AS (SELECT *,
+            |    ${sqlTokCount("the")} + ${sqlTokCount("and")} + ${sqlTokCount("of")} + ${sqlTokCount("is")} AS s_en,
+            |    ${sqlTokCount("el")} + ${sqlTokCount("la")} + ${sqlTokCount("los")} + ${sqlTokCount("que")} AS s_es,
+            |    ${sqlTokCount("der")} + ${sqlTokCount("die")} + ${sqlTokCount("und")} + ${sqlTokCount("nicht")} AS s_de,
+            |    ${sqlTokCount("le")} + ${sqlTokCount("les")} + ${sqlTokCount("est")} + ${sqlTokCount("une")} AS s_fr,
+            |    ${sqlTokCount("de")} + ${sqlTokCount("shi")} + ${sqlTokCount("bu")} + ${sqlTokCount("le")} AS s_zh,
+            |    (CASE WHEN len($sqlTokArr) >= 5 AND len($sqlTokArr) <= 1000 THEN 1.0 ELSE 0.0 END
+            |     + CASE WHEN CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+            |              / length(text) <= 0.2 THEN 1.0 ELSE 0.0 END
+            |     + LEAST(CAST(${sqlWordCount("the")} + ${sqlWordCount("and")} + ${sqlWordCount("of")} AS DOUBLE)
+            |              / len($sqlTokArr) * 2.0, 1.0)) / 3.0 AS quality
+            |  FROM documents),
+            |p1 AS (SELECT *, CASE WHEN s_es > s_en THEN 'es' ELSE 'en' END AS b1,
+            |       GREATEST(s_en, s_es) AS g1 FROM s),
+            |p2 AS (SELECT *, CASE WHEN s_de > g1 THEN 'de' ELSE b1 END AS b2,
+            |       GREATEST(g1, s_de) AS g2 FROM p1),
+            |p3 AS (SELECT *, CASE WHEN s_fr > g2 THEN 'fr' ELSE b2 END AS b3,
+            |       GREATEST(g2, s_fr) AS g3 FROM p2),
+            |p4 AS (SELECT *, CASE WHEN s_zh > g3 THEN 'zh' ELSE b3 END AS lang_pred FROM p3),
+            |filtered AS (SELECT * FROM p4 WHERE lang_pred = 'en' AND quality >= 0.5),
+            |kept AS (SELECT * FROM filtered
+            |  WHERE doc_id IN (SELECT MIN(doc_id) FROM filtered GROUP BY md5($sqlNormalize)))
+            |SELECT source, COUNT(*) AS n_kept, SUM(len($sqlTokArr)) AS kept_tokens
+            |FROM kept GROUP BY source ORDER BY source""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     x10TokenStats, x11QualityScore, x12LangId, x13Fingerprint, x14RollingHash,
-    x15BpeTokens, sm01TrainTestSplit,
+    x15BpeTokens, sm01TrainTestSplit, cp01CorpusCuration,
     dd01ExactGroups, dd02ExactKept, dd03Jaccard, dd04MinHash, dd05SimHash)
 }

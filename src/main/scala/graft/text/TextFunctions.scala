@@ -2,7 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType, StringType}
 
 /** Text-analysis primitives for LLM training-data pipelines, all built
   * from codegen'd Catalyst expressions (no UDFs): language-ID heuristic,
@@ -60,27 +60,24 @@ object TextFunctions {
   }
 
   /** Marker-word language ID (n-gram heuristic): score per language =
-    * marker-token hits over ONE tokenization; argmax with a fixed
-    * tie-break order. Pure expression — the 100 TB path is exactly
-    * this, per-row, in codegen. */
+    * marker-token hits, all counted in ONE compiled pass over one
+    * tokenization ([[TokenCountsExpr]]); argmax with a fixed tie-break
+    * order. Words shared between languages (e.g. "le" in fr and zh)
+    * read the same counter, matching the per-word-count formulation. */
   def langId(text: Column): Column = {
-    val toks = tokens(text)
     val scores = Seq(
       "en" -> Seq("the", "and", "of", "is"),
       "es" -> Seq("el", "la", "los", "que"),
       "de" -> Seq("der", "die", "und", "nicht"),
       "fr" -> Seq("le", "les", "est", "une"),
       "zh" -> Seq("de", "shi", "bu", "le"))
-    val scored = scores.map { case (lang, words) =>
-      lang -> words.map(w => tokenEquals(toks, w)).reduce(_ + _)
-    }
-    // argmax, first-listed-wins tie-break, as a CASE chain: a language
-    // replaces the running best only with a strictly greater score
-    scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
-      case ((bestLang, bestScore), (l, s)) =>
-        (when(s > bestScore, lit(l)).otherwise(bestLang),
-          greatest(s, bestScore))
-    }._1
+    val scoreArr = TokenCountsExpr.groupCounts(tokens(text), scores.map(_._2))
+    // argmax with first-listed-wins tie-break: array_position returns
+    // the FIRST index of the max — identical to a fold where a later
+    // language replaces the best only on a strictly greater score
+    element_at(
+      array(scores.map(s => lit(s._1)): _*),
+      array_position(scoreArr, array_max(scoreArr)).cast(IntegerType))
   }
 
   /** Normalization for fingerprinting: lowercase, strip punctuation,

@@ -14,6 +14,15 @@ class MultimodalSpec extends SparkSpec {
     assert(check.count() == 0) // ascii text: bytes == chars
   }
 
+  test("resize stub caps payload bytes and flags resized rows") {
+    val payloads = Multimodal.payloadsFromDocuments(Tables.documents(spark, sfDir))
+    val resized = Multimodal.resizePayload(payloads, maxBytes = 100)
+    assert(resized.filter(length(col("payload")) > 100).count() == 0)
+    val flagged = resized.filter(col("resized")).count()
+    val longDocs = Tables.documents(spark, sfDir).filter(length(col("text")) >= 100).count()
+    assert(flagged == longDocs)
+  }
+
   test("frame sampling: strided fixed-size chunks reassemble to a prefix of the payload") {
     val payloads = Multimodal.payloadsFromDocuments(Tables.documents(spark, sfDir))
     val frames = Multimodal.sampleFrames(payloads, frameBytes = 16, stride = 2).cache()
