@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.text.{TextDedup, TextFunctions}
+import graft.text.{CurationPipeline, TextDedup, TextFunctions}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -231,8 +231,21 @@ object TextQueries {
             |SELECT source, COUNT(*) AS n_kept, SUM(len($sqlTokArr)) AS kept_tokens
             |FROM kept GROUP BY source ORDER BY source""".stripMargin))
 
+  /** The CurationPipeline API surface: kept/reject counts by reason.
+    * Rows-only (cp01 oracle-checks the same composition); reject-reason
+    * precedence asserted in CurationPipelineSpec. */
+  val cp02CurationPipeline = QueryDef("cp02_curation_pipeline",
+    (s, d) => {
+      val r = CurationPipeline.curate(Tables.documents(s, d))
+      r.kept.select(lit("kept").as("bucket")).unionByName(
+        r.rejects.select(col("reject_reason").as("bucket")))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    },
+    None)
+
   val all: Seq[QueryDef] = Seq(
     x10TokenStats, x11QualityScore, x12LangId, x13Fingerprint, x14RollingHash,
-    x15BpeTokens, sm01TrainTestSplit, cp01CorpusCuration,
+    x15BpeTokens, sm01TrainTestSplit, cp01CorpusCuration, cp02CurationPipeline,
     dd01ExactGroups, dd02ExactKept, dd03Jaccard, dd04MinHash, dd05SimHash)
 }
