@@ -8,6 +8,7 @@ import graft.QueryDef
 object Registry {
   def all: Seq[QueryDef] =
     RelationalQueries.all ++ GroupingQueries.all ++ BreadthQueries.all ++
-      SemiStructuredQueries.all ++ TextQueries.all ++ VectorQueries.all ++
-      EventQueries.all ++ MultimodalQueries.all
+      SemiStructuredQueries.all ++ PivotSubqueryQueries.all ++
+      TextQueries.all ++ VectorQueries.all ++ EventQueries.all ++
+      MultimodalQueries.all
 }
