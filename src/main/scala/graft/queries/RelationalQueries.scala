@@ -359,6 +359,14 @@ object RelationalQueries {
     Some("""SELECT c_nationkey AS nationkey FROM customer
            |UNION SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin))
 
+  /** INTERSECT DISTINCT — nations with both customers and suppliers. */
+  val u03Intersect = QueryDef("u03_intersect",
+    (s, d) => Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey"),
+    Some("""SELECT DISTINCT c_nationkey AS nationkey FROM customer
+           |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin))
+
   /** EXCEPT DISTINCT — nations with customers but no suppliers. */
   val u02Except = QueryDef("u02_except",
     (s, d) => Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
@@ -484,7 +492,7 @@ object RelationalQueries {
     a05RatioByStatus, a06SumArithmetic, a07Join3Count,
     a08RatioByPriorityWeek, a09AvgByGroup,
     t02RecentWeeks, t03TopkCustomers, t04TopBottom,
-    u01UnionDistinct, u02Except,
+    u01UnionDistinct, u02Except, u03Intersect,
     w01LagDelta, w02TopkPerGroup, w03RollingAvg, w05TopkHeap,
     x01DistinctCount, x02ApproxDistinct)
 }

@@ -64,12 +64,7 @@ case class MinHashesExpr(child: Expression, nHashes: Int)
 object MinHashesExpr {
   val P = 2147483647L // 2^31 - 1: a·h stays well inside a long
 
-  private def splitmix64(seed: Long): Long = {
-    var z = seed + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  import graft.util.Hashing.splitmix64
   def coeffA(n: Int): Array[Long] =
     Array.tabulate(n)(i => java.lang.Math.floorMod(splitmix64(2L * i), P - 1) + 1)
   def coeffB(n: Int): Array[Long] =

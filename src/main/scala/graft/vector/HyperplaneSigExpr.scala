@@ -40,12 +40,7 @@ case class HyperplaneSigExpr(child: Expression, nBits: Int)
 }
 
 object HyperplaneSigExpr {
-  private def splitmix64(seed: Long): Long = {
-    var z = seed + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  import graft.util.Hashing.splitmix64
 
   /** Shared by interpreted eval and generated code. */
   def compute(vec: Array[Float], nBits: Int): Long = {
