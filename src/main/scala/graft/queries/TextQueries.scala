@@ -54,7 +54,7 @@ object TextQueries {
             |  length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
             |  (CASE WHEN len($sqlTokArr) >= 5 AND len($sqlTokArr) <= 1000 THEN 1.0 ELSE 0.0 END
             |   + CASE WHEN CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
-            |            / length(text) <= 0.2 THEN 1.0 ELSE 0.0 END
+            |            / NULLIF(length(text), 0) <= 0.2 THEN 1.0 ELSE 0.0 END
             |   + LEAST(CAST(${sqlWordCount("the")} + ${sqlWordCount("and")} + ${sqlWordCount("of")} AS DOUBLE)
             |            / len($sqlTokArr) * 2.0, 1.0)) / 3.0 AS quality
             |FROM documents ORDER BY doc_id""".stripMargin))
@@ -214,7 +214,7 @@ object TextQueries {
             |    ${sqlTokCount("de")} + ${sqlTokCount("shi")} + ${sqlTokCount("bu")} + ${sqlTokCount("le")} AS s_zh,
             |    (CASE WHEN len($sqlTokArr) >= 5 AND len($sqlTokArr) <= 1000 THEN 1.0 ELSE 0.0 END
             |     + CASE WHEN CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
-            |              / length(text) <= 0.2 THEN 1.0 ELSE 0.0 END
+            |              / NULLIF(length(text), 0) <= 0.2 THEN 1.0 ELSE 0.0 END
             |     + LEAST(CAST(${sqlWordCount("the")} + ${sqlWordCount("and")} + ${sqlWordCount("of")} AS DOUBLE)
             |              / len($sqlTokArr) * 2.0, 1.0)) / 3.0 AS quality
             |  FROM documents),

@@ -47,11 +47,20 @@ object TextFunctions {
 
   /** Heuristic quality score in [0,1]: penalizes extreme length, high
     * punctuation density, low stopword density — the standard cheap
-    * pre-filter shape for web corpora. Deterministic double arithmetic. */
-  def qualityScore(text: Column): Column = {
+    * pre-filter shape for web corpora. Computed by the one-scan
+    * [[QualityScoreExpr]]; [[qualityScoreComposed]] is the equivalent
+    * built-in-expression formulation (bit-parity spec-pinned). */
+  def qualityScore(text: Column): Column = QualityScoreExpr.quality(text)
+
+  /** Reference formulation of [[qualityScore]] from composable
+    * expressions — 4+ regex passes per row; kept for regression
+    * comparison and as documentation of the formula. */
+  def qualityScoreComposed(text: Column): Column = {
     val nTok = tokenCount(text).cast(DoubleType)
     val nChars = length(text).cast(DoubleType)
-    val punctRatio = punctCount(text).cast(DoubleType) / nChars
+    // NULLIF-style guard: ANSI Spark errors on /0 (empty text); null
+    // ratio fails the <= test → punctOk 0, matching QualityScoreExpr
+    val punctRatio = punctCount(text).cast(DoubleType) / when(nChars > 0, nChars)
     val stopRatio = (wordCount(text, "the") + wordCount(text, "and") +
       wordCount(text, "of")).cast(DoubleType) / nTok
     val lengthOk = when(nTok >= 5 && nTok <= 1000, lit(1.0)).otherwise(lit(0.0))

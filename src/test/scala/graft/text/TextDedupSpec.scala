@@ -96,6 +96,22 @@ class TextDedupSpec extends SparkSpec {
     texts.foreach { case (id, t) => assert(got(id) == ref(t), s"doc $id") }
   }
 
+  test("fused quality score equals composed formulation bit-for-bit") {
+    val corpus = Tables.documents(spark, sfDir)
+      .unionByName(Seq(
+        (9001L, "", "xx", "synthetic", 0L),
+        (9002L, "  the  ", "xx", "synthetic", 7L),
+        (9003L, "the, and. of! the?", "xx", "synthetic", 18L),
+        (9004L, "one two three four", "xx", "synthetic", 18L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val mism = corpus.select(
+      TextFunctions.qualityScore(col("text")).as("fast"),
+      TextFunctions.qualityScoreComposed(col("text")).as("ref"))
+      .filter(col("fast") =!= col("ref") ||
+        (col("fast").isNull =!= col("ref").isNull))
+    assert(mism.count() == 0)
+  }
+
   test("lang-id picks marker-dominant language") {
     val df = Seq(
       (0L, "the cat and the dog is of the house"),
