@@ -61,5 +61,27 @@ object PivotSubqueryQueries {
            |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
            |ORDER BY c_custkey""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(pv01Pivot, sq01ScalarSubquery, sq02CorrelatedExists)
+  /** Unpivot (wide→long, the inverse reshaping of pv01): per-status
+    * decimal-exact sums melted to (status, metric, value) rows. The
+    * oracle uses DuckDB's UNPIVOT over the same aggregate. */
+  val pv02Unpivot = QueryDef("pv02_unpivot",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        sum(col("l_quantity").cast(DecimalType(12, 2))).cast(DoubleType).as("sum_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(12, 2))).cast(DoubleType).as("sum_base"))
+      .unpivot(
+        ids = Array(col("l_returnflag")),
+        values = Array(col("sum_qty"), col("sum_base")),
+        variableColumnName = "metric", valueColumnName = "value")
+      .orderBy("l_returnflag", "metric"),
+    Some("""UNPIVOT (
+           |  SELECT l_returnflag,
+           |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base
+           |  FROM lineitem GROUP BY l_returnflag)
+           |ON sum_qty, sum_base INTO NAME metric VALUE value
+           |ORDER BY l_returnflag, metric""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(pv01Pivot, pv02Unpivot, sq01ScalarSubquery, sq02CorrelatedExists)
 }
