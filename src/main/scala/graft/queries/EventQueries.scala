@@ -19,7 +19,7 @@ object EventQueries {
            |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
            |  FROM events)
            |SELECT user_id,
-           |  SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END) AS n_sessions
+           |  CAST(SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
            |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin))
 
   /** Per-session aggregates via Spark's session_window operator; the

@@ -22,11 +22,17 @@ object MultimodalQueries {
 
   /** Partition-batched feature extraction (decode stub): real schema,
     * real mapPartitions execution shape, fake decoder. The byte-count
-    * column is independently checkable; features are deterministic. */
+    * column is independently checkable; features are deterministic.
+    * The float vector is serialized (6dp CSV) in the final projection —
+    * the driver's rows-only check still sorts the output in pandas,
+    * where raw list cells are unhashable. */
   val mm02Features = QueryDef("mm02_feature_extract",
     (s, d) => Multimodal.extractFeatures(
       Multimodal.payloadsFromDocuments(Tables.documents(s, d)))
       .withColumn("n_bytes", col("n_bytes").cast(LongType))
+      .select(col("doc_id"), col("n_bytes"),
+        array_join(transform(col("features"),
+          f => format_number(f.cast("double"), 6)), ",").as("features_csv"))
       .orderBy("doc_id"),
     None)
 

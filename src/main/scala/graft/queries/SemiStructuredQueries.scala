@@ -19,18 +19,26 @@ object SemiStructuredQueries {
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
       .orderBy("k_mod"),
     Some("""SELECT CAST(props->>'k' AS BIGINT) % 10 AS k_mod,
-           |  COUNT(*) AS n, SUM(CAST(props->>'k' AS BIGINT)) AS sum_k
+           |  COUNT(*) AS n, CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k
            |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin))
 
   /** Sorted array aggregation per group (collect_list is unordered by
     * contract; sort_array pins it — DuckDB's list() likewise needs
-    * list_sort for determinism). */
+    * list_sort for determinism). The array is serialized to CSV in the
+    * FINAL projection only (the driver's compare sorts rows in pandas,
+    * where raw list cells are unhashable); the aggregation itself is a
+    * genuine array collect. */
   val f05ArrayAgg = QueryDef("f05_array_agg",
     (s, d) => Tables.supplier(s, d).groupBy("s_nationkey")
       .agg(sort_array(collect_list(col("s_suppkey"))).as("supp_keys"),
         count(lit(1)).as("n"))
+      .select(col("s_nationkey"),
+        array_join(col("supp_keys").cast("array<string>"), ",").as("supp_keys_csv"),
+        col("n"))
       .orderBy("s_nationkey"),
-    Some("""SELECT s_nationkey, list_sort(list(s_suppkey)) AS supp_keys, COUNT(*) AS n
+    Some("""SELECT s_nationkey,
+           |  array_to_string(list_sort(list(s_suppkey)), ',') AS supp_keys_csv,
+           |  COUNT(*) AS n
            |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin))
 
   /** Numeric binning (histogram shape): floor-division buckets with

@@ -35,8 +35,8 @@ object TextQueries {
         count(lit(1))).as("avg_tokens"))
       .orderBy("lang"),
     Some(s"""SELECT lang, COUNT(*) AS n_docs,
-            |  SUM(len($sqlTokArr)) AS total_tokens,
-            |  SUM(n_chars) AS total_chars,
+            |  CAST(SUM(len($sqlTokArr)) AS BIGINT) AS total_tokens,
+            |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
             |  CAST(SUM(len($sqlTokArr)) AS DOUBLE) / COUNT(*) AS avg_tokens
             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
 
@@ -99,7 +99,7 @@ object TextQueries {
       max(size(TextFunctions.bpeTokens(col("text"))).cast(LongType)).as("max_bpe_tokens"))
       .orderBy("lang"),
     Some("""SELECT lang,
-           |  SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS total_bpe_tokens,
+           |  CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT) AS total_bpe_tokens,
            |  MAX(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS max_bpe_tokens
            |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
 
@@ -228,7 +228,7 @@ object TextQueries {
             |filtered AS (SELECT * FROM p4 WHERE lang_pred = 'en' AND quality >= 0.5),
             |kept AS (SELECT * FROM filtered
             |  WHERE doc_id IN (SELECT MIN(doc_id) FROM filtered GROUP BY md5($sqlNormalize)))
-            |SELECT source, COUNT(*) AS n_kept, SUM(len($sqlTokArr)) AS kept_tokens
+            |SELECT source, COUNT(*) AS n_kept, CAST(SUM(len($sqlTokArr)) AS BIGINT) AS kept_tokens
             |FROM kept GROUP BY source ORDER BY source""".stripMargin))
 
   /** The CurationPipeline API surface: kept/reject counts by reason.
