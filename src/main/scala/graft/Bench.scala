@@ -1,9 +1,33 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): runs every SparkEntry query against
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query and total
+  * wall-clock seconds.
+  *
+  * Methodology:
+  *  - Results go to the `noop` sink, not `.count()` — count() lets
+  *    Catalyst prune projection expressions, so expression-heavy queries
+  *    (scoring, hashing, similarity) would report scan time instead of
+  *    compute time. noop materializes every output column.
+  *  - A warmup pass at the SAME scale factor runs each query once so the
+  *    timed numbers measure the engine, not Janino codegen + JIT
+  *    compilation of each query's generated code (one-time costs that
+  *    amortize to zero on a real cluster run). Warmup must use the same
+  *    SF because AQE re-plans by runtime stats — a smaller SF compiles
+  *    different physical stages. Set SPARK_GRAFT_WARMUP=0 for cold runs.
+  *  - All persisted/cached data is dropped between warmup and the timed
+  *    pass: queries that build internal indexes (LSH signatures, IVF
+  *    cells) register them with the CacheManager, and an identical
+  *    logical plan in the timed pass would silently reuse them — the
+  *    timed pass must recompute every stage.
+  *  - Queries run in sorted-name order for run-to-run comparability.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -12,14 +36,26 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+            dir: String): Unit =
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    if (warmup) {
+      queries.foreach { case (_, fn) =>
+        try run(fn, sfDir) catch { case _: Throwable => () }
+      }
+      spark.catalog.clearCache()
+    }
+    val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try run(fn, sfDir) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

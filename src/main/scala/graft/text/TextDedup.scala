@@ -80,16 +80,17 @@ object TextDedup {
       .select("id1", "id2", "jaccard")
   }
 
-  /** MinHash signature array per document: one compiled pass over the
-    * shingle hashes (see [[MinHashesExpr]] for why this is a custom
-    * expression). Returns df(id, sig: array<long>[nHashes]). */
+  /** MinHash signature array per document: tokens → distinct shingle
+    * hashes → signature, all row-local compiled passes with no shingle
+    * strings ever materialized (see [[ShingleHashesExpr]] and
+    * [[MinHashesExpr]] for why these are custom expressions).
+    * Returns df(id, sig: array<long>[nHashes]). */
   def withMinHashSig(docs: DataFrame, k: Int, nHashes: Int,
-                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val shingleHashes = transform(TextFunctions.shingles(col(textCol), k),
-      s => xxhash64(s))
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(col(idCol).as("id"),
-      MinHashesExpr.minhashes(shingleHashes, nHashes).as("sig"))
-  }
+      MinHashesExpr.minhashes(
+        ShingleHashesExpr.shingleHashes(TextFunctions.tokens(col(textCol)), k),
+        nHashes).as("sig"))
 
   /** How LSH buckets turn into candidate pairs:
     *  - AllPairs: every pair in the bucket — exhaustive, but O(B²) per
@@ -153,22 +154,15 @@ object TextDedup {
 
   /** 64-bit SimHash per document from whitespace tokens of the
     * NORMALIZED text (case/punct-insensitive, like the fingerprint),
-    * weighted by occurrence count via the explode/groupBy path — one
-    * shuffle keyed by doc id. */
+    * weighted by occurrence count. Row-local via [[SimHashExpr]]: the
+    * fingerprint is computed inside the scan stage — no token explode,
+    * no shuffle; only the 8-byte hash travels downstream. */
   def withSimHash(docs: DataFrame, idCol: String = "doc_id",
-                  textCol: String = "text"): DataFrame = {
-    val tok = docs.select(col(idCol).as("id"),
-      explode(TextFunctions.tokens(TextFunctions.normalize(col(textCol)))).as("w"))
-      .withColumn("h", xxhash64(col("w")))
-    val bitSums = (0 until 64).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"b$b"))
-    val summed = tok.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
-    summed.select(col("id"),
-      (0 until 64).map(b =>
-        when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
-      ).reduce(_ + _).as("simhash"))
-  }
+                  textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("id"),
+      SimHashExpr.simhash64(
+        transform(TextFunctions.tokens(TextFunctions.normalize(col(textCol))),
+          w => xxhash64(w))).as("simhash"))
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming, found by
     * (maxHamming+1)-chunk pigeonhole blocking then exact bit_count

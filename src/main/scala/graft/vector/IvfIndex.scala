@@ -25,14 +25,22 @@ object IvfIndex {
 
   /** Build: KMeans on the (float→double) vectors, deterministic seed.
     * Returns the cell-assigned corpus and a centroids frame
-    * (cell_id, centroid: array<float>). */
+    * (cell_id, centroid: array<float>).
+    *
+    * The quantizer trains on a CAPPED sample (trainCap vectors, file
+    * order) with bounded Lloyd iterations — the standard IVF recipe
+    * (FAISS trains on ~256 vectors/centroid): at corpus scale you never
+    * iterate KMeans over all vectors; centroid quality converges on a
+    * sample and the full corpus is touched exactly once, by the
+    * assignment pass below. */
   def build(corpus: DataFrame, nList: Int,
-            idCol: String = "vec_id", vecCol: String = "embedding"): Index = {
+            idCol: String = "vec_id", vecCol: String = "embedding",
+            trainCapPerCell: Int = 256, maxIter: Int = 8): Index = {
     val withVec = corpus.withColumn("__features",
       array_to_vector(col(vecCol).cast("array<double>")))
-    val model = new KMeans().setK(nList).setSeed(42L)
+    val model = new KMeans().setK(nList).setSeed(42L).setMaxIter(maxIter)
       .setFeaturesCol("__features").setPredictionCol("cell_id")
-      .fit(withVec)
+      .fit(withVec.select("__features").limit(trainCapPerCell * nList))
     val cells = model.transform(withVec)
       .select(col(idCol), col(vecCol), col("cell_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
