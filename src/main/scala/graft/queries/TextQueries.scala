@@ -103,14 +103,23 @@ object TextQueries {
            |  MAX(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS max_bpe_tokens
            |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
 
-  /** Polynomial rolling hash (Karp-Rabin) — no SQL fold in DuckDB, so
-    * rows-only here; algorithm verified against a JVM reference in
-    * ScalaTest. */
+  /** Polynomial rolling hash (Karp-Rabin). The oracle replays the fold
+    * with list_reduce over per-char codepoints (BIGINT-cast: the lambda
+    * would otherwise overflow INT32). Empty normalized text pins to 0 —
+    * Spark folds over [""] with ascii("")=0; DuckDB's unicode('') is -1,
+    * so the CASE keeps both engines on the identity value. */
   val x14RollingHash = QueryDef("x14_rolling_hash",
     (s, d) => Tables.documents(s, d)
       .select(col("doc_id"), TextFunctions.rollingHash(col("text")).as("rhash"))
       .orderBy("doc_id"),
-    None)
+    Some(s"""SELECT doc_id,
+            |  CASE WHEN $sqlNormalize = '' THEN 0
+            |       ELSE list_reduce(
+            |         list_transform(string_to_array($sqlNormalize, ''),
+            |                        c -> CAST(unicode(c) AS BIGINT)),
+            |         (a, b) -> (a * 131 + b) % 1000000007)
+            |  END AS rhash
+            |FROM documents ORDER BY doc_id""".stripMargin))
 
   /** Exact-dup groups by content hash (first-wins keeper). */
   val dd01ExactGroups = QueryDef("dd01_exact_dup_groups",
@@ -167,16 +176,23 @@ object TextQueries {
       .orderBy("id1", "id2"),
     None)
 
-  /** Deterministic key-stable train/test split counts per language —
-    * xxhash64 bucket membership isn't reproducible in DuckDB (rows-only);
-    * split properties (partition, stability, salt sensitivity) are
-    * asserted in SamplingSpec. */
+  /** Deterministic key-stable train/test split counts per language,
+    * using the PORTABLE (md5-prefix) bucket so the oracle reproduces
+    * membership exactly: any engine with md5 computes the same split —
+    * the property that makes a held-out set auditable across engines.
+    * The xxhash64 flavor (faster, Spark-native) is covered by
+    * SamplingSpec. */
   val sm01TrainTestSplit = QueryDef("sm01_train_test_split",
     (s, d) => graft.etl.Sampling.trainTestSplit(
-      Tables.documents(s, d), "doc_id", testPermille = 200)
+      Tables.documents(s, d), "doc_id", testPermille = 200, portable = true)
       .groupBy("lang", "split").agg(count(lit(1)).as("n"))
       .orderBy("lang", "split"),
-    None)
+    Some("""SELECT lang,
+           |  CASE WHEN ('0x' || substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+           |            % 1000 < 200
+           |       THEN 'test' ELSE 'train' END AS split,
+           |  COUNT(*) AS n
+           |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin))
 
   /** Capstone: the corpus-curation pipeline end-to-end in ONE plan —
     * predicted-language filter → quality threshold → exact dedup
@@ -232,8 +248,11 @@ object TextQueries {
             |FROM kept GROUP BY source ORDER BY source""".stripMargin))
 
   /** The CurationPipeline API surface: kept/reject counts by reason.
-    * Rows-only (cp01 oracle-checks the same composition); reject-reason
-    * precedence asserted in CurationPipelineSpec. */
+    * The oracle replays the pipeline's bucket assignment — reason
+    * precedence lang_filtered → low_quality → duplicate, keeper = min
+    * id per fingerprint among PASSING rows only — in SQL; precedence is
+    * additionally asserted on engineered fixtures in
+    * CurationPipelineSpec. */
   val cp02CurationPipeline = QueryDef("cp02_curation_pipeline",
     (s, d) => {
       val r = CurationPipeline.curate(Tables.documents(s, d))
@@ -242,7 +261,33 @@ object TextQueries {
         .groupBy("bucket").agg(count(lit(1)).as("n"))
         .orderBy("bucket")
     },
-    None)
+    Some(s"""WITH s AS (SELECT *,
+            |    ${sqlTokCount("the")} + ${sqlTokCount("and")} + ${sqlTokCount("of")} + ${sqlTokCount("is")} AS s_en,
+            |    ${sqlTokCount("el")} + ${sqlTokCount("la")} + ${sqlTokCount("los")} + ${sqlTokCount("que")} AS s_es,
+            |    ${sqlTokCount("der")} + ${sqlTokCount("die")} + ${sqlTokCount("und")} + ${sqlTokCount("nicht")} AS s_de,
+            |    ${sqlTokCount("le")} + ${sqlTokCount("les")} + ${sqlTokCount("est")} + ${sqlTokCount("une")} AS s_fr,
+            |    ${sqlTokCount("de")} + ${sqlTokCount("shi")} + ${sqlTokCount("bu")} + ${sqlTokCount("le")} AS s_zh,
+            |    (CASE WHEN len($sqlTokArr) >= 5 AND len($sqlTokArr) <= 1000 THEN 1.0 ELSE 0.0 END
+            |     + CASE WHEN CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+            |              / NULLIF(length(text), 0) <= 0.2 THEN 1.0 ELSE 0.0 END
+            |     + LEAST(CAST(${sqlWordCount("the")} + ${sqlWordCount("and")} + ${sqlWordCount("of")} AS DOUBLE)
+            |              / len($sqlTokArr) * 2.0, 1.0)) / 3.0 AS quality
+            |  FROM documents),
+            |p1 AS (SELECT *, CASE WHEN s_es > s_en THEN 'es' ELSE 'en' END AS b1,
+            |       GREATEST(s_en, s_es) AS g1 FROM s),
+            |p2 AS (SELECT *, CASE WHEN s_de > g1 THEN 'de' ELSE b1 END AS b2,
+            |       GREATEST(g1, s_de) AS g2 FROM p1),
+            |p3 AS (SELECT *, CASE WHEN s_fr > g2 THEN 'fr' ELSE b2 END AS b3,
+            |       GREATEST(g2, s_fr) AS g3 FROM p2),
+            |p4 AS (SELECT *, CASE WHEN s_zh > g3 THEN 'zh' ELSE b3 END AS lang_pred FROM p3),
+            |passing AS (SELECT * FROM p4 WHERE lang_pred = 'en' AND quality >= 0.5),
+            |keepers AS (SELECT MIN(doc_id) AS kid FROM passing GROUP BY md5($sqlNormalize)),
+            |b AS (SELECT CASE
+            |    WHEN lang_pred <> 'en' THEN 'lang_filtered'
+            |    WHEN quality < 0.5 THEN 'low_quality'
+            |    WHEN doc_id IN (SELECT kid FROM keepers) THEN 'kept'
+            |    ELSE 'duplicate' END AS bucket FROM p4)
+            |SELECT bucket, COUNT(*) AS n FROM b GROUP BY bucket ORDER BY bucket""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(
     x10TokenStats, x11QualityScore, x12LangId, x13Fingerprint, x14RollingHash,

@@ -30,4 +30,20 @@ class SamplingSpec extends SparkSpec {
       .exceptAll(other.filter($"split" === "test").select("doc_id")).count()
     assert(moved > 0) // salt actually changes membership
   }
+
+  test("portable (md5) split partitions, is stable, and differs from xxhash flavor") {
+    val docs = Tables.documents(spark, sfDir)
+    val p1 = Sampling.trainTestSplit(docs, "doc_id", 200, portable = true)
+    val p2 = Sampling.trainTestSplit(docs, "doc_id", 200, portable = true)
+    assert(p1.count() == docs.count())
+    assert(p1.exceptAll(p2).count() == 0 && p2.exceptAll(p1).count() == 0)
+    val rate = p1.filter($"split" === "test").count().toDouble / docs.count()
+    assert(rate > 0.1 && rate < 0.3, s"portable test rate $rate")
+    // known-value pin: the same bucket any md5-capable engine computes
+    // for key 123, salt "graft" (cross-checked against DuckDB)
+    val b = spark.sql(
+      "SELECT pmod(CAST(conv(substring(md5('graft123'), 1, 15), 16, 10) AS BIGINT), 1000)")
+      .head().getLong(0)
+    assert(b == 553L, s"portable bucket drifted: $b")
+  }
 }
