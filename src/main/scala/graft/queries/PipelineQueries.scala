@@ -1,0 +1,68 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.etl.Packing
+import graft.text.{Chunking, TextFunctions}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Training-data assembly operators over the documents table: context-
+  * window chunking, token-budget sequence packing, vocabulary
+  * extraction. All oracle-checked — chunk CONTENT is verified via md5
+  * fingerprints, not just counts. */
+object PipelineQueries {
+
+  private val sqlTokArr = """regexp_split_to_array(trim(text), '\s+')"""
+
+  /** Overlapping context windows (size 32, overlap 8): per-chunk token
+    * count and content fingerprint. DuckDB replays the same start
+    * sequence with generate_series and 1-based inclusive list slicing. */
+  val ck01DocChunks = QueryDef("ck01_doc_chunks",
+    (s, d) => Chunking.chunkTokens(Tables.documents(s, d), chunkSize = 32, overlap = 8)
+      .orderBy("doc_id", "chunk_idx"),
+    Some(s"""WITH tok AS (SELECT doc_id, $sqlTokArr AS t FROM documents),
+            |st AS (SELECT doc_id, t,
+            |         unnest(generate_series(0, greatest(len(t) - 8 - 1, 0), 24)) AS start
+            |       FROM tok)
+            |SELECT doc_id,
+            |  CAST(start / 24 AS BIGINT) AS chunk_idx,
+            |  CAST(len(t[start + 1 : start + 32]) AS BIGINT) AS n_chunk_tokens,
+            |  md5(array_to_string(t[start + 1 : start + 32], ' ')) AS chunk_fp
+            |FROM st ORDER BY doc_id, chunk_idx""".stripMargin))
+
+  /** Token-budget sequence packing (budget 256 per pack, packs ordered
+    * by doc_id within source): per-pack document and token counts. */
+  val pk01SequencePacking = QueryDef("pk01_sequence_packing",
+    (s, d) => Packing.packByBudget(
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast(LongType).as("n_tokens")),
+      partitionCols = Seq("source"), orderCol = "doc_id",
+      weight = col("n_tokens"), budget = 256L)
+      .groupBy("source", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
+      .orderBy("source", "pack_id"),
+    Some(s"""WITH t AS (SELECT source, doc_id, len($sqlTokArr) AS w FROM documents),
+            |c AS (SELECT *, COALESCE(SUM(w) OVER (PARTITION BY source ORDER BY doc_id
+            |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev FROM t)
+            |SELECT source, CAST(prev // 256 AS BIGINT) AS pack_id,
+            |  COUNT(*) AS n_docs, CAST(SUM(w) AS BIGINT) AS pack_tokens
+            |FROM c GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin))
+
+  /** Vocabulary extraction: top-50 tokens by global term frequency with
+    * document frequency — the tokenizer-vocab shape. Scale: explode is
+    * map-side; both counts partial-aggregate before the single shuffle;
+    * top-50 is a TakeOrdered, not a full sort. */
+  val vc01VocabTopK = QueryDef("vc01_vocab_topk",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(50),
+    Some(s"""WITH w AS (SELECT doc_id, unnest($sqlTokArr) AS token FROM documents)
+            |SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+            |FROM w GROUP BY token ORDER BY tf DESC, token LIMIT 50""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(ck01DocChunks, pk01SequencePacking, vc01VocabTopK)
+}
