@@ -34,7 +34,19 @@ object Plans {
     // NOT a BroadcastNestedLoopJoin
     Check("bj01_band_join", Seq("Join")),
     // session_window plans through the dedicated session-aggregation
-    Check("s02_session_window", Seq("HashAggregate")))
+    Check("s02_session_window", Seq("HashAggregate")),
+    // chunking is scan + generate only — NO Exchange before the sort
+    // (chunk rows inherit the document partition)
+    Check("ck01_doc_chunks", Seq("Generate", "Scan parquet")),
+    // packing = exactly one window over one exchange keyed by source
+    Check("pk01_sequence_packing", Seq("Window", "Exchange")),
+    // vocab: explode feeds a partial aggregate before the shuffle
+    Check("vc01_vocab_topk", Seq("Generate", "HashAggregate", "TakeOrderedAndProject")),
+    // simhash fingerprints compute in the scan-side project (the custom
+    // expression appears in the plan; no token explode remains)
+    Check("dd05_simhash_pairs", Seq("simhash64")),
+    // minhash signatures build from row-local shingle hashes
+    Check("dd04_minhash_candidates", Seq("shingle_hashes", "minhashes")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -31,7 +31,7 @@ object Multimodal {
   val featureSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("n_bytes", IntegerType, nullable = false),
-    StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+    StructField("features", ArrayType(DoubleType, containsNull = false), nullable = false)))
 
   /** Build a payload table from the documents table (text bytes stand in
     * for an image payload; real pipelines read binary parquet columns). */
@@ -41,18 +41,20 @@ object Multimodal {
 
   /** DECODE STUB — deterministic fake "image decode + feature extract":
     * an 8-bin byte histogram normalized by length. A real implementation
-    * replaces ONLY this function (signature: bytes → fixed-size float
-    * vector). */
-  private def decodeStub(bytes: Array[Byte]): Array[Float] = {
-    val hist = new Array[Float](8)
+    * replaces ONLY this function (signature: bytes → fixed-size numeric
+    * vector). Counts and the final division are exact in double, which
+    * is what lets mm02's oracle replay the histogram in SQL. */
+  private def decodeStub(bytes: Array[Byte]): Array[Double] = {
+    val counts = new Array[Long](8)
     var i = 0
     while (i < bytes.length) {
-      hist((bytes(i) & 0xff) >>> 5) += 1f
+      counts((bytes(i) & 0xff) >>> 5) += 1L
       i += 1
     }
+    val hist = new Array[Double](8)
     if (bytes.length > 0) {
       var j = 0
-      while (j < 8) { hist(j) /= bytes.length.toFloat; j += 1 }
+      while (j < 8) { hist(j) = counts(j).toDouble / bytes.length; j += 1 }
     }
     hist
   }

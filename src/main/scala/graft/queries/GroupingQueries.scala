@@ -18,11 +18,15 @@ object GroupingQueries {
 
   /** ROLLUP over (returnflag, linestatus): per-pair, per-flag subtotals
     * and a grand total in one pass (partial aggregation handles the
-    * expansion; no extra scans). */
+    * expansion; no extra scans). The revenue term is projected BEFORE
+    * the rollup: an aggregate argument is evaluated per Expand output
+    * row (one per grouping set), so inlining the decimal multiply into
+    * sum() would compute it 3x per input row. */
   val g01Rollup = QueryDef("g01_rollup",
     (s, d) => Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_linestatus"), revD.as("__rev"))
       .rollup("l_returnflag", "l_linestatus")
-      .agg(count(lit(1)).as("n"), sum(revD).cast(DoubleType).as("revenue"))
+      .agg(count(lit(1)).as("n"), sum(col("__rev")).cast(DoubleType).as("revenue"))
       .orderBy(col("l_returnflag"), col("l_linestatus")),
     Some(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
             |  CAST(SUM($sqlRevTerm) AS DOUBLE) AS revenue

@@ -21,20 +21,35 @@ object MultimodalQueries {
            |FROM documents ORDER BY doc_id""".stripMargin))
 
   /** Partition-batched feature extraction (decode stub): real schema,
-    * real mapPartitions execution shape, fake decoder. The byte-count
-    * column is independently checkable; features are deterministic.
-    * The float vector is serialized (6dp CSV) in the final projection —
-    * the driver's rows-only check still sorts the output in pandas,
-    * where raw list cells are unhashable. */
+    * real mapPartitions execution shape, fake decoder. Fully oracle-
+    * checked: the stub's 8-bin byte histogram (exact counts / exact
+    * length, divided in double) is replayed in SQL over per-char
+    * codepoints — valid because the corpus is pure ASCII (byte ==
+    * codepoint; asserted: octet_length == length at every SF). Bins are
+    * projected as rounded scalar columns — the gate's pandas sort can't
+    * handle raw array cells. */
   val mm02Features = QueryDef("mm02_feature_extract",
-    (s, d) => Multimodal.extractFeatures(
-      Multimodal.payloadsFromDocuments(Tables.documents(s, d)))
-      .withColumn("n_bytes", col("n_bytes").cast(LongType))
-      .select(col("doc_id"), col("n_bytes"),
-        array_join(transform(col("features"),
-          f => format_number(f.cast("double"), 6)), ",").as("features_csv"))
-      .orderBy("doc_id"),
-    None)
+    (s, d) => {
+      val feats = Multimodal.extractFeatures(
+        Multimodal.payloadsFromDocuments(Tables.documents(s, d)))
+        .withColumn("n_bytes", col("n_bytes").cast(LongType))
+      val bins = (0 until 8).map(i =>
+        round(element_at(col("features"), i + 1), 6).as(s"f$i"))
+      feats.select(col("doc_id") +: col("n_bytes") +: bins: _*).orderBy("doc_id")
+    },
+    Some {
+      val binCols = (0 until 8).map(i =>
+        s"""CASE WHEN length(text) = 0 THEN 0.0
+           |       ELSE round(CAST(len(list_filter(bins, b -> b = $i)) AS DOUBLE)
+           |                  / length(text), 6) END AS f$i""".stripMargin)
+        .mkString(",\n")
+      s"""WITH h AS (SELECT doc_id, text,
+         |    list_transform(string_to_array(text, ''), c -> unicode(c) // 32) AS bins
+         |  FROM documents)
+         |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+         |$binCols
+         |FROM h ORDER BY doc_id""".stripMargin
+    })
 
   /** Frame sampling fan-out: one payload row → strided frame rows.
     * The oracle checks the fan-out arithmetic in closed form
