@@ -77,5 +77,33 @@ object VectorQueries {
     },
     None)
 
-  val all: Seq[QueryDef] = Seq(nn01BruteTopK, nn02LshTopK, nn03NearDup, nn04IvfTopK)
+  /** Duplicate CLUSTERS from near-dup edges: embedding-cosine pairs
+    * (≥ 0.3 within a vec_id%5 probe subset) fed to iterative min-label
+    * connected components — the union-find pass that ends every
+    * large-scale dedup. The oracle replays the closure with a DuckDB
+    * recursive CTE, so the component structure (not just pair counts)
+    * is verified: multi-hop chains must land in the same cluster. */
+  val dd06DupClusters = QueryDef("dd06_dup_clusters",
+    (s, d) => {
+      val sub = Tables.embeddings(s, d).filter(col("vec_id") % 5 === 0)
+      val edges = SimilaritySearch.nearDupPairs(sub, sub, threshold = 0.3)
+      graft.graph.ConnectedComponents.run(
+        sub.select(col("vec_id").as("id")), edges.select("id1", "id2"))
+        .groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+        .orderBy("cluster_id")
+    },
+    Some(s"""WITH RECURSIVE
+            |s AS (SELECT * FROM embeddings WHERE vec_id % 5 = 0),
+            |e(a, b) AS (SELECT a.vec_id, b.vec_id
+            |  FROM s a JOIN s b ON a.vec_id < b.vec_id
+            |  WHERE $sqlCos >= 0.3),
+            |bi(a, b) AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+            |walk(id, l) AS (SELECT vec_id, vec_id FROM s
+            |  UNION SELECT bi.b, walk.l FROM walk JOIN bi ON bi.a = walk.id),
+            |lbl AS (SELECT id, MIN(l) AS cluster_id FROM walk GROUP BY id)
+            |SELECT cluster_id, COUNT(*) AS n_members
+            |FROM lbl GROUP BY cluster_id ORDER BY cluster_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(nn01BruteTopK, nn02LshTopK, nn03NearDup,
+    nn04IvfTopK, dd06DupClusters)
 }
