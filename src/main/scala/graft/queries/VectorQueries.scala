@@ -104,6 +104,41 @@ object VectorQueries {
             |SELECT cluster_id, COUNT(*) AS n_members
             |FROM lbl GROUP BY cluster_id ORDER BY cluster_id""".stripMargin))
 
+  /** int8 scalar quantization: per-vector scale, code sum/extremes, and
+    * max reconstruction error — codes and error replayed exactly by the
+    * oracle (all-double arithmetic; round-half-away-from-zero agrees in
+    * both engines). The quantized representation is the 4x memory/IO
+    * lever for corpus-scale ANN. */
+  val vq01ScalarQuant = QueryDef("vq01_scalar_quant",
+    (s, d) => {
+      import graft.vector.Quantization
+      Quantization.quantize(Tables.embeddings(s, d)).select(
+        col("vec_id"),
+        round(col("qscale"), 6).as("qscale_r"),
+        aggregate(col("qcodes"), lit(0L), (acc, x) => acc + x).as("qsum"),
+        array_min(col("qcodes")).cast("long").as("qmin"),
+        array_max(col("qcodes")).cast("long").as("qmax"),
+        round(Quantization.sq8MaxAbsError(
+          col("embedding"), col("qscale"), col("qcodes")), 6).as("err_r"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH q AS (SELECT vec_id,
+           |    CAST(embedding AS DOUBLE[]) AS v,
+           |    list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127 AS s
+           |  FROM embeddings),
+           |c AS (SELECT vec_id, s,
+           |    list_transform(v, x -> CASE WHEN s = 0 THEN 0
+           |                                ELSE CAST(round(x / s) AS BIGINT) END) AS codes,
+           |    list_max(list_transform(v, x -> abs(
+           |      (CASE WHEN s = 0 THEN 0.0 ELSE round(x / s) * s END) - x))) AS err
+           |  FROM q)
+           |SELECT vec_id, round(s, 6) AS qscale_r,
+           |  CAST(list_sum(codes) AS BIGINT) AS qsum,
+           |  CAST(list_min(codes) AS BIGINT) AS qmin,
+           |  CAST(list_max(codes) AS BIGINT) AS qmax,
+           |  round(err, 6) AS err_r
+           |FROM c ORDER BY vec_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(nn01BruteTopK, nn02LshTopK, nn03NearDup,
-    nn04IvfTopK, dd06DupClusters)
+    nn04IvfTopK, dd06DupClusters, vq01ScalarQuant)
 }

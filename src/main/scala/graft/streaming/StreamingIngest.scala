@@ -72,6 +72,28 @@ object StreamingIngest {
       }
   }
 
+  /** Streaming corpus curation: the filter stage of
+    * graft.text.CurationPipeline over a document stream, with running
+    * kept/reject counts per source. langId/qualityScore are pure column
+    * expressions, so they run in a stream UNCHANGED — the point of
+    * keeping scoring scan-side: a curation rule deployed on the batch
+    * corpus applies to the live feed with zero reimplementation. (The
+    * dedup stage is the one part that needs the watermarked form —
+    * `dedupStream` keyed on the content fingerprint — because it is a
+    * stateful shuffle, not a map.) */
+  def curationCounts(docs: DataFrame, keepLangs: Seq[String],
+                     minQuality: Double): DataFrame = {
+    import graft.text.TextFunctions
+    docs
+      .withColumn("lang_pred", TextFunctions.langId(col("text")))
+      .withColumn("quality", TextFunctions.qualityScore(col("text")))
+      .withColumn("bucket",
+        when(!col("lang_pred").isin(keepLangs: _*), lit("lang_filtered"))
+          .when(col("quality") < minQuality, lit("low_quality"))
+          .otherwise(lit("kept")))
+      .groupBy("source", "bucket").agg(count(lit(1)).as("n"))
+  }
+
   /** Run a streaming frame to completion against currently-available
     * input via the memory sink; returns the materialized result. Batch
     * test harness for streaming semantics. */

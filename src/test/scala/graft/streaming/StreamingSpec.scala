@@ -52,6 +52,19 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("streaming curation counts equal the batch filter stage exactly") {
+    val docsDir = s"$stagingDir/documents"
+    Tables.documents(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(docsDir)
+    val schema = Tables.documents(spark, sfDir).schema
+    val stream = spark.readStream.schema(schema).parquet(docsDir)
+    val got = StreamingIngest.runToMemory(
+      StreamingIngest.curationCounts(stream, Seq("en"), 0.5),
+      "stream_curation", OutputMode.Complete())
+    val want = StreamingIngest.curationCounts(
+      Tables.documents(spark, sfDir), Seq("en"), 0.5)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
   test("windowed counts total matches batch count") {
     val stream = spark.readStream.schema(eventsSchema).parquet(s"$stagingDir/events")
     val counts = StreamingIngest.windowedCounts(stream, "ts", "1 hour", "0 seconds")
