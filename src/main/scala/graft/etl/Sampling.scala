@@ -38,6 +38,27 @@ object Sampling {
     df.filter(bucket(col(key), salt, denominator, portable) < numerator)
   }
 
+  /** Stratified hash sample: per-stratum keep rates (permille), for
+    * corpus rebalancing (e.g. downsample the dominant language, keep
+    * the rest). The stratum value participates in the hash, so strata
+    * sample independently even for identical keys; membership stays
+    * key-stable and engine-portable (with portable=true, any
+    * md5-capable engine reproduces it). Strata not in the map keep
+    * `defaultPermille`. */
+  def stratifiedSample(df: DataFrame, key: String, strataCol: String,
+                       permilleByStratum: Map[String, Int],
+                       defaultPermille: Int = 1000,
+                       salt: String = "graft",
+                       portable: Boolean = false): DataFrame = {
+    require((permilleByStratum.values ++ Seq(defaultPermille))
+      .forall(p => p >= 0 && p <= 1000))
+    val rate = permilleByStratum.foldLeft(lit(defaultPermille)) {
+      case (acc, (stratum, p)) => when(col(strataCol) === stratum, lit(p)).otherwise(acc)
+    }
+    val strataKey = concat(col(strataCol).cast("string"), col(key).cast("string"))
+    df.filter(bucket(strataKey, salt, 1000, portable) < rate)
+  }
+
   /** Tag each row train/test with a ~testPermille/1000 test share.
     * Complementary by construction: every key lands in exactly one split. */
   def trainTestSplit(df: DataFrame, key: String, testPermille: Int,

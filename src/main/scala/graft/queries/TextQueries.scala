@@ -194,6 +194,21 @@ object TextQueries {
            |  COUNT(*) AS n
            |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin))
 
+  /** Stratified corpus rebalancing: downsample English to 50%, keep 10%
+    * of everything else — per-lang counts, membership reproduced
+    * exactly by the oracle (portable md5 bucket over lang||doc_id). */
+  val sm02StratifiedSample = QueryDef("sm02_stratified_sample",
+    (s, d) => graft.etl.Sampling.stratifiedSample(
+      Tables.documents(s, d), "doc_id", "lang",
+      permilleByStratum = Map("en" -> 500), defaultPermille = 100,
+      portable = true)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .orderBy("lang"),
+    Some("""SELECT lang, COUNT(*) AS n FROM documents
+           |WHERE ('0x' || substr(md5('graft' || lang || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+           |      % 1000 < CASE WHEN lang = 'en' THEN 500 ELSE 100 END
+           |GROUP BY lang ORDER BY lang""".stripMargin))
+
   /** Capstone: the corpus-curation pipeline end-to-end in ONE plan —
     * predicted-language filter → quality threshold → exact dedup
     * (first-wins) → per-source survivor stats. Composes langId,
@@ -291,6 +306,7 @@ object TextQueries {
 
   val all: Seq[QueryDef] = Seq(
     x10TokenStats, x11QualityScore, x12LangId, x13Fingerprint, x14RollingHash,
-    x15BpeTokens, sm01TrainTestSplit, cp01CorpusCuration, cp02CurationPipeline,
+    x15BpeTokens, sm01TrainTestSplit, sm02StratifiedSample,
+    cp01CorpusCuration, cp02CurationPipeline,
     dd01ExactGroups, dd02ExactKept, dd03Jaccard, dd04MinHash, dd05SimHash)
 }

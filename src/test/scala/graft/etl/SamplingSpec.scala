@@ -46,4 +46,21 @@ class SamplingSpec extends SparkSpec {
       .head().getLong(0)
     assert(b == 553L, s"portable bucket drifted: $b")
   }
+
+  test("stratified sample applies per-stratum rates and stays key-stable") {
+    val docs = Tables.documents(spark, sfDir)
+    val s1 = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 500), defaultPermille = 100)
+    val s2 = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 500), defaultPermille = 100)
+    assert(s1.select("doc_id").exceptAll(s2.select("doc_id")).count() == 0)
+    val rates = s1.groupBy("lang").count()
+      .join(docs.groupBy("lang").count().withColumnRenamed("count", "total"), "lang")
+      .select($"lang", ($"count" / $"total").as("rate"))
+      .as[(String, Double)].collect().toMap
+    assert(rates("en") > 0.3 && rates("en") < 0.7, s"en rate ${rates("en")}")
+    rates.filterNot(_._1 == "en").foreach { case (l, r) =>
+      assert(r < 0.3, s"$l rate $r should be ~0.1")
+    }
+  }
 }
