@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.graftbridge.GraftSqlBridge
-import graft.text.MinHashesExpr
+import graft.text.{MinHashesExpr, ShingleHashesExpr, SimHashExpr}
 import graft.vector.DotProductExpr
 
 /** SparkSessionExtensions entry point: registers the engine's native
@@ -34,13 +34,33 @@ object GraftExtensions {
     MinHashesExpr(exprs.head, n)
   }
 
+  private def shingleHashesBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "shingle_hashes(tokenArray, k)")
+    val k = exprs(1) match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"shingle_hashes: k must be an integer literal, got $other")
+    }
+    ShingleHashesExpr(exprs.head, k)
+  }
+  private def simhashBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1, "simhash64(hashArray)")
+    SimHashExpr(exprs.head)
+  }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProductExpr].getName, "vec_dot"),
       vecDotBuilder _),
     (FunctionIdentifier("minhashes"),
       new ExpressionInfo(classOf[MinHashesExpr].getName, "minhashes"),
-      minhashesBuilder _))
+      minhashesBuilder _),
+    (FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashesExpr].getName, "shingle_hashes"),
+      shingleHashesBuilder _),
+    (FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHashExpr].getName, "simhash64"),
+      simhashBuilder _))
 
   /** Register into an already-running session. */
   def install(spark: SparkSession): Unit =

@@ -464,6 +464,30 @@ object RelationalQueries {
             |FROM wk WINDOW w AS (ORDER BY week ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
             |ORDER BY week""".stripMargin))
 
+  /** Rolling 4-week MEDIAN of weekly order counts — exact percentile as
+    * a window aggregate (the robust-statistics cousin of w03's rolling
+    * mean). Integer counts keep the midpoint interpolation (a+b)/2
+    * binary-exact, where Spark `percentile` == DuckDB `quantile_cont`
+    * (the fraction-parity constraint pinned in f04). */
+  val w06RollingMedian = QueryDef("w06_rolling_median",
+    (s, d) => {
+      val weekly = Tables.orders(s, d)
+        .groupBy(weekOf(col("o_orderdate")).as("week"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.orderBy("week").rowsBetween(-3, 0)
+      weekly.withColumn("med", percentile(col("n"), lit(0.5)).over(w))
+        .select("week", "n", "med")
+        .orderBy("week")
+    },
+    Some("""WITH wk AS (
+           |  SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+           |    COUNT(*) AS n
+           |  FROM orders GROUP BY 1)
+           |SELECT week, n,
+           |  quantile_cont(n, 0.5) OVER (ORDER BY week
+           |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS med
+           |FROM wk ORDER BY week""".stripMargin))
+
   // =========================================================================
   // X — distinct counting
   // =========================================================================
@@ -493,6 +517,6 @@ object RelationalQueries {
     a08RatioByPriorityWeek, a09AvgByGroup,
     t02RecentWeeks, t03TopkCustomers, t04TopBottom,
     u01UnionDistinct, u02Except, u03Intersect,
-    w01LagDelta, w02TopkPerGroup, w03RollingAvg, w05TopkHeap,
+    w01LagDelta, w02TopkPerGroup, w03RollingAvg, w05TopkHeap, w06RollingMedian,
     x01DistinctCount, x02ApproxDistinct)
 }

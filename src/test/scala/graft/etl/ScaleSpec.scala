@@ -80,5 +80,13 @@ class ScaleSpec extends SparkSpec {
       "SELECT size(minhashes(array(CAST(7 AS BIGINT), CAST(9 AS BIGINT)), 16)) AS n")
       .head().getInt(0)
     assert(mh == 16)
+    // shingle_hashes: 3 tokens, k=2 → 2 distinct shingle hashes
+    val sh = spark.sql(
+      "SELECT size(shingle_hashes(array('a','b','c'), 2)) AS n").head().getInt(0)
+    assert(sh == 2)
+    // simhash64 of a single hash h = h itself (positive bits win 1-0)
+    val sim = spark.sql(
+      "SELECT simhash64(array(CAST(5 AS BIGINT))) AS s").head().getLong(0)
+    assert(sim == 5L)
   }
 }
