@@ -10,7 +10,8 @@ import org.apache.spark.sql.execution.ExplainMode
   *   sbt "runMain graft.Plans [sfDir]"
   */
 object Plans {
-  final case class Check(query: String, wantAll: Seq[String])
+  final case class Check(query: String, wantAll: Seq[String],
+                         wantNone: Seq[String] = Seq.empty)
 
   /** Plan properties that must hold (substring match on formatted plan). */
   val checks: Seq[Check] = Seq(
@@ -46,7 +47,16 @@ object Plans {
     // expression appears in the plan; no token explode remains)
     Check("dd05_simhash_pairs", Seq("simhash64")),
     // minhash signatures build from row-local shingle hashes
-    Check("dd04_minhash_candidates", Seq("shingle_hashes", "minhashes")))
+    Check("dd04_minhash_candidates", Seq("shingle_hashes", "minhashes")),
+    // quantization fuses into the scan: one aggregate-free projection,
+    // no hash aggregation anywhere in the plan (the only exchange is
+    // the final presentation sort)
+    Check("vq01_scalar_quant", Seq("Scan parquet"),
+      wantNone = Seq("HashAggregate", "Generate")),
+    // chunking never shuffles before its presentation sort: no
+    // aggregate, no join — scan, generate, project only
+    Check("ck01_doc_chunks", Seq("Generate"),
+      wantNone = Seq("HashAggregate", "Join")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -59,13 +69,18 @@ object Plans {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     var failed = 0
-    checks.foreach { case Check(name, wants) =>
+    checks.foreach { case Check(name, wants, nones) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
       wants.foreach { w =>
         val ok = plan.contains(w)
         if (!ok) failed += 1
         println(s"${if (ok) "PLAN_OK " else "PLAN_FAIL"} $name :: $w")
+      }
+      nones.foreach { w =>
+        val ok = !plan.contains(w)
+        if (!ok) failed += 1
+        println(s"${if (ok) "PLAN_OK " else "PLAN_FAIL"} $name :: absent($w)")
       }
     }
     if (args.contains("--dump")) {
