@@ -64,5 +64,44 @@ object PipelineQueries {
             |SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
             |FROM w GROUP BY token ORDER BY tf DESC, token LIMIT 50""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(ck01DocChunks, pk01SequencePacking, vc01VocabTopK)
+  /** TF-IDF top terms: for each document in a probe subset, the 3
+    * highest-scoring terms (tf · ln(N/df), 6dp-rounded before ranking so
+    * both engines break ties identically; token ASC tiebreak). The
+    * corpus-wide df table is the only shuffle; the per-doc tf and the
+    * scoring join are partial-aggregated/broadcast. */
+  val tx01TfIdfTopTerms = QueryDef("tx01_tfidf_topterms",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      val words = docs
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("token"))
+      val df_ = words.groupBy("token")
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val tf = words.filter(col("doc_id") % 25 === 0)
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val scored = tf.join(broadcast(df_), "token")
+        .withColumn("score_r",
+          round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+        .orderBy(col("score_r").desc, col("token"))
+      scored.withColumn("rank", row_number().over(w).cast(LongType))
+        .filter(col("rank") <= 3)
+        .select("doc_id", "rank", "token", "score_r")
+        .orderBy("doc_id", "rank")
+    },
+    Some(s"""WITH w AS (SELECT doc_id, unnest($sqlTokArr) AS token FROM documents),
+            |n AS (SELECT COUNT(*) AS n FROM documents),
+            |dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY token),
+            |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM w
+            |       WHERE doc_id % 25 = 0 GROUP BY 1, 2),
+            |scored AS (SELECT tf.doc_id, tf.token,
+            |    round(tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df), 6) AS score_r
+            |  FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n),
+            |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+            |    ORDER BY score_r DESC, token) AS rank FROM scored)
+            |SELECT doc_id, rank, token, score_r FROM ranked
+            |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(ck01DocChunks, pk01SequencePacking, vc01VocabTopK,
+    tx01TfIdfTopTerms)
 }

@@ -367,6 +367,19 @@ object RelationalQueries {
     Some("""SELECT DISTINCT c_nationkey AS nationkey FROM customer
            |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin))
 
+  /** UNION ALL (bag semantics) — per-nation multiplicity preserved,
+    * aggregated so the result is order-free. The plan is a pure
+    * concatenation: no dedup shuffle, unlike u01. */
+  val u04UnionAll = QueryDef("u04_union_all",
+    (s, d) => Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      .unionAll(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+      .groupBy("nationkey").agg(count(lit(1)).as("n"))
+      .orderBy("nationkey"),
+    Some("""SELECT nationkey, COUNT(*) AS n FROM (
+           |  SELECT c_nationkey AS nationkey FROM customer
+           |  UNION ALL SELECT s_nationkey FROM supplier)
+           |GROUP BY nationkey ORDER BY nationkey""".stripMargin))
+
   /** EXCEPT DISTINCT — nations with customers but no suppliers. */
   val u02Except = QueryDef("u02_except",
     (s, d) => Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
@@ -516,7 +529,7 @@ object RelationalQueries {
     a05RatioByStatus, a06SumArithmetic, a07Join3Count,
     a08RatioByPriorityWeek, a09AvgByGroup,
     t02RecentWeeks, t03TopkCustomers, t04TopBottom,
-    u01UnionDistinct, u02Except, u03Intersect,
+    u01UnionDistinct, u02Except, u03Intersect, u04UnionAll,
     w01LagDelta, w02TopkPerGroup, w03RollingAvg, w05TopkHeap, w06RollingMedian,
     x01DistinctCount, x02ApproxDistinct)
 }
