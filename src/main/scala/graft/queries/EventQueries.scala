@@ -106,6 +106,36 @@ object EventQueries {
            |WHERE a.event_type = 'error' AND b.event_type = 'error'
            |GROUP BY 1, 2 ORDER BY u1, u2""".stripMargin))
 
+  /** Calendar gap-fill: weekly order counts for a sparse customer
+    * cohort, resampled onto the FULL business calendar (every week
+    * between corpus min/max appears; empty weeks as 0) — the
+    * time-series correctness the reference's week-over-week reports
+    * silently lack. */
+  val ts01GapFill = QueryDef("ts01_gap_fill",
+    (s, d) => {
+      import graft.events.Resample
+      val ords = Tables.orders(s, d)
+      val week = date_trunc("week", col("o_orderdate")).cast("date")
+      val bounds = ords.agg(
+        date_trunc("week", min(col("o_orderdate"))).cast("date").as("mn"),
+        date_trunc("week", max(col("o_orderdate"))).cast("date").as("mx"))
+      val cal = Resample.calendar(bounds, "mn", "mx", 7, "week")
+      val cohort = ords.filter(col("o_custkey") % 500 === 0)
+        .groupBy(week.as("week")).agg(count(lit(1)).as("n_orders"))
+      Resample.gapFill(cal, cohort, "week", Map("n_orders" -> 0L))
+        .orderBy("week")
+    },
+    Some("""WITH b AS (SELECT CAST(date_trunc('week', MIN(o_orderdate)) AS DATE) AS mn,
+           |               CAST(date_trunc('week', MAX(o_orderdate)) AS DATE) AS mx
+           |        FROM orders),
+           |cal AS (SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 7 DAY)) AS DATE) AS week
+           |        FROM b),
+           |wk AS (SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+           |         COUNT(*) AS n_orders
+           |       FROM orders WHERE o_custkey % 500 = 0 GROUP BY 1)
+           |SELECT cal.week, COALESCE(wk.n_orders, 0) AS n_orders
+           |FROM cal LEFT JOIN wk USING (week) ORDER BY week""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(s01SessionCounts, s02SessionWindow, s03DailyByType,
-    aj01AsOf, bj01BandJoin)
+    aj01AsOf, bj01BandJoin, ts01GapFill)
 }
