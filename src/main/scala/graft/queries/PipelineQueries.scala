@@ -102,6 +102,21 @@ object PipelineQueries {
             |SELECT doc_id, rank, token, score_r FROM ranked
             |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin))
 
+  /** Blocked fuzzy self-join on supplier names: every pair within
+    * Levenshtein distance 1 via deletion-signature blocking + exact
+    * verify. The oracle is the QUADRATIC ground truth (all-pairs theta
+    * join) — hash-matching it proves the sub-quadratic blocking
+    * lossless. */
+  val fz01FuzzyPairs = QueryDef("fz01_fuzzy_pairs",
+    (s, d) => graft.text.FuzzyJoin.pairsWithin1(
+      Tables.supplier(s, d), "s_suppkey", "s_name")
+      .orderBy("id1", "id2"),
+    Some("""SELECT a.s_suppkey AS id1, b.s_suppkey AS id2,
+           |  CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+           |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+           |WHERE levenshtein(a.s_name, b.s_name) <= 1
+           |ORDER BY id1, id2""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(ck01DocChunks, pk01SequencePacking, vc01VocabTopK,
-    tx01TfIdfTopTerms)
+    tx01TfIdfTopTerms, fz01FuzzyPairs)
 }

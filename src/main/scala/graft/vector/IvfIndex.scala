@@ -38,9 +38,25 @@ object IvfIndex {
             trainCapPerCell: Int = 256, maxIter: Int = 8): Index = {
     val withVec = corpus.withColumn("__features",
       array_to_vector(col(vecCol).cast("array<double>")))
+    val train = withVec.select("__features").limit(trainCapPerCell * nList)
+    if (train.isEmpty) {
+      // empty corpus: no centroids, no cells — topK over this index is
+      // correctly empty (KMeans.fit would throw on zero rows)
+      val spark0 = corpus.sparkSession
+      val centroids = spark0.createDataFrame(
+        spark0.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cell_id",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("centroid",
+            org.apache.spark.sql.types.ArrayType(FloatType, containsNull = false)))))
+      return Index(
+        corpus.select(col(idCol), col(vecCol)).withColumn("cell_id", lit(0)),
+        centroids)
+    }
     val model = new KMeans().setK(nList).setSeed(42L).setMaxIter(maxIter)
       .setFeaturesCol("__features").setPredictionCol("cell_id")
-      .fit(withVec.select("__features").limit(trainCapPerCell * nList))
+      .fit(train)
     val cells = model.transform(withVec)
       .select(col(idCol), col(vecCol), col("cell_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
