@@ -9,12 +9,14 @@ import org.apache.spark.sql.functions._
   * representative per component (cf. the union-find pass every
   * large-scale dedup pipeline ends with).
   *
-  * Algorithm: iterative min-label propagation. Every node starts
-  * labeled with its own id; each round, labels flow across edges (both
-  * directions) and every node keeps the minimum label seen. Fixpoint =
-  * every node holds the minimum id of its component. Converges in
-  * O(component diameter) rounds — near-dup graphs are shallow (stars
-  * and short chains), so a handful of rounds suffices.
+  * Algorithm: min-label propagation with pointer jumping. Every node
+  * starts labeled with its own id; each round (1) labels flow across
+  * edges (both directions) and every node keeps the minimum seen, then
+  * (2) every node jumps to its label's label — the classic
+  * pointer-doubling step, sound because label(v) is always a
+  * same-component node with a ≤ label. Propagation alone needs
+  * O(diameter) rounds; the jump contracts label chains geometrically,
+  * so long chains converge in O(log diameter) rounds.
   *
   * Scale notes:
   *  - Each round is one equi-join (edges ⨝ labels, shuffle keyed by
@@ -56,8 +58,17 @@ object ConnectedComponents {
       while (!converged && iter < maxIter) {
         val msgs = bi.join(labels, bi("a") === labels("id"))
           .select(bi("b").as("id"), labels("cluster_id"))
-        val updated = labels.unionByName(msgs)
+        val propagated = labels.unionByName(msgs)
           .groupBy("id").agg(min("cluster_id").as("cluster_id"))
+        // pointer jump: follow cluster_id one more hop through the
+        // (pre-jump) label table — left join because a label may be a
+        // component-min node that only appears as its own id
+        val jumpTo = propagated
+          .select(col("id").as("jid"), col("cluster_id").as("jlabel"))
+        val updated = propagated
+          .join(jumpTo, propagated("cluster_id") === jumpTo("jid"), "left")
+          .select(propagated("id"),
+            least(propagated("cluster_id"), col("jlabel")).as("cluster_id"))
           .localCheckpoint()
         val newSum = labelSum(updated)
         labels = updated
