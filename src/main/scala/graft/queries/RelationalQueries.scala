@@ -521,6 +521,21 @@ object RelationalQueries {
       approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders")),
     None)
 
+  /** Approximate percentiles (Greenwald-Khanna sketch) — the
+    * fixed-memory companion to f04's exact quantiles: mergeable
+    * per-partition sketches, no sort, no expand. Sketch internals
+    * differ from DuckDB's → rows-only; accuracy vs the exact quartiles
+    * bounded in ScalaTest. */
+  val x03ApproxQuartiles = QueryDef("x03_approx_quartiles",
+    (s, d) => Tables.orders(s, d).agg(
+      approx_percentile(col("o_totalprice"),
+        array(lit(0.25), lit(0.5), lit(0.75)), lit(1000)).as("approx_quartiles"))
+      .select(
+        element_at(col("approx_quartiles"), 1).as("q1"),
+        element_at(col("approx_quartiles"), 2).as("q2"),
+        element_at(col("approx_quartiles"), 3).as("q3")),
+    None)
+
   val all: Seq[QueryDef] = Seq(
     p01CleanCast,
     v01ValidSplit, v02RejectSplit, v05RangeFilter, v06DropNa,
@@ -531,5 +546,5 @@ object RelationalQueries {
     t02RecentWeeks, t03TopkCustomers, t04TopBottom,
     u01UnionDistinct, u02Except, u03Intersect, u04UnionAll,
     w01LagDelta, w02TopkPerGroup, w03RollingAvg, w05TopkHeap, w06RollingMedian,
-    x01DistinctCount, x02ApproxDistinct)
+    x01DistinctCount, x02ApproxDistinct, x03ApproxQuartiles)
 }
