@@ -53,10 +53,20 @@ object Bench {
       try run(fn, sfDir) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def r3(v: Double): String = f"$v%.3f"
+    // The printed line must survive a tail-capture of the run log
+    // (round 1's full 85-query map exceeded it and failed to parse), so
+    // it carries the slowest 30 queries; the complete per-query map
+    // goes to target/bench_full.json.
+    val top = results.sortBy(-_._2).take(30)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val all = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench_full.json"),
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$all,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$top,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

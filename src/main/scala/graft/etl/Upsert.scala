@@ -1,0 +1,37 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SCD-1 upsert (MERGE semantics as a pure DataFrame op): an update row
+  * REPLACES the existing row with the same key; update rows with new
+  * keys insert; untouched existing rows persist. The sibling of the
+  * reference's insert-if-not-exists dedup (D1-D3) — where that keeps
+  * the FIRST version, this keeps the LATEST.
+  *
+  * Shape: one full-outer join on the key — the single irreducible
+  * shuffle. Replacement is row-level (whole update row wins), chosen by
+  * key presence, not per-column coalesce — so an update carrying an
+  * explicit NULL really nulls the field. Keys must be non-null (the
+  * presence test is `isNotNull` on the update key). At warehouse scale
+  * this joins two bucketed tables shuffle-free (Scale.writeBucketed on
+  * the merge key).
+  */
+object Upsert {
+
+  def upsert(existing: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty)
+    require(existing.columns.sameElements(updates.columns),
+      "existing and updates must share a schema")
+    // alias-qualified references (not Dataset-column ones): updates is
+    // routinely DERIVED from existing (a filtered+modified batch), and
+    // dataset references into two branches of the same plan are
+    // ambiguous in a self-join
+    val cond = keys.map(k => s"e.`$k` = u.`$k`").mkString(" AND ")
+    val fromU = col(s"u.`${keys.head}`").isNotNull
+    val cols = existing.columns.toSeq.map(c =>
+      when(fromU, col(s"u.`$c`")).otherwise(col(s"e.`$c`")).as(c))
+    existing.alias("e").join(updates.alias("u"), expr(cond), "full_outer")
+      .select(cols: _*)
+  }
+}

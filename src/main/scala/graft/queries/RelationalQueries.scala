@@ -347,6 +347,39 @@ object RelationalQueries {
            |  SELECT * FROM (SELECT * FROM a ORDER BY avg_balance ASC, n_name LIMIT 10))
            |ORDER BY avg_balance DESC, n_name""".stripMargin))
 
+  /** MERGE/upsert (SCD-1): a synthetic update batch (10% of customers
+    * get +1000 balance; 1% arrive as brand-new keys) merged into the
+    * customer table — update rows replace, new keys insert, the rest
+    * persist. Verified by per-nation counts + decimal-exact balance
+    * sums over the merged result. */
+  val up01UpsertMerge = QueryDef("up01_upsert_merge",
+    (s, d) => {
+      val base = Tables.customer(s, d)
+      val mods = base.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 1000d)
+      val ins = base.filter(col("c_custkey") % 100 === 0)
+        .withColumn("c_custkey", col("c_custkey") + 10000000L)
+      val merged = graft.etl.Upsert.upsert(
+        base, mods.unionByName(ins), Seq("c_custkey"))
+      merged.groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast(DecimalType(12, 2))).cast(DoubleType).as("bal"))
+        .orderBy("c_nationkey")
+    },
+    Some("""WITH upd AS (
+           |  SELECT * REPLACE (c_acctbal + 1000 AS c_acctbal)
+           |  FROM customer WHERE c_custkey % 10 = 0
+           |  UNION ALL
+           |  SELECT * REPLACE (c_custkey + 10000000 AS c_custkey)
+           |  FROM customer WHERE c_custkey % 100 = 0),
+           |merged AS (
+           |  SELECT * FROM customer
+           |  WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+           |  UNION ALL SELECT * FROM upd)
+           |SELECT c_nationkey, COUNT(*) AS n,
+           |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+           |FROM merged GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin))
+
   // =========================================================================
   // U — set operations (SURVEY §2.8)
   // =========================================================================
@@ -544,7 +577,7 @@ object RelationalQueries {
     a05RatioByStatus, a06SumArithmetic, a07Join3Count,
     a08RatioByPriorityWeek, a09AvgByGroup,
     t02RecentWeeks, t03TopkCustomers, t04TopBottom,
-    u01UnionDistinct, u02Except, u03Intersect, u04UnionAll,
+    u01UnionDistinct, u02Except, u03Intersect, u04UnionAll, up01UpsertMerge,
     w01LagDelta, w02TopkPerGroup, w03RollingAvg, w05TopkHeap, w06RollingMedian,
     x01DistinctCount, x02ApproxDistinct, x03ApproxQuartiles)
 }

@@ -1,0 +1,29 @@
+package graft.etl
+
+import graft.SparkSpec
+
+class UpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("update replaces, new key inserts, untouched persists, explicit null wins") {
+    val existing = Seq((1L, Option("a"), 10.0), (2L, Option("b"), 20.0),
+      (3L, Option("c"), 30.0)).toDF("k", "s", "v")
+    val updates = Seq((2L, Option("B"), 99.0), (4L, None: Option[String], 40.0))
+      .toDF("k", "s", "v")
+    val merged = Upsert.upsert(existing, updates, Seq("k"))
+      .orderBy("k").as[(Long, Option[String], Double)].collect().toSeq
+    assert(merged == Seq(
+      (1L, Some("a"), 10.0),   // untouched persists
+      (2L, Some("B"), 99.0),   // replaced wholesale
+      (3L, Some("c"), 30.0),
+      (4L, None, 40.0)))       // inserted; its null field stays null
+  }
+
+  test("idempotent: upserting the same batch twice equals once") {
+    val existing = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    val updates = Seq((2L, "B"), (3L, "c")).toDF("k", "s")
+    val once = Upsert.upsert(existing, updates, Seq("k"))
+    val twice = Upsert.upsert(once, updates, Seq("k"))
+    assert(once.exceptAll(twice).count() == 0 && twice.exceptAll(once).count() == 0)
+  }
+}
