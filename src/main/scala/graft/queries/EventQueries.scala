@@ -136,6 +136,48 @@ object EventQueries {
            |SELECT cal.week, COALESCE(wk.n_orders, 0) AS n_orders
            |FROM cal LEFT JOIN wk USING (week) ORDER BY week""".stripMargin))
 
+  /** Funnel conversion: per user, first signup → first purchase AT OR
+    * AFTER it; conversion split by whether it happened within 7 days.
+    * One pass per stage (min-aggregates), one join — no event-by-event
+    * state. Epoch-microsecond arithmetic keeps the 7-day window exact
+    * in both engines. */
+  val fn01Funnel = QueryDef("fn01_funnel",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts")).as("signup_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"))
+      // the >= condition must live in the join ON clause: filtering
+      // after a left join would also drop users whose purchases all
+      // precede signup, but they belong in the no_purchase bucket
+      val firstConv = signups.alias("s")
+        .join(purchases.alias("p"),
+          expr("s.user_id = p.user_id AND p.p_ts >= s.signup_ts"), "left")
+        .groupBy(col("s.user_id"), col("signup_ts"))
+        .agg(min(col("p_ts")).as("conv_ts"))
+      firstConv.select(
+        when(col("conv_ts").isNull, "no_purchase")
+          .when(unix_micros(col("conv_ts")) - unix_micros(col("signup_ts"))
+            <= 7L * 86400L * 1000000L, "within_7d")
+          .otherwise("after_7d").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_users"))
+        .orderBy("bucket")
+    },
+    Some("""WITH su AS (SELECT user_id, MIN(ts) AS signup_ts FROM events
+           |        WHERE event_type = 'signup' GROUP BY user_id),
+           |conv AS (SELECT su.user_id, su.signup_ts, MIN(p.ts) AS conv_ts
+           |  FROM su LEFT JOIN events p
+           |    ON p.user_id = su.user_id AND p.event_type = 'purchase'
+           |   AND p.ts >= su.signup_ts
+           |  GROUP BY 1, 2)
+           |SELECT CASE WHEN conv_ts IS NULL THEN 'no_purchase'
+           |            WHEN epoch_us(conv_ts) - epoch_us(signup_ts)
+           |                 <= 604800000000 THEN 'within_7d'
+           |            ELSE 'after_7d' END AS bucket,
+           |  COUNT(*) AS n_users
+           |FROM conv GROUP BY bucket ORDER BY bucket""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(s01SessionCounts, s02SessionWindow, s03DailyByType,
-    aj01AsOf, bj01BandJoin, ts01GapFill)
+    aj01AsOf, bj01BandJoin, ts01GapFill, fn01Funnel)
 }
