@@ -33,6 +33,20 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** Latest-wins dedup: keep the newest row per key (ties broken by
+    * `tieCol` descending too) — the temporal complement of first-wins:
+    * first-wins preserves the original load, latest-wins keeps the
+    * freshest snapshot (CDC/compaction semantics). Same single-shuffle
+    * window shape. */
+  def latestWins(df: DataFrame, keys: Seq[String], orderCol: String,
+                 tieCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col).toIndexedSeq: _*)
+      .orderBy(col(orderCol).desc, col(tieCol).desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** D3 cross-load dedup: drop rows whose key already exists in the
     * warehouse (reference: load_quality.py:122-126 set-based IN probe).
     * Existing side is pruned to key columns before the anti-join. */

@@ -117,6 +117,29 @@ object PipelineQueries {
            |WHERE levenshtein(a.s_name, b.s_name) <= 1
            |ORDER BY id1, id2""".stripMargin))
 
+  /** Misra-Gries frequent tokens per language. k=64 exceeds the
+    * per-lang vocabulary, so the summary runs in its exact-recovery
+    * regime (zero decrements) and equals a plain GROUP BY — which is
+    * what makes a sketch aggregate hash-checkable against SQL. The
+    * sketch regime (decrements, error bounds, merge invariance) is
+    * covered by FreqItemsSpec on engineered skew. */
+  val fq01FreqTokens = QueryDef("fq01_freq_tokens",
+    (s, d) => {
+      import graft.topk.FreqItemsAgg
+      Tables.documents(s, d)
+        .select(col("lang"), explode(TextFunctions.tokens(col("text"))).as("token"))
+        .groupBy("lang")
+        .agg(FreqItemsAgg.freq_items(col("token"), 64).as("fi"))
+        .select(col("lang"), col("fi.max_undercount").as("undercount"),
+          explode(col("fi.items")).as("x"))
+        .select(col("lang"), col("x.item").as("token"),
+          col("x.min_count").as("cnt"), col("undercount"))
+        .orderBy("lang", "token")
+    },
+    Some(s"""WITH w AS (SELECT lang, unnest($sqlTokArr) AS token FROM documents)
+            |SELECT lang, token, COUNT(*) AS cnt, CAST(0 AS BIGINT) AS undercount
+            |FROM w GROUP BY lang, token ORDER BY lang, token""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(ck01DocChunks, pk01SequencePacking, vc01VocabTopK,
-    tx01TfIdfTopTerms, fz01FuzzyPairs)
+    tx01TfIdfTopTerms, fz01FuzzyPairs, fq01FreqTokens)
 }

@@ -118,6 +118,16 @@ object RelationalQueries {
            |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
            |  FROM events) t WHERE rn = 1 ORDER BY user_id""".stripMargin))
 
+  /** Latest-wins dedup — the freshest row per user (CDC/compaction
+    * semantics; temporal complement of d01's first-wins). */
+  val d05LatestWins = QueryDef("d05_dedup_latest_wins",
+    (s, d) => Dedup.latestWins(Tables.events(s, d), Seq("user_id"), "ts", "event_id")
+      .select("user_id", "event_id", "event_type").orderBy("user_id"),
+    Some("""SELECT user_id, event_id, event_type FROM (
+           |  SELECT user_id, event_id, event_type,
+           |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+           |  FROM events) t WHERE rn = 1 ORDER BY user_id""".stripMargin))
+
   /** D2 — composite-key first-occurrence-wins (ref: load_hhs.py:103). */
   val d02DedupComposite = QueryDef("d02_dedup_composite_key",
     (s, d) => Dedup.firstOccurrenceWins(Tables.events(s, d), Seq("user_id", "event_type"), "event_id")
@@ -572,7 +582,7 @@ object RelationalQueries {
   val all: Seq[QueryDef] = Seq(
     p01CleanCast,
     v01ValidSplit, v02RejectSplit, v05RangeFilter, v06DropNa,
-    d01DedupFirstWins, d02DedupComposite, d03AntiJoin, d04SemiJoin,
+    d01DedupFirstWins, d02DedupComposite, d03AntiJoin, d04SemiJoin, d05LatestWins,
     a01CountFilter, a02CountByGroup, a03GlobalSums, a04SumsByWeek,
     a05RatioByStatus, a06SumArithmetic, a07Join3Count,
     a08RatioByPriorityWeek, a09AvgByGroup,
