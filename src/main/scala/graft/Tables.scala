@@ -9,16 +9,24 @@ import org.apache.spark.sql.types.LongType
   * Scale notes (100 TB design): every loader is a plain parquet scan —
   * Catalyst pushes column pruning and predicate filters into the scan
   * (`PushedFilters` / `ReadSchema`), so downstream operators decide I/O,
-  * not this module. No caching here: at 100 TB, caching a full table is
-  * a mistake; callers cache only small dimension frames they broadcast.
+  * not this module. No DATA caching here: at 100 TB, caching a full
+  * table is a mistake; callers cache only small dimension frames they
+  * broadcast. The analyzed-relation METADATA (file listing + parquet
+  * footer schema) IS memoized per (session, path): that's what a
+  * catalog/metastore provides in production, and re-listing per query
+  * was a measurable fixed cost across an 89-query run.
   */
 object Tables {
   val all: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  private val relationCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    relationCache.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
+      key => key._1.read.parquet(key._2))
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
