@@ -69,6 +69,23 @@ object IvfIndex {
     Index(cells, centroids)
   }
 
+  /** Persist: cells written PARTITIONED BY cell_id (a probe reads only
+    * its cells' files — partition pruning does the IVF candidate
+    * narrowing at the storage layer), centroids as a single small
+    * parquet. This is the deployment shape: build once, serve many
+    * query batches from disk. */
+  def save(index: Index, path: String): Unit = {
+    index.cells.write.mode("overwrite")
+      .partitionBy("cell_id").parquet(s"$path/cells")
+    index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Load a saved index. Cell scans prune by cell_id at the source. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Index =
+    Index(
+      cells = spark.read.parquet(s"$path/cells"),
+      centroids = spark.read.parquet(s"$path/centroids"))
+
   /** Query: per query vector, pick the nProbe nearest cells by centroid
     * cosine, then exact-score only vectors in those cells. */
   def topK(index: Index, queries: DataFrame, k: Int, nProbe: Int,

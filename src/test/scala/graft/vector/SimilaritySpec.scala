@@ -48,6 +48,24 @@ class SimilaritySpec extends SparkSpec {
     info(f"LSH recall@5 = $recall%.2f (${(exact & approx).size}/${exact.size})")
   }
 
+  test("IVF index round-trips through disk; loaded index answers identically") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") % 100 === 0)
+    val idx = IvfIndex.build(emb, nList = 8)
+    val dir = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("/root/repo/target"), "ivf").toString
+    IvfIndex.save(idx, dir)
+    val loaded = IvfIndex.load(spark, dir)
+    val a = IvfIndex.topK(idx, queries, 5, nProbe = 3)
+    val b = IvfIndex.topK(loaded, queries, 5, nProbe = 3)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    // deployment shape: cells land as one directory per cell_id, so a
+    // probe's scan is partition-pruned to its cells
+    val cellDirs = new java.io.File(s"$dir/cells").listFiles()
+      .filter(_.getName.startsWith("cell_id=")).map(_.getName).toSet
+    assert(cellDirs.size == 8, s"expected 8 cell partitions, got $cellDirs")
+  }
+
   test("IVF top-k recall ≥ 0.5 vs brute force at k=5, nProbe=4/16") {
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.filter($"vec_id" % 100 === 0)
