@@ -140,6 +140,58 @@ object PipelineQueries {
             |SELECT lang, token, COUNT(*) AS cnt, CAST(0 AS BIGINT) AS undercount
             |FROM w GROUP BY lang, token ORDER BY lang, token""".stripMargin))
 
+  /** BM25 document ranking for a fixed query ("table value scan"):
+    * standard Okapi BM25 (k1=1.2, b=0.75) with the robust idf
+    * ln(1 + (N-df+0.5)/(df+0.5)). Every factor is exact integer-derived
+    * double arithmetic; scores round to 6dp before ranking so both
+    * engines order identically. Top-10 documents. */
+  val tx02Bm25 = QueryDef("tx02_bm25",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      val words = docs
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("token"))
+      val dlen = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val avgdlRow = dlen.agg(sum(col("dl")).cast("double") / count(lit(1))).head()
+      val avgdl = if (avgdlRow.isNullAt(0)) 1d else avgdlRow.getDouble(0)
+      val qTerms = Seq("table", "value", "scan")
+      val df_ = words.filter(col("token").isin(qTerms: _*))
+        .groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+      val tf = words.filter(col("token").isin(qTerms: _*))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val k1 = 1.2d
+      val b = 0.75d
+      val idf = log(lit(1d) + (lit(n.toDouble) - col("df") + 0.5d) / (col("df") + 0.5d))
+      val scored = tf.join(broadcast(df_), "token").join(dlen, "doc_id")
+        .withColumn("term_score",
+          // operation order mirrors the oracle SQL exactly (floating
+          // point is order-sensitive): tf*(k1+1), then
+          // tf + k1*(1 - b + b*dl/avgdl)
+          idf * (col("tf") * (k1 + 1d)) /
+            (col("tf") + lit(k1) * (lit(1d) - b + lit(b) * col("dl") / avgdl)))
+      scored.groupBy("doc_id")
+        .agg(round(sum(col("term_score")), 6).as("bm25_r"))
+        .orderBy(col("bm25_r").desc, col("doc_id"))
+        .limit(10)
+    },
+    Some(s"""WITH w AS (SELECT doc_id, unnest($sqlTokArr) AS token FROM documents),
+            |n AS (SELECT COUNT(*) AS n FROM documents),
+            |dlen AS (SELECT doc_id, COUNT(*) AS dl FROM w GROUP BY doc_id),
+            |avgdl AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dlen),
+            |q AS (SELECT * FROM w WHERE token IN ('table', 'value', 'scan')),
+            |dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM q GROUP BY token),
+            |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM q GROUP BY 1, 2),
+            |scored AS (SELECT tf.doc_id,
+            |    ln(1 + (CAST(n.n AS DOUBLE) - dfreq.df + 0.5) / (dfreq.df + 0.5))
+            |      * (tf.tf * (1.2 + 1)) /
+            |      (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dlen.dl / avgdl.avgdl)) AS term_score
+            |  FROM tf JOIN dfreq ON tf.token = dfreq.token
+            |  JOIN dlen ON dlen.doc_id = tf.doc_id
+            |  CROSS JOIN n CROSS JOIN avgdl)
+            |SELECT doc_id, round(SUM(term_score), 6) AS bm25_r
+            |FROM scored GROUP BY doc_id
+            |ORDER BY bm25_r DESC, doc_id LIMIT 10""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(ck01DocChunks, pk01SequencePacking, vc01VocabTopK,
-    tx01TfIdfTopTerms, fz01FuzzyPairs, fq01FreqTokens)
+    tx01TfIdfTopTerms, tx02Bm25, fz01FuzzyPairs, fq01FreqTokens)
 }
