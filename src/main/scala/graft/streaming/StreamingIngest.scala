@@ -72,6 +72,29 @@ object StreamingIngest {
       }
   }
 
+  /** Watermarked stream-stream interval join: right-side events in
+    * [leftTs, leftTs + window] for the same key (e.g. purchases within
+    * 7 days of a signup), with both sides' state bounded by watermark +
+    * interval — the Structured Streaming join shape where the engine
+    * can actually EVICT state, unlike an unconstrained equi-join.
+    * Right columns come back prefixed `r_`. Works identically on batch
+    * frames (watermark is a no-op there), which is how the spec proves
+    * stream==batch. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String,
+                   watermark: String, window: String): DataFrame = {
+    val r0 = right.columns.foldLeft(right)((df, c) =>
+      df.withColumnRenamed(c, s"r_$c"))
+    val (l, r) =
+      if (left.isStreaming)
+        (left.withWatermark(leftTs, watermark),
+          r0.withWatermark(s"r_$rightTs", watermark))
+      else (left, r0)
+    l.join(r, expr(
+      s"$key = r_$key AND r_$rightTs >= $leftTs" +
+        s" AND r_$rightTs <= $leftTs + interval $window"))
+  }
+
   /** Streaming corpus curation: the filter stage of
     * graft.text.CurationPipeline over a document stream, with running
     * kept/reject counts per source. langId/qualityScore are pure column

@@ -65,6 +65,23 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("stream-stream interval join equals the batch join exactly") {
+    def sides(df: org.apache.spark.sql.DataFrame) = (
+      df.filter(col("event_type") === "signup").select("user_id", "ts", "event_id"),
+      df.filter(col("event_type") === "purchase").select("user_id", "ts", "event_id"))
+    val stream = spark.readStream.schema(eventsSchema).parquet(s"$stagingDir/events")
+    val (ss, sp) = sides(stream)
+    val got = StreamingIngest.runToMemory(
+      StreamingIngest.intervalJoin(ss, sp, "user_id", "ts", "ts", "0 seconds", "7 days")
+        .select("user_id", "event_id", "r_event_id"),
+      "stream_interval_join")
+    val (bs, bp) = sides(Tables.events(spark, sfDir))
+    val want = StreamingIngest.intervalJoin(bs, bp, "user_id", "ts", "ts", "0 seconds", "7 days")
+      .select("user_id", "event_id", "r_event_id")
+    assert(got.count() > 0, "join must produce matches on this corpus")
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
   test("windowed counts total matches batch count") {
     val stream = spark.readStream.schema(eventsSchema).parquet(s"$stagingDir/events")
     val counts = StreamingIngest.windowedCounts(stream, "ts", "1 hour", "0 seconds")
