@@ -161,6 +161,43 @@ object TextQueries {
            |WHERE CAST(i AS DOUBLE) / (n1.n + n2.n - i) >= 0.5
            |ORDER BY id1, id2""".stripMargin))
 
+  /** The HASHED-shingle Jaccard (the 100 TB form: 64-bit shingle hashes
+    * shuffle instead of strings) against the STRING-shingle oracle —
+    * hash-matching proves the scale path computes the identical
+    * similarity set on this corpus (64-bit collisions would surface as
+    * a mismatch). Wider subset (%2) + bigrams + lower threshold than
+    * dd03 so the equality is tested on non-trivial pairs at every SF
+    * (6 pairs at sf0.01, 278 at sf0.1), and WITH the document-frequency
+    * cap engaged (df <= 50; the tiny synthetic vocabulary makes capless
+    * bigram co-occurrence quadratic — exactly the degenerate-content
+    * hazard the cap guards at 100 TB). The oracle replicates the cap,
+    * so the df-filtered similarity semantics are verified too. */
+  val dd07HashedJaccard = QueryDef("dd07_hashed_jaccard",
+    (s, d) => TextDedup.jaccardPairs(
+      Tables.documents(s, d).filter(col("doc_id") % 2 === 0), k = 2,
+      threshold = 0.3, maxShingleDf = 50, hashedShingles = true)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .orderBy("id1", "id2"),
+    Some("""WITH docs AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+           |tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+           |        generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS i FROM docs),
+           |sh0 AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w AS s
+           |       FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+           |keep AS (SELECT s FROM (SELECT s, COUNT(*) AS df FROM sh0 GROUP BY s) t
+           |         WHERE df <= 50),
+           |sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (s)),
+           |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+           |inter AS (SELECT x.doc_id AS id1, y.doc_id AS id2, COUNT(*) AS i
+           |          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+           |          GROUP BY 1, 2)
+           |SELECT id1, id2,
+           |  round(CAST(i AS DOUBLE) / (n1.n + n2.n - i), 6) AS jaccard
+           |FROM inter
+           |JOIN sizes n1 ON n1.doc_id = id1
+           |JOIN sizes n2 ON n2.doc_id = id2
+           |WHERE CAST(i AS DOUBLE) / (n1.n + n2.n - i) >= 0.3
+           |ORDER BY id1, id2""".stripMargin))
+
   /** MinHash+LSH near-dup candidates (est. Jaccard from 32 minhashes,
     * 8 bands × 4 rows). Hash permutations aren't SQL-portable →
     * rows-only; recall vs exact Jaccard asserted in ScalaTest. */
@@ -308,5 +345,6 @@ object TextQueries {
     x10TokenStats, x11QualityScore, x12LangId, x13Fingerprint, x14RollingHash,
     x15BpeTokens, sm01TrainTestSplit, sm02StratifiedSample,
     cp01CorpusCuration, cp02CurationPipeline,
-    dd01ExactGroups, dd02ExactKept, dd03Jaccard, dd04MinHash, dd05SimHash)
+    dd01ExactGroups, dd02ExactKept, dd03Jaccard, dd04MinHash, dd05SimHash,
+    dd07HashedJaccard)
 }

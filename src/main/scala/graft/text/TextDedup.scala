@@ -47,17 +47,32 @@ object TextDedup {
     docs.select(col(idCol).as("id"),
       explode(TextFunctions.shingles(col(textCol), k)).as("s"))
 
+  /** Hashed shingle rows: (id, s: long) via [[ShingleHashesExpr]] — the
+    * scale path (no shingle strings ever materialized). Set-identical
+    * to [[shingleRows]] modulo 64-bit collisions; dd07 oracle-verifies
+    * the equivalence on the corpus. */
+  def hashedShingleRows(docs: DataFrame, k: Int, idCol: String,
+                        textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+      explode(ShingleHashesExpr.shingleHashes(
+        TextFunctions.tokens(col(textCol)), k)).as("s"))
+
   /** Exact n-gram Jaccard pairs ≥ threshold. `maxShingleDf` drops
     * shingles appearing in more than that many documents before pair
     * generation (guards the quadratic blowup on degenerate content);
     * intersection counts then come from the SURVIVING shingles only, so
     * the Jaccard here is over the df-filtered shingle space — callers
-    * wanting fully-exact similarity pass maxShingleDf = Int.MaxValue. */
+    * wanting fully-exact similarity pass maxShingleDf = Int.MaxValue.
+    * `hashedShingles = true` runs the same algebra over 64-bit shingle
+    * hashes instead of strings — the form a 100 TB run uses (narrower
+    * shuffle keys, no string allocation). */
   def jaccardPairs(docs: DataFrame, k: Int, threshold: Double,
                    maxShingleDf: Int = Int.MaxValue,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                   idCol: String = "doc_id", textCol: String = "text",
+                   hashedShingles: Boolean = false): DataFrame = {
     // exploded shingles feed sizes + both join sides — materialize once
-    val sh = shingleRows(docs, k, idCol, textCol)
+    val sh = (if (hashedShingles) hashedShingleRows(docs, k, idCol, textCol)
+              else shingleRows(docs, k, idCol, textCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val kept =
       if (maxShingleDf == Int.MaxValue) sh
