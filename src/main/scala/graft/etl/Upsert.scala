@@ -19,6 +19,22 @@ import org.apache.spark.sql.functions._
   */
 object Upsert {
 
+  /** SCD-2 historization: turn a change log (key, orderCol, attributes)
+    * into a validity-interval history — valid_from = the change's own
+    * order value, valid_to = the NEXT change's (null while current),
+    * is_current on the latest row. One window shuffle keyed by the
+    * dimension key; at warehouse scale the change log is the small
+    * delta, so the window partitions stay bounded per key. */
+  def scd2(changeLog: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
+    require(keys.nonEmpty)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+    changeLog
+      .withColumn("valid_from", col(orderCol))
+      .withColumn("valid_to", lead(col(orderCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   def upsert(existing: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty)
     require(existing.columns.sameElements(updates.columns),

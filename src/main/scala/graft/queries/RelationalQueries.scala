@@ -390,6 +390,37 @@ object RelationalQueries {
            |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
            |FROM merged GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin))
 
+  /** SCD-2 historization over the event stream as a change log: each
+    * user's event_type history becomes validity intervals
+    * (valid_from/valid_to/is_current). Aggregated per user for a
+    * compact oracle check: interval count, current-state count (must be
+    * 1), and total open-interval microseconds. */
+  val sc01Scd2History = QueryDef("sc01_scd2_history",
+    (s, d) => {
+      val log = Tables.events(s, d)
+        .filter(col("event_id") % 7 === 0) // sparse change log
+        .select("user_id", "ts", "event_type")
+      graft.etl.Upsert.scd2(log, Seq("user_id"), "ts")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_versions"),
+          sum(when(col("is_current"), 1L).otherwise(0L)).as("n_current"),
+          sum(when(col("valid_to").isNotNull,
+            unix_micros(col("valid_to")) - unix_micros(col("valid_from")))
+            .otherwise(0L)).as("closed_us"))
+        .orderBy("user_id")
+    },
+    Some("""WITH log AS (SELECT user_id, ts, event_type FROM events
+           |        WHERE event_id % 7 = 0),
+           |h AS (SELECT user_id, ts AS valid_from,
+           |        LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+           |      FROM log)
+           |SELECT user_id, COUNT(*) AS n_versions,
+           |  CAST(SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_current,
+           |  CAST(SUM(CASE WHEN valid_to IS NOT NULL
+           |                THEN epoch_us(valid_to) - epoch_us(valid_from)
+           |                ELSE 0 END) AS BIGINT) AS closed_us
+           |FROM h GROUP BY user_id ORDER BY user_id""".stripMargin))
+
   // =========================================================================
   // U — set operations (SURVEY §2.8)
   // =========================================================================
@@ -588,6 +619,7 @@ object RelationalQueries {
     a08RatioByPriorityWeek, a09AvgByGroup,
     t02RecentWeeks, t03TopkCustomers, t04TopBottom,
     u01UnionDistinct, u02Except, u03Intersect, u04UnionAll, up01UpsertMerge,
+    sc01Scd2History,
     w01LagDelta, w02TopkPerGroup, w03RollingAvg, w05TopkHeap, w06RollingMedian,
     x01DistinctCount, x02ApproxDistinct, x03ApproxQuartiles)
 }
