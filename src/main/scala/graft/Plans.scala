@@ -56,7 +56,11 @@ object Plans {
     // chunking never shuffles before its presentation sort: no
     // aggregate, no join — scan, generate, project only
     Check("ck01_doc_chunks", Seq("Generate"),
-      wantNone = Seq("HashAggregate", "Join")))
+      wantNone = Seq("HashAggregate", "Join")),
+    // TF-IDF / BM25 scalars (N, avgdl) are lazy 1-row broadcast frames
+    // inside ONE plan — not plan-build-time driver actions
+    Check("tx01_tfidf_topterms", Seq("BroadcastNestedLoopJoin", "BroadcastExchange")),
+    Check("tx02_bm25", Seq("BroadcastNestedLoopJoin", "BroadcastExchange")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

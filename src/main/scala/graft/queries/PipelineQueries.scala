@@ -72,7 +72,10 @@ object PipelineQueries {
   val tx01TfIdfTopTerms = QueryDef("tx01_tfidf_topterms",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val n = docs.count()
+      // corpus size as a LAZY 1-row frame, broadcast-cross-joined in —
+      // mirrors the oracle's CROSS JOIN n. No jobs run at plan build;
+      // the scalar participates in one plan (AQE/cache friendly).
+      val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
       val words = docs
         .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("token"))
       val df_ = words.groupBy("token")
@@ -80,8 +83,9 @@ object PipelineQueries {
       val tf = words.filter(col("doc_id") % 25 === 0)
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
       val scored = tf.join(broadcast(df_), "token")
+        .crossJoin(broadcast(nDocs))
         .withColumn("score_r",
-          round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+          round(col("tf") * log(col("n_docs") / col("df")), 6))
       val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
         .orderBy(col("score_r").desc, col("token"))
       scored.withColumn("rank", row_number().over(w).cast(LongType))
@@ -148,12 +152,16 @@ object PipelineQueries {
   val tx02Bm25 = QueryDef("tx02_bm25",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val n = docs.count()
+      // N and avgdl as LAZY 1-row broadcast frames (the oracle's
+      // CROSS JOIN n CROSS JOIN avgdl) — no plan-build-time jobs.
+      // nullif guards the empty-corpus count=0 under ANSI division.
+      val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
       val words = docs
         .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("token"))
       val dlen = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      val avgdlRow = dlen.agg(sum(col("dl")).cast("double") / count(lit(1))).head()
-      val avgdl = if (avgdlRow.isNullAt(0)) 1d else avgdlRow.getDouble(0)
+      val avgdlF = dlen.agg(coalesce(
+        sum(col("dl")).cast("double") / nullif(count(lit(1)), lit(0L)),
+        lit(1d)).as("avgdl"))
       val qTerms = Seq("table", "value", "scan")
       val df_ = words.filter(col("token").isin(qTerms: _*))
         .groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
@@ -161,14 +169,15 @@ object PipelineQueries {
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
       val k1 = 1.2d
       val b = 0.75d
-      val idf = log(lit(1d) + (lit(n.toDouble) - col("df") + 0.5d) / (col("df") + 0.5d))
+      val idf = log(lit(1d) + (col("n_docs") - col("df") + 0.5d) / (col("df") + 0.5d))
       val scored = tf.join(broadcast(df_), "token").join(dlen, "doc_id")
+        .crossJoin(broadcast(nDocs)).crossJoin(broadcast(avgdlF))
         .withColumn("term_score",
           // operation order mirrors the oracle SQL exactly (floating
           // point is order-sensitive): tf*(k1+1), then
           // tf + k1*(1 - b + b*dl/avgdl)
           idf * (col("tf") * (k1 + 1d)) /
-            (col("tf") + lit(k1) * (lit(1d) - b + lit(b) * col("dl") / avgdl)))
+            (col("tf") + lit(k1) * (lit(1d) - b + lit(b) * col("dl") / col("avgdl"))))
       scored.groupBy("doc_id")
         .agg(round(sum(col("term_score")), 6).as("bm25_r"))
         .orderBy(col("bm25_r").desc, col("doc_id"))

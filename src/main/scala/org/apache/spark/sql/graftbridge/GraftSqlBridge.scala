@@ -13,6 +13,11 @@ object GraftSqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Drain the listener bus so job-count assertions (laziness specs)
+    * see every event posted so far. */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Register a function into an EXISTING session's registry (the
     * extensions path only applies at session build time). */
   def registerFunction(spark: SparkSession, name: FunctionIdentifier,
