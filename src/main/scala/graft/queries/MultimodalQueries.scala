@@ -20,18 +20,22 @@ object MultimodalQueries {
            |  octet_length(encode(text)) AS n_bytes
            |FROM documents ORDER BY doc_id""".stripMargin))
 
-  /** Partition-batched feature extraction (decode stub): real schema,
-    * real mapPartitions execution shape, fake decoder. Fully oracle-
-    * checked: the stub's 8-bin byte histogram (exact counts / exact
-    * length, divided in double) is replayed in SQL over per-char
-    * codepoints — valid because the corpus is pure ASCII (byte ==
-    * codepoint; asserted: octet_length == length at every SF). Bins are
-    * projected as rounded scalar columns — the gate's pandas sort can't
-    * handle raw array cells. */
+  /** Partition-batched feature extraction through a REAL codec: text
+    * bytes become the pixels of an 8-bit grayscale PNG (javax.imageio
+    * encode), the extractor ImageIO-decodes that PNG back to pixels,
+    * and the 8-bin intensity histogram is computed from the DECODED
+    * bytes. The SQL oracle replays the histogram over the SOURCE
+    * bytes — a hash match proves decode(encode(b)) == b through a
+    * genuine compressed image format, not a byte-copy stub. Per-char
+    * codepoint replay is valid because the corpus is pure ASCII (byte
+    * == codepoint; asserted: octet_length == length at every SF). Bins
+    * are projected as rounded scalar columns — the gate's pandas sort
+    * can't handle raw array cells. */
   val mm02Features = QueryDef("mm02_feature_extract",
     (s, d) => {
-      val feats = Multimodal.extractFeatures(
-        Multimodal.payloadsFromDocuments(Tables.documents(s, d)))
+      val feats = Multimodal.extractImageFeatures(
+        Multimodal.payloadsPng(Tables.documents(s, d)))
+        .filter(col("decode_error").isNull)
         .withColumn("n_bytes", col("n_bytes").cast(LongType))
       val bins = (0 until 8).map(i =>
         round(element_at(col("features"), i + 1), 6).as(s"f$i"))

@@ -42,6 +42,41 @@ class MultimodalSpec extends SparkSpec {
     assert(counts.filter(col("count") =!= col("expected")).count() == 0)
   }
 
+  test("PNG codec round-trip: ImageIO decode recovers exact source bytes") {
+    val docs = Tables.documents(spark, sfDir)
+    val feats = Multimodal.extractImageFeatures(
+      Multimodal.payloadsPng(docs).repartition(4)).cache()
+    // every payload decodes (no rejects) and yields the 8-dim histogram
+    assert(feats.filter(col("decode_error").isNotNull).count() == 0)
+    assert(feats.count() == docs.count())
+    // decoded-pixel histogram equals raw-byte histogram for every doc:
+    // PNG encode→decode is lossless
+    val raw = Multimodal.extractFeatures(Multimodal.payloadsFromDocuments(docs))
+    val joined = feats.select(col("doc_id"), col("features").as("png_f"))
+      .join(raw.select(col("doc_id"), col("features").as("raw_f")), "doc_id")
+    assert(joined.filter(col("png_f") =!= col("raw_f")).count() == 0)
+    // the payload is a real PNG: magic bytes + smaller-or-different from raw
+    val png = Multimodal.payloadsPng(docs).select("payload").as[Array[Byte]].head()
+    assert(png.take(8).toSeq == Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte))
+  }
+
+  test("corrupt payloads land in the reject channel, never fail the task") {
+    val good = Multimodal.encodePng("hello world".getBytes("UTF-8"))
+    val rows = Seq(
+      (1L, "image/png", 11, good),
+      (2L, "image/png", 11, good.take(20)),           // truncated PNG
+      (3L, "image/png", 11, "not an image".getBytes), // garbage bytes
+      (4L, "image/png", 9999, good))                  // metadata lies about length
+      .toDF("doc_id", "media_type", "n_bytes", "payload")
+    val out = Multimodal.extractImageFeatures(rows).cache()
+    assert(out.filter(col("decode_error").isNull).select("doc_id")
+      .as[Long].collect().toSeq == Seq(1L))
+    val rejects = out.filter(col("decode_error").isNotNull)
+    assert(rejects.count() == 3)
+    assert(rejects.filter(col("features").isNotNull).count() == 0)
+  }
+
   test("feature extraction: deterministic stub, fixed 8-dim output, batched shape") {
     val payloads = Multimodal.payloadsFromDocuments(
       Tables.documents(spark, sfDir)).repartition(4)
