@@ -48,9 +48,16 @@ object Bench {
       }
       spark.catalog.clearCache()
     }
+    // a failing query must NOT vanish into a near-zero time: failures
+    // are counted and named in the JSON so the bench can't silently
+    // understate while masking breakage
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try run(fn, sfDir) catch { case _: Throwable => () }
+      try run(fn, sfDir) catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val total = results.map(_._2).sum
@@ -63,10 +70,11 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val all = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_full.json"),
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$all,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$top,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_failed":${failed.size},"failed":$failedJson,"queries":$all,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"queries":$top,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -23,10 +23,31 @@ object Tables {
 
   private val relationCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val hooked = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  /** Memoized relation per (session, path). Entries for a session are
+    * evicted when its SparkContext ends (a listener registered on first
+    * use), so stopped sessions and their plans are never pinned across
+    * suites. Paths are assumed immutable within a session (parquet file
+    * listing is captured at first read — a metastore's contract); after
+    * overwriting files at a cached path, call [[invalidate]]. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (hooked.add(spark))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          invalidate(spark)
+      })
     relationCache.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
       key => key._1.read.parquet(key._2))
+  }
+
+  /** Drop every memoized relation for `spark` (e.g. testdata rewritten). */
+  def invalidate(spark: SparkSession): Unit = {
+    hooked.remove(spark)
+    relationCache.keySet.removeIf(_._1 eq spark)
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

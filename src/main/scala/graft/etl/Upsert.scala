@@ -35,10 +35,27 @@ object Upsert {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
-  def upsert(existing: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+  /** PRECONDITION: `keys` are unique within BOTH frames. SQL MERGE
+    * rejects multiple source matches per target row; a duplicate key
+    * here would instead fan out through the full-outer join. With
+    * `strict = true` the precondition on `updates` is enforced inside
+    * the plan (a window count + assert — one extra shuffle keyed the
+    * same as the join, so it co-partitions with the merge at scale);
+    * the default keeps the single-shuffle plan and trusts the caller. */
+  def upsert(existing: DataFrame, updates: DataFrame, keys: Seq[String],
+             strict: Boolean = false): DataFrame = {
     require(keys.nonEmpty)
     require(existing.columns.sameElements(updates.columns),
       "existing and updates must share a schema")
+    val u = if (!strict) updates else {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+      updates.withColumn("_kc", count(lit(1)).over(w))
+        .filter(assert_true(col("_kc") === 1,
+          lit(s"upsert: duplicate key in updates on (${keys.mkString(", ")}) — " +
+            "MERGE semantics forbid multiple matches per target row")).isNull)
+        .drop("_kc")
+    }
+    val updates0 = u
     // alias-qualified references (not Dataset-column ones): updates is
     // routinely DERIVED from existing (a filtered+modified batch), and
     // dataset references into two branches of the same plan are
@@ -47,7 +64,7 @@ object Upsert {
     val fromU = col(s"u.`${keys.head}`").isNotNull
     val cols = existing.columns.toSeq.map(c =>
       when(fromU, col(s"u.`$c`")).otherwise(col(s"e.`$c`")).as(c))
-    existing.alias("e").join(updates.alias("u"), expr(cond), "full_outer")
+    existing.alias("e").join(updates0.alias("u"), expr(cond), "full_outer")
       .select(cols: _*)
   }
 }

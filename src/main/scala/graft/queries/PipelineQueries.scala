@@ -136,6 +136,15 @@ object PipelineQueries {
         .agg(FreqItemsAgg.freq_items(col("token"), 64).as("fi"))
         .select(col("lang"), col("fi.max_undercount").as("undercount"),
           explode(col("fi.items")).as("x"))
+        // fail-fast invariant: the oracle equality is only sound in the
+        // exact-recovery regime (zero decrements). If a corpus change
+        // pushes any lang's vocabulary past k=64, this raises a clear
+        // error instead of a nondeterministic hash mismatch.
+        // (assert_true returns NULL when the predicate holds, so the
+        // filter keeps every row and cannot be constant-folded away.)
+        .filter(assert_true(col("undercount") === lit(0L),
+          lit("fq01: vocabulary exceeded k=64 — Misra-Gries left its " +
+            "exact-recovery regime; oracle equality no longer holds")).isNull)
         .select(col("lang"), col("x.item").as("token"),
           col("x.min_count").as("cnt"), col("undercount"))
         .orderBy("lang", "token")

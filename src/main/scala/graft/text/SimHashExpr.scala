@@ -32,11 +32,11 @@ case class SimHashExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash64"
 
   override def nullSafeEval(v: Any): Any =
-    SimHashExpr.compute(v.asInstanceOf[ArrayData].toLongArray())
+    SimHashExpr.compute(v.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.text.SimHashExpr.compute($c.toLongArray());")
+      s"${ev.value} = graft.text.SimHashExpr.compute($c);")
 
   override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
     copy(child = newChild)
@@ -45,16 +45,20 @@ case class SimHashExpr(child: Expression) extends UnaryExpression {
 object SimHashExpr {
 
   /** Shared by interpreted eval and generated code. Empty token array →
-    * all counters 0 → simhash 0. */
-  def compute(hashes: Array[Long]): Long = {
+    * all counters 0 → simhash 0. NULL elements are skipped (SQL callers
+    * hold array<bigint> with containsNull=true; toLongArray would NPE). */
+  def compute(hashes: ArrayData): Long = {
     val counts = new Array[Int](64)
+    val n = hashes.numElements()
     var i = 0
-    while (i < hashes.length) {
-      val h = hashes(i)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-        b += 1
+    while (i < n) {
+      if (!hashes.isNullAt(i)) {
+        val h = hashes.getLong(i)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
       }
       i += 1
     }

@@ -88,5 +88,10 @@ class ScaleSpec extends SparkSpec {
     val sim = spark.sql(
       "SELECT simhash64(array(CAST(5 AS BIGINT))) AS s").head().getLong(0)
     assert(sim == 5L)
+    // NULL elements in user-supplied SQL arrays are skipped, not NPEs
+    val simNull = spark.sql(
+      "SELECT simhash64(array(CAST(5 AS BIGINT), CAST(NULL AS BIGINT))) AS s")
+      .head().getLong(0)
+    assert(simNull == 5L)
   }
 }

@@ -19,6 +19,22 @@ class UpsertSpec extends SparkSpec {
       (4L, None, 40.0)))       // inserted; its null field stays null
   }
 
+  test("strict mode rejects duplicate update keys (MERGE multiple-match)") {
+    val existing = Seq((1L, "a")).toDF("k", "s")
+    val dupUpdates = Seq((2L, "x"), (2L, "y")).toDF("k", "s")
+    // default: caller's responsibility — duplicates fan out
+    assert(Upsert.upsert(existing, dupUpdates, Seq("k")).count() == 3)
+    // strict: the plan itself raises
+    val e = intercept[Exception] {
+      Upsert.upsert(existing, dupUpdates, Seq("k"), strict = true).count()
+    }
+    assert(e.getMessage.contains("duplicate key") ||
+      e.getCause != null && e.getCause.getMessage.contains("duplicate key"))
+    // strict passes through clean updates untouched
+    val clean = Seq((2L, "x"), (3L, "y")).toDF("k", "s")
+    assert(Upsert.upsert(existing, clean, Seq("k"), strict = true).count() == 3)
+  }
+
   test("idempotent: upserting the same batch twice equals once") {
     val existing = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
     val updates = Seq((2L, "B"), (3L, "c")).toDF("k", "s")
