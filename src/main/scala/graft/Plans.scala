@@ -60,7 +60,16 @@ object Plans {
     // TF-IDF / BM25 scalars (N, avgdl) are lazy 1-row broadcast frames
     // inside ONE plan — not plan-build-time driver actions
     Check("tx01_tfidf_topterms", Seq("BroadcastNestedLoopJoin", "BroadcastExchange")),
-    Check("tx02_bm25", Seq("BroadcastNestedLoopJoin", "BroadcastExchange")))
+    Check("tx02_bm25", Seq("BroadcastNestedLoopJoin", "BroadcastExchange")),
+    // bucketed fact⨝fact: SortMergeJoin straight over bucketed scans —
+    // NO exchange on either join key (the only exchanges are the
+    // post-join aggregate/sort on o_orderpriority)
+    Check("j03_bucketed_join", Seq("SortMergeJoin", "SelectedBucketsCount"),
+      wantNone = Seq("Exchange hashpartitioning(o_orderkey",
+        "Exchange hashpartitioning(l_orderkey")),
+    // salted skew aggregate: two-stage — partial sums keyed (k, __salt),
+    // final reduce keyed k alone
+    Check("sk02_skew_salted", Seq("__salt", "HashAggregate")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -1,0 +1,97 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.etl.Scale
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Scale-pattern queries under the ORACLE gate (not just specs): the
+  * shuffle-free bucketed fact⨝fact join and skew-safe salted
+  * aggregation. Both hash-match plain-SQL oracles over the same data,
+  * proving the scale mechanics change the PLAN, never the answer.
+  */
+object ScaleQueries {
+
+  /** One-time bucketed warehouse prep per (session, sfDir): orders and
+    * lineitem copies bucketed+sorted 8-ways on the join key. Memoized —
+    * Verify's parallel dump and Bench's warmup+timed passes prepare
+    * once. Eager BY DESIGN (it is a write, the library analogue of
+    * CREATE TABLE ... CLUSTERED BY), documented in LazinessSpec. */
+  private val prepared =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, String)]()
+
+  private def bucketedTables(s: SparkSession, d: String): (String, String) =
+    prepared.computeIfAbsent((s, d), { _ =>
+      val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+      val oT = s"orders_bkt$tag"
+      val lT = s"lineitem_bkt$tag"
+      val root = new java.io.File(s"target/bucketed/$tag").getAbsolutePath
+      s.sql(s"DROP TABLE IF EXISTS $oT")
+      s.sql(s"DROP TABLE IF EXISTS $lT")
+      Scale.writeBucketed(Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
+        oT, "o_orderkey", buckets = 8, path = s"$root/$oT")
+      Scale.writeBucketed(Tables.lineitem(s, d).select("l_orderkey", "l_quantity"),
+        lT, "l_orderkey", buckets = 8, path = s"$root/$lT")
+      (oT, lT)
+    })
+
+  /** J-family at warehouse scale: orders⨝lineitem over copies bucketed
+    * 8-ways on the join key — the nightly fact-to-fact join with ZERO
+    * shuffle on either join side (SortMergeJoin straight over
+    * pre-sorted buckets; the only exchanges left are the small
+    * post-join aggregate and presentation sort). The merge hint keeps
+    * the plan in its at-scale shape — local testdata is broadcast-sized,
+    * a 100 TB fact table is not. Oracle: the same join+aggregate in
+    * plain SQL over the ORIGINAL parquet — bucketing must not change
+    * one row. */
+  val j03BucketedJoin = QueryDef("j03_bucketed_join",
+    (s, d) => {
+      val (oT, lT) = bucketedTables(s, d)
+      s.table(oT).hint("merge")
+        .join(s.table(lT), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast(DecimalType(12, 2))).cast(DoubleType).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS n_items,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+           |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin))
+
+  /** Engineered skew: folding every even orderkey to 0 makes one hot
+    * key carry ~50% of lineitem — the shape that melts a single reducer
+    * at 100 TB and that AQE cannot always split (custom aggregation,
+    * non-SMJ paths). */
+  private def skewedQuantities(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select(
+      when(col("l_orderkey") % 2 === 0, lit(0L))
+        .otherwise(col("l_orderkey")).as("k"),
+      col("l_quantity").cast(DecimalType(12, 2)).as("qd"))
+
+  private val skewOracle =
+    """SELECT CASE WHEN l_orderkey % 2 = 0 THEN 0 ELSE l_orderkey END AS k,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY 1 ORDER BY sum_qty DESC, k LIMIT 20""".stripMargin
+
+  /** The straight single-stage aggregate over the hot key (baseline). */
+  val sk01SkewPlain = QueryDef("sk01_skew_plain",
+    (s, d) => skewedQuantities(s, d)
+      .groupBy("k").agg(sum(col("qd")).cast(DoubleType).as("sum_qty"))
+      .orderBy(col("sum_qty").desc, col("k")).limit(20),
+    Some(skewOracle))
+
+  /** The same aggregate through Scale.saltedSum: partial sums on
+    * (k, salt in [0,8)) cap any single reducer at ~1/8 of the hot key,
+    * then a final tiny reduce on k. Decimal partials keep the two-stage
+    * sum EXACT and order-independent — which is why this hash-matches
+    * the identical oracle as sk01. */
+  val sk02SkewSalted = QueryDef("sk02_skew_salted",
+    (s, d) => Scale.saltedSum(skewedQuantities(s, d), "k", "qd", salts = 8)
+      .select(col("k"), col("sum_qd").cast(DoubleType).as("sum_qty"))
+      .orderBy(col("sum_qty").desc, col("k")).limit(20),
+    Some(skewOracle))
+
+  val all: Seq[QueryDef] = Seq(j03BucketedJoin, sk01SkewPlain, sk02SkewSalted)
+}

@@ -27,9 +27,12 @@ class LazinessSpec extends SparkSpec {
 
   /** Eager BY DESIGN, not by accident: dd06 runs an iterative
     * fixpoint (each round materializes via localCheckpoint), nn04
-    * trains its coarse quantizer on a sample at build. Everything
-    * else must be a single lazy plan. */
-  private val eagerByDesign = Set("dd06_dup_clusters", "nn04_ivf_topk")
+    * trains its coarse quantizer on a sample at build, j03 prepares
+    * its bucketed warehouse copies on first use (a memoized CREATE
+    * TABLE, not a per-run action). Everything else must be a single
+    * lazy plan. */
+  private val eagerByDesign =
+    Set("dd06_dup_clusters", "nn04_ivf_topk", "j03_bucketed_join")
 
   test("every registered query builds and optimizes with zero jobs") {
     // warm the table cache first so file-listing jobs (a read-time cost,
