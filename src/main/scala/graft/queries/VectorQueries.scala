@@ -82,12 +82,18 @@ object VectorQueries {
     * connected components — the union-find pass that ends every
     * large-scale dedup. The oracle replays the closure with a DuckDB
     * recursive CTE, so the component structure (not just pair counts)
-    * is verified: multi-hop chains must land in the same cluster. */
+    * is verified: multi-hop chains must land in the same cluster.
+    *
+    * Uses the large-star/small-star contraction variant: profiled equal
+    * to propagate+jump on this workload (~3.0 s warm at sf0.1 either
+    * way — the time is near-dup edge generation + per-round scheduling
+    * floor, not labeling), and its O(log diameter) alternation bound is
+    * the one that survives long chains at 100 TB. */
   val dd06DupClusters = QueryDef("dd06_dup_clusters",
     (s, d) => {
       val sub = Tables.embeddings(s, d).filter(col("vec_id") % 5 === 0)
       val edges = SimilaritySearch.nearDupPairs(sub, sub, threshold = 0.3)
-      graft.graph.ConnectedComponents.run(
+      graft.graph.ConnectedComponents.runStars(
         sub.select(col("vec_id").as("id")), edges.select("id1", "id2"))
         .groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
         .orderBy("cluster_id")

@@ -38,4 +38,38 @@ class ConnectedComponentsSpec extends SparkSpec {
       cc(1L to 8L, chain, maxIter = 2)
     }
   }
+
+  private def stars(ids: Seq[Long], edges: Seq[(Long, Long)], maxIter: Int = 30) =
+    ConnectedComponents.runStars(
+      ids.toDF("id"), edges.toDF("id1", "id2"), maxIter)
+      .as[(Long, Long)].collect().toMap
+
+  test("large-star/small-star matches propagate+jump on mixed graphs") {
+    val ids = 1L to 12L
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L), (6L, 5L), // path
+      (7L, 8L),                                                        // pair
+      (10L, 11L), (11L, 12L), (12L, 10L))                              // cycle
+    assert(stars(ids, edges) == cc(ids, edges))
+  }
+
+  test("no edges / self-loops only: every node is its own cluster") {
+    assert(stars(Seq(3L, 5L, 8L), Seq((3L, 3L))) ==
+      Map(3L -> 3L, 5L -> 5L, 8L -> 8L))
+  }
+
+  test("10^4-node chain converges in O(log diameter) alternations") {
+    val n = 10000L
+    val ids = spark.range(1, n + 1).toDF("id")
+    // worst-case layout for label propagation: a single path, highest
+    // id adjacent to lowest
+    val edges = spark.range(1, n).toDF("id1")
+      .withColumn("id2", $"id1" + 1L)
+    val (labels, rounds) =
+      ConnectedComponents.starContraction(ids, edges, maxIter = 30)
+    // every node labeled with the component min (= 1)
+    assert(labels.filter($"cluster_id" =!= 1L).count() == 0)
+    val bound = math.ceil(math.log(n.toDouble) / math.log(2)).toInt + 3
+    assert(rounds <= bound,
+      s"chain of $n took $rounds alternations; O(log d) bound is $bound")
+  }
 }
