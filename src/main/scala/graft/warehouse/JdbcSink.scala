@@ -1,0 +1,60 @@
+package graft.warehouse
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** JDBC warehouse sink — the declared S4/S5 mapping for the reference's
+  * `INSERT ... executemany` loads (load_hhs.py:76-137,
+  * load_quality.py:129-136). The reference pushes rows one batch at a
+  * time over a single connection; the Spark form writes every partition
+  * concurrently, each executor batching `batchsize` rows per round trip,
+  * so throughput scales with partitions instead of being latency-bound.
+  *
+  * Scale notes (100 TB): the writer's parallelism IS the DataFrame's
+  * partitioning — `numPartitions` caps concurrent connections so a
+  * 1000-executor job can't open 1000 sessions against one warehouse.
+  * Idempotence is the caller's job (the pipelines anti-join existing
+  * keys before appending, same as the reference's dup probes).
+  */
+object JdbcSink {
+
+  /** Append `df` to `table` at `url`, creating the table on first write.
+    * `batchsize` mirrors executemany's chunking; `numPartitions` bounds
+    * connection fan-in (a warehouse-side courtesy cap, applied via
+    * coalesce so it never adds a shuffle). */
+  def append(df: DataFrame, url: String, table: String,
+             batchsize: Int = 1000, numPartitions: Int = 8,
+             properties: java.util.Properties = new java.util.Properties()): Unit = {
+    properties.setProperty("batchsize", batchsize.toString)
+    // Dialects without a bounded default string type (Derby) map
+    // StringType to CLOB, which many warehouses refuse to compare or
+    // index — predicate pushdown on the key columns would then fail at
+    // the database. Bound every string column explicitly instead.
+    val stringCols = df.schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.StringType)
+      .map(f => s"${f.name} VARCHAR(4096)") // Spark DDL parser: bare identifiers
+    if (stringCols.nonEmpty)
+      properties.setProperty("createTableColumnTypes", stringCols.mkString(", "))
+    val bounded =
+      if (df.rdd.getNumPartitions > numPartitions) df.coalesce(numPartitions)
+      else df
+    bounded.write.mode(SaveMode.Append).jdbc(url, table, properties)
+  }
+
+  /** Read a warehouse table back (reporting side / round-trip checks). */
+  def read(spark: SparkSession, url: String, table: String,
+           properties: java.util.Properties = new java.util.Properties()): DataFrame =
+    spark.read.jdbc(url, table, properties)
+
+  /** Write a full HHS load result to a JDBC warehouse — the straight
+    * analogue of load_hhs.py's three INSERT loops in one call. */
+  def writeHhs(r: HhsPipeline.Result, url: String, batchsize: Int = 1000): Unit = {
+    append(r.hospitals, url, "hospitals", batchsize)
+    append(r.locations, url, "hospital_locations", batchsize)
+    append(r.bedInfo, url, "hospital_bed_information", batchsize)
+  }
+
+  /** Quality-load analogue of load_quality.py:129-136. */
+  def writeQuality(r: QualityPipeline.Result, url: String,
+                   batchsize: Int = 1000): Unit =
+    append(r.quality, url, "hospital_quality_information", batchsize)
+}

@@ -110,4 +110,33 @@ class PipelineSpec extends SparkSpec {
     assert(Reports.casesByWeek(h.bedInfo, "2023-01-13").count() == 2)
     assert(Reports.bedUseByOwnership(q.quality, h.bedInfo, "Proprietary").count() == 2)
   }
+
+  test("CLI loaders: end-to-end shell workflow writes warehouse dirs + reject CSVs") {
+    import graft.cli.Cli
+    val csv = writeCsv("cli_hhs.csv", Seq(
+      hhsHeader,
+      hhsRow("A", "Alpha", "2023-01-06", "10.0"),
+      hhsRow("B", "", "2023-01-06", "5.0")              // reject → CSV sink
+    ).mkString("\n"))
+    val qcsv = writeCsv("cli_quality.csv", Seq(
+      """Facility ID,Hospital Type,Hospital Ownership,Emergency Services,Hospital overall rating""",
+      """A,Acute Care,Proprietary,Yes,4"""
+    ).mkString("\n"))
+    val wh = s"$dir/cli_warehouse"
+    val rej = s"$dir/cli_rejects"
+
+    Cli.runHhs(spark, csv, wh, rej)
+    Cli.runQuality(spark, "2023-07-01", qcsv, wh, rej)
+    for (t <- Seq("hospitals", "hospital_locations", "hospital_bed_information",
+                  "hospital_quality_information"))
+      assert(Files.exists(Paths.get(s"$wh/$t")), s"missing warehouse dir $t")
+    assert(spark.read.parquet(s"$wh/hospitals").count() == 1)
+    assert(spark.read.option("header", "true").csv(s"$rej/hhs")
+      .filter($"reject_reason" === "hospital_name_null").count() == 1)
+
+    // second load against the ON-DISK warehouse: cross-load dedup holds
+    Cli.runHhs(spark, csv, wh, rej)
+    assert(spark.read.parquet(s"$wh/hospitals").count() == 1)
+    assert(spark.read.parquet(s"$wh/hospital_bed_information").count() == 1)
+  }
 }
