@@ -206,6 +206,63 @@ object TextQueries {
       .orderBy("id1", "id2"),
     None)
 
+  /** MinHash RECALL against exact ground truth, as a registered query
+    * the oracle can bound: exact (hashed-shingle) Jaccard pairs ≥ 0.5
+    * are the truth set, MinHash-LSH candidates (64 hashes × 32 bands,
+    * capture-sized: no est-Jaccard cut) are joined against it, and the
+    * output is recall per Jaccard decile. The oracle replays the truth
+    * side with string shingles and asserts FULL capture — n_captured =
+    * n_truth, recall = 1.0 in every bucket. Truth and signatures share
+    * the SAME df-capped shingle space (the stopword-filtered MinHash
+    * variant — with raw signatures the ubiquitous shingles of this
+    * small-vocabulary corpus dominate the minhashes and the two sides
+    * measure different similarities; observed recall 0.06). Identical
+    * capped shingle sets (the J = 1.0 decile) then collide structurally;
+    * for J ≥ 0.5 the per-pair miss probability is ≤ (1 − 0.25)³² ≈ 1e-4
+    * with fixed seeds, so the assertion is deterministic; any regression
+    * in signature build or banding surfaces as a hash mismatch here
+    * instead of hiding behind a rows-only check. */
+  val dd08MinHashRecall = QueryDef("dd08_minhash_recall",
+    (s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") % 2 === 0)
+      val truth = TextDedup.jaccardPairs(docs, k = 2, threshold = 0.5,
+        maxShingleDf = 50, hashedShingles = true)
+      val cands = TextDedup.minHashCandidates(docs, k = 2, nHashes = 64,
+        bands = 32, minEstJaccard = 0.0, pairing = TextDedup.AllPairs,
+        maxShingleDf = 50)
+      truth
+        .join(cands.select(col("id1"), col("id2"), lit(1).as("hit")),
+          Seq("id1", "id2"), "left")
+        .withColumn("bucket", floor(round(col("jaccard"), 6) * 10).cast(LongType))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(coalesce(col("hit"), lit(0))).cast(LongType).as("n_captured"))
+        .withColumn("recall",
+          round(col("n_captured").cast(DoubleType) / col("n_truth"), 6))
+        .orderBy("bucket")
+    },
+    Some("""WITH docs AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+           |tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+           |        generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS i FROM docs),
+           |sh0 AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w AS s
+           |       FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+           |keep AS (SELECT s FROM (SELECT s, COUNT(*) AS df FROM sh0 GROUP BY s) t
+           |         WHERE df <= 50),
+           |sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (s)),
+           |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+           |inter AS (SELECT x.doc_id AS id1, y.doc_id AS id2, COUNT(*) AS i
+           |          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+           |          GROUP BY 1, 2),
+           |truth AS (SELECT CAST(i AS DOUBLE) / (n1.n + n2.n - i) AS j
+           |          FROM inter
+           |          JOIN sizes n1 ON n1.doc_id = id1
+           |          JOIN sizes n2 ON n2.doc_id = id2
+           |          WHERE CAST(i AS DOUBLE) / (n1.n + n2.n - i) >= 0.5)
+           |SELECT CAST(floor(round(j, 6) * 10) AS BIGINT) AS bucket,
+           |  COUNT(*) AS n_truth, COUNT(*) AS n_captured,
+           |  CAST(1.0 AS DOUBLE) AS recall
+           |FROM truth GROUP BY 1 ORDER BY bucket""".stripMargin))
+
   /** SimHash near-dup pairs (hamming ≤ 3 via 4-chunk blocking). */
   val dd05SimHash = QueryDef("dd05_simhash_pairs",
     (s, d) => TextDedup.simHashPairs(Tables.documents(s, d))
@@ -346,5 +403,5 @@ object TextQueries {
     x15BpeTokens, sm01TrainTestSplit, sm02StratifiedSample,
     cp01CorpusCuration, cp02CurationPipeline,
     dd01ExactGroups, dd02ExactKept, dd03Jaccard, dd04MinHash, dd05SimHash,
-    dd07HashedJaccard)
+    dd07HashedJaccard, dd08MinHashRecall)
 }

@@ -77,6 +77,61 @@ object VectorQueries {
     },
     None)
 
+  /** LSH RECALL against the exact top-5, as a registered query the
+    * oracle can bound. Capture-sized banding (24 single-bit bands: a
+    * candidate needs only ONE agreeing hyperplane bit, per-neighbor
+    * miss probability < 1e-9 at any similarity this corpus contains)
+    * joins the LSH top-5 against the in-engine brute-force top-5; the
+    * oracle replays the exact side in SQL and asserts full capture per
+    * query. nn02 keeps the production parameters and its rows-only
+    * recall spec; this query is the verification harness shape. */
+  val nn05LshRecall = QueryDef("nn05_lsh_recall",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") % 100 === 0)
+      val exact = SimilaritySearch.bruteForceTopK(emb, qs, k = 5)
+        .select("query_id", "neighbor_id")
+      val lsh = SimilaritySearch.lshTopK(emb, qs, k = 5, nBits = 24, nBands = 24)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      exact.join(lsh, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+        .withColumn("recall",
+          round(col("n_hit").cast("double") / col("n_exact"), 6))
+        .orderBy("query_id")
+    },
+    Some(s"""WITH scored AS (
+            |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+            |    round($sqlCos, 6) AS sim_r
+            |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+            |  WHERE a.vec_id % 100 = 0),
+            |topk AS (SELECT query_id, neighbor_id FROM (
+            |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            |    ORDER BY sim_r DESC, neighbor_id) AS rank FROM scored) t
+            |  WHERE rank <= 5)
+            |SELECT query_id, COUNT(*) AS n_exact, COUNT(*) AS n_hit,
+            |  CAST(1.0 AS DOUBLE) AS recall
+            |FROM topk GROUP BY query_id ORDER BY query_id""".stripMargin))
+
+  /** IVF partition-completeness: probing ALL cells must reproduce the
+    * exact brute-force frame bit-for-bit — cells partition the corpus,
+    * scoring uses the same rounding, and ranking uses the same
+    * tie-break, so nProbe = nList is structurally exhaustive whatever
+    * KMeans did. Verified against the nn01 oracle verbatim: any row
+    * lost at a cell boundary (the classic IVF bug class) is a hash
+    * mismatch here, with no dependence on quantizer quality. */
+  val nn06IvfAllProbe = QueryDef("nn06_ivf_allprobe",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val idx = graft.vector.IvfIndex.build(emb, nList = 16)
+      graft.vector.IvfIndex.topK(idx, emb.filter(col("vec_id") % 100 === 0),
+        k = 5, nProbe = 16)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    nn01BruteTopK.oracle)
+
   /** Duplicate CLUSTERS from near-dup edges: embedding-cosine pairs
     * (≥ 0.3 within a vec_id%5 probe subset) fed to iterative min-label
     * connected components — the union-find pass that ends every
@@ -146,5 +201,6 @@ object VectorQueries {
            |FROM c ORDER BY vec_id""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(nn01BruteTopK, nn02LshTopK, nn03NearDup,
-    nn04IvfTopK, dd06DupClusters, vq01ScalarQuant)
+    nn04IvfTopK, nn05LshRecall, nn06IvfAllProbe, dd06DupClusters,
+    vq01ScalarQuant)
 }

@@ -128,15 +128,36 @@ object TextDedup {
   def minHashCandidates(docs: DataFrame, k: Int = 3, nHashes: Int = 32,
                         bands: Int = 8, minEstJaccard: Double = 0.5,
                         pairing: Pairing = Star,
-                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                        idCol: String = "doc_id", textCol: String = "text",
+                        maxShingleDf: Int = Int.MaxValue): DataFrame = {
     require(nHashes % bands == 0)
     val rowsPerBand = nHashes / bands
     // The signature table is referenced three times (banding + both
     // sides of the est-jaccard join); materialize it once — at corpus
     // scale an LSH signature table is a first-class artifact (~256 B/doc),
     // not something to recompute per reference.
-    val sigs = withMinHashSig(docs, k, nHashes, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    //
+    // maxShingleDf < MaxValue switches to STOPWORD-FILTERED signatures:
+    // shingles above the document-frequency cap are dropped before the
+    // minhash, so estimated similarity lives in the same df-filtered
+    // space as [[jaccardPairs]] with the same cap (ubiquitous shingles
+    // otherwise dominate the signature and drown the rare ones that
+    // actually distinguish near-dups — the shingle analogue of stopword
+    // removal). Costs one df aggregation + re-collect shuffle, vs the
+    // default's purely row-local build; docs with no surviving shingles
+    // drop out entirely (they can share nothing under the cap, and
+    // their sentinel signatures would otherwise all collide into one
+    // degenerate all-pairs bucket).
+    val sigs = (if (maxShingleDf == Int.MaxValue)
+      withMinHashSig(docs, k, nHashes, idCol, textCol)
+    else {
+      val sh = hashedShingleRows(docs, k, idCol, textCol)
+      val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxShingleDf).select("s")
+      sh.join(rare, Seq("s"))
+        .groupBy("id").agg(collect_list(col("s")).as("hs"))
+        .select(col("id"), MinHashesExpr.minhashes(col("hs"), nHashes).as("sig"))
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.withColumn("band", explode(array((0 until bands).map(bId =>
       struct(lit(bId).as("band_id"),
         xxhash64(lit(bId) +: (0 until rowsPerBand)

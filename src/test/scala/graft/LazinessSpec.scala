@@ -32,7 +32,8 @@ class LazinessSpec extends SparkSpec {
     * TABLE, not a per-run action). Everything else must be a single
     * lazy plan. */
   private val eagerByDesign =
-    Set("dd06_dup_clusters", "nn04_ivf_topk", "j03_bucketed_join")
+    Set("dd06_dup_clusters", "nn04_ivf_topk", "nn06_ivf_allprobe",
+      "j03_bucketed_join")
 
   test("every registered query builds and optimizes with zero jobs") {
     // warm the table cache first so file-listing jobs (a read-time cost,
