@@ -121,6 +121,52 @@ object TextQueries {
             |  END AS rhash
             |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** Text functions on a MULTI-BYTE corpus — the UTF-8 hardening the
+    * ASCII testdata can't exercise (byte == codepoint there, so byte
+    * bugs hide). Both engines derive the same accented corpus with
+    * translate(a→ä, e→é), then verify the invariants that differ only
+    * beyond ASCII: char count vs byte count diverge, md5 runs over
+    * UTF-8 bytes, the rolling hash over CODEPOINTS (x14 semantics)
+    * sees one value per character, and a rolling hash over raw BYTES
+    * sees the multi-byte expansions. The byte-level oracle extracts
+    * bytes portably as hex pairs — DuckDB v1.0.0 can't index a BLOB,
+    * but hex(encode(t)) + substr + hex-cast gets each byte in both
+    * engines with identical arithmetic. */
+  val x16Utf8Bytes = QueryDef("x16_utf8_bytes",
+    (s, d) => {
+      val t = translate(col("text"), "ae", "äé")
+      val hx = hex(encode(t, "UTF-8"))
+      val nb = length(encode(t, "UTF-8"))
+      val cps = transform(split(t, ""), c => ascii(c).cast(LongType))
+      val bytes = transform(sequence(lit(1), nb),
+        i => conv(hx.substr(i * 2 - 1, lit(2)), 16, 10).cast(LongType))
+      def roll(xs: org.apache.spark.sql.Column) =
+        aggregate(xs, lit(0L), (acc, x) => pmod(acc * lit(131L) + x, lit(1000000007L)))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        length(t).cast(LongType).as("n_chars"),
+        nb.cast(LongType).as("n_bytes"),
+        md5(encode(t, "UTF-8")).as("fp"),
+        when(length(t) === 0, 0L).otherwise(roll(cps)).as("cp_hash"),
+        when(nb === 0, 0L).otherwise(roll(bytes)).as("b_hash")
+      ).orderBy("doc_id")
+    },
+    Some("""WITH u AS (SELECT doc_id, translate(text, 'ae', 'äé') AS t FROM documents),
+           |h AS (SELECT doc_id, t, hex(encode(t)) AS hx,
+           |             octet_length(encode(t)) AS nb FROM u)
+           |SELECT doc_id,
+           |  CAST(length(t) AS BIGINT) AS n_chars,
+           |  CAST(nb AS BIGINT) AS n_bytes,
+           |  md5(t) AS fp,
+           |  CASE WHEN length(t) = 0 THEN 0 ELSE list_reduce(
+           |    list_transform(string_to_array(t, ''), c -> CAST(unicode(c) AS BIGINT)),
+           |    (a, b) -> (a * 131 + b) % 1000000007) END AS cp_hash,
+           |  CASE WHEN nb = 0 THEN 0 ELSE list_reduce(
+           |    list_transform(range(1, CAST(nb AS BIGINT) + 1),
+           |      i -> CAST('0x' || substr(hx, CAST(2 * i - 1 AS INT), 2) AS BIGINT)),
+           |    (a, b) -> (a * 131 + b) % 1000000007) END AS b_hash
+           |FROM h ORDER BY doc_id""".stripMargin))
+
   /** Exact-dup groups by content hash (first-wins keeper). */
   val dd01ExactGroups = QueryDef("dd01_exact_dup_groups",
     (s, d) => TextDedup.exactGroups(Tables.documents(s, d)).orderBy("keep_id"),
@@ -400,7 +446,7 @@ object TextQueries {
 
   val all: Seq[QueryDef] = Seq(
     x10TokenStats, x11QualityScore, x12LangId, x13Fingerprint, x14RollingHash,
-    x15BpeTokens, sm01TrainTestSplit, sm02StratifiedSample,
+    x15BpeTokens, x16Utf8Bytes, sm01TrainTestSplit, sm02StratifiedSample,
     cp01CorpusCuration, cp02CurationPipeline,
     dd01ExactGroups, dd02ExactKept, dd03Jaccard, dd04MinHash, dd05SimHash,
     dd07HashedJaccard, dd08MinHashRecall)
