@@ -37,14 +37,22 @@ object Tables {
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onApplicationEnd(
             end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-          invalidate(spark)
+          evict(spark)
       })
     relationCache.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
       key => key._1.read.parquet(key._2))
   }
 
-  /** Drop every memoized relation for `spark` (e.g. testdata rewritten). */
-  def invalidate(spark: SparkSession): Unit = {
+  /** Drop every memoized relation for `spark` (e.g. testdata rewritten).
+    * Deliberately does NOT un-hook the session: a live session keeps its
+    * one registered listener (removing it here made each
+    * invalidate→table cycle register a fresh identical listener — a
+    * leak, since addSparkListener has no dedup). */
+  def invalidate(spark: SparkSession): Unit =
+    relationCache.keySet.removeIf(_._1 eq spark)
+
+  /** Full eviction when the session's context ends (listener path). */
+  private def evict(spark: SparkSession): Unit = {
     hooked.remove(spark)
     relationCache.keySet.removeIf(_._1 eq spark)
   }

@@ -148,8 +148,20 @@ object ConnectedComponents {
     while (!converged && iter < maxIter) {
       val next = smallStar(largeStar(e)).localCheckpoint()
       val cur = fp(next)
+      // fingerprint match is necessary-but-probabilistic (a ~2^-64
+      // per-round hash collision could accept a non-fixpoint and emit
+      // wrong labels — unlike run()'s monotone label-sum potential), so
+      // the one round that CLAIMS convergence is confirmed with an
+      // exact set-equality check. Runs once per call, on the final
+      // contracted edge set (≤ one edge per non-root node): the cost
+      // is a single small anti-join, the payoff is a deterministic
+      // correctness guarantee instead of an astronomically-likely one.
+      converged = cur == prev && {
+        val old = e
+        old.join(next, Seq("h", "l"), "left_anti").isEmpty &&
+          next.join(old, Seq("h", "l"), "left_anti").isEmpty
+      }
       e = next
-      converged = cur == prev
       prev = cur
       iter += 1
     }

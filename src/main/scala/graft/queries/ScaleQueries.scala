@@ -20,21 +20,48 @@ object ScaleQueries {
     * CREATE TABLE ... CLUSTERED BY), documented in LazinessSpec. */
   private val prepared =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, String)]()
+  private val hooked = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
 
-  private def bucketedTables(s: SparkSession, d: String): (String, String) =
-    prepared.computeIfAbsent((s, d), { _ =>
-      val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
-      val oT = s"orders_bkt$tag"
-      val lT = s"lineitem_bkt$tag"
-      val root = new java.io.File(s"target/bucketed/$tag").getAbsolutePath
-      s.sql(s"DROP TABLE IF EXISTS $oT")
-      s.sql(s"DROP TABLE IF EXISTS $lT")
-      Scale.writeBucketed(Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
-        oT, "o_orderkey", buckets = 8, path = s"$root/$oT")
-      Scale.writeBucketed(Tables.lineitem(s, d).select("l_orderkey", "l_quantity"),
-        lT, "l_orderkey", buckets = 8, path = s"$root/$lT")
-      (oT, lT)
-    })
+  private def bucketedTables(s: SparkSession, d: String): (String, String) = {
+    // evict with the session (mirrors Tables' listener) — a stopped
+    // session must not pin its plans, and a successor session must not
+    // inherit memoized table names whose catalog entries died with it
+    if (hooked.add(s))
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          hooked.remove(s)
+          prepared.keySet.removeIf(_._1 eq s)
+        }
+      })
+    // the memo value is created OUTSIDE the map's lock: the prep runs a
+    // full Spark bucketed write, and computeIfAbsent would hold the bin
+    // lock for its whole duration. Racing duplicates are idempotent
+    // (same DROP+CREATE of the same tables) and putIfAbsent keeps one.
+    val key = (s, d)
+    val cached = prepared.get(key)
+    if (cached != null) return cached
+    // short path-hash keeps the tag injective: sanitization alone would
+    // collide .../sf0.1 with .../sf0_1 and silently overwrite tables
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_") +
+      "_" + java.lang.Long.toHexString(
+        org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+          d.getBytes("UTF-8"), org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+          d.getBytes("UTF-8").length, 42) & 0xffffffffL)
+    val oT = s"orders_bkt$tag"
+    val lT = s"lineitem_bkt$tag"
+    val root = new java.io.File(s"target/bucketed/$tag").getAbsolutePath
+    s.sql(s"DROP TABLE IF EXISTS $oT")
+    s.sql(s"DROP TABLE IF EXISTS $lT")
+    Scale.writeBucketed(Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
+      oT, "o_orderkey", buckets = 8, path = s"$root/$oT")
+    Scale.writeBucketed(Tables.lineitem(s, d).select("l_orderkey", "l_quantity"),
+      lT, "l_orderkey", buckets = 8, path = s"$root/$lT")
+    val fresh = (oT, lT)
+    val raced = prepared.putIfAbsent(key, fresh)
+    if (raced != null) raced else fresh
+  }
 
   /** J-family at warehouse scale: orders⨝lineitem over copies bucketed
     * 8-ways on the join key — the nightly fact-to-fact join with ZERO

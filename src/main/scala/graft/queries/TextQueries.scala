@@ -127,45 +127,72 @@ object TextQueries {
     * translate(a→ä, e→é), then verify the invariants that differ only
     * beyond ASCII: char count vs byte count diverge, md5 runs over
     * UTF-8 bytes, the rolling hash over CODEPOINTS (x14 semantics)
-    * sees one value per character, and a rolling hash over raw BYTES
-    * sees the multi-byte expansions. The byte-level oracle extracts
-    * bytes portably as hex pairs — DuckDB v1.0.0 can't index a BLOB,
-    * but hex(encode(t)) + substr + hex-cast gets each byte in both
-    * engines with identical arithmetic. */
+    * sees one value per character, and a rolling hash over the UTF-8
+    * BYTE sequence sees the multi-byte expansions. The byte hash is
+    * computed from codepoints by closed-form UTF-8 encoding arithmetic
+    * (1/2/3-byte BMP cases) INSIDE the fold lambda: the natural
+    * formulation — substr over hex(encode(t)) per element — re-evaluates
+    * the whole-document hex per byte, because an outer column referenced
+    * once is inlined into the lambda (CollapseProject) and higher-order
+    * functions do no subexpression elimination; measured 53 s at sf0.1
+    * vs 0.8 s for this form. Real byte encoding stays pinned by fp:
+    * md5 over encode(t) must match DuckDB's md5 over its own UTF-8
+    * encoding. */
   val x16Utf8Bytes = QueryDef("x16_utf8_bytes",
     (s, d) => {
-      val t = translate(col("text"), "ae", "äé")
-      val hx = hex(encode(t, "UTF-8"))
-      val nb = length(encode(t, "UTF-8"))
-      val cps = transform(split(t, ""), c => ascii(c).cast(LongType))
-      val bytes = transform(sequence(lit(1), nb),
-        i => conv(hx.substr(i * 2 - 1, lit(2)), 16, 10).cast(LongType))
-      def roll(xs: org.apache.spark.sql.Column) =
-        aggregate(xs, lit(0L), (acc, x) => pmod(acc * lit(131L) + x, lit(1000000007L)))
-      Tables.documents(s, d).select(
-        col("doc_id"),
-        length(t).cast(LongType).as("n_chars"),
-        nb.cast(LongType).as("n_bytes"),
-        md5(encode(t, "UTF-8")).as("fp"),
-        when(length(t) === 0, 0L).otherwise(roll(cps)).as("cp_hash"),
-        when(nb === 0, 0L).otherwise(roll(bytes)).as("b_hash")
-      ).orderBy("doc_id")
+      import org.apache.spark.sql.Column
+      val M = lit(1000000007L)
+      val B = lit(131L)
+      def h(acc: Column, b: Column): Column = pmod(acc * B + b, M)
+      def fdiv(x: Column, n: Long): Column = floor(x / n).cast(LongType)
+      // one fold step per CHARACTER, hashing its 1–3 UTF-8 bytes
+      // (BMP codepoints; the derived corpus is ASCII + 2-byte accents)
+      def step(acc: Column, cp: Column): Column =
+        when(cp < 128L, h(acc, cp))
+          .when(cp < 2048L,
+            h(h(acc, lit(192L) + fdiv(cp, 64)), lit(128L) + pmod(cp, lit(64L))))
+          .otherwise(
+            h(h(h(acc, lit(224L) + fdiv(cp, 4096)),
+              lit(128L) + pmod(fdiv(cp, 64), lit(64L))),
+              lit(128L) + pmod(cp, lit(64L))))
+      val cps = transform(split(col("t"), ""), c => ascii(c).cast(LongType))
+      Tables.documents(s, d)
+        .select(col("doc_id"), translate(col("text"), "ae", "äé").as("t"))
+        .select(
+          col("doc_id"),
+          length(col("t")).cast(LongType).as("n_chars"),
+          length(encode(col("t"), "UTF-8")).cast(LongType).as("n_bytes"),
+          md5(encode(col("t"), "UTF-8")).as("fp"),
+          when(length(col("t")) === 0, 0L)
+            .otherwise(aggregate(cps, lit(0L),
+              (acc, x) => h(acc, x))).as("cp_hash"),
+          when(length(col("t")) === 0, 0L)
+            .otherwise(aggregate(cps, lit(0L), step)).as("b_hash")
+        ).orderBy("doc_id")
     },
     Some("""WITH u AS (SELECT doc_id, translate(text, 'ae', 'äé') AS t FROM documents),
-           |h AS (SELECT doc_id, t, hex(encode(t)) AS hx,
-           |             octet_length(encode(t)) AS nb FROM u)
+           |cp AS (SELECT doc_id, t,
+           |  list_transform(string_to_array(t, ''), c -> CAST(unicode(c) AS BIGINT)) AS cps
+           |  FROM u)
            |SELECT doc_id,
            |  CAST(length(t) AS BIGINT) AS n_chars,
-           |  CAST(nb AS BIGINT) AS n_bytes,
+           |  CAST(octet_length(encode(t)) AS BIGINT) AS n_bytes,
            |  md5(t) AS fp,
-           |  CASE WHEN length(t) = 0 THEN 0 ELSE list_reduce(
-           |    list_transform(string_to_array(t, ''), c -> CAST(unicode(c) AS BIGINT)),
-           |    (a, b) -> (a * 131 + b) % 1000000007) END AS cp_hash,
-           |  CASE WHEN nb = 0 THEN 0 ELSE list_reduce(
-           |    list_transform(range(1, CAST(nb AS BIGINT) + 1),
-           |      i -> CAST('0x' || substr(hx, CAST(2 * i - 1 AS INT), 2) AS BIGINT)),
-           |    (a, b) -> (a * 131 + b) % 1000000007) END AS b_hash
-           |FROM h ORDER BY doc_id""".stripMargin))
+           |  CASE WHEN length(t) = 0 THEN 0 ELSE
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT), cps),
+           |      (a, c) -> (a * 131 + c) % 1000000007) END AS cp_hash,
+           |  CASE WHEN length(t) = 0 THEN 0 ELSE
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT), cps), (a, c) ->
+           |      CASE WHEN c < 128 THEN (a * 131 + c) % 1000000007
+           |           WHEN c < 2048 THEN
+           |             (((a * 131 + (192 + c // 64)) % 1000000007) * 131
+           |               + (128 + c % 64)) % 1000000007
+           |           ELSE
+           |             (((((a * 131 + (224 + c // 4096)) % 1000000007) * 131
+           |               + (128 + (c // 64) % 64)) % 1000000007) * 131
+           |               + (128 + c % 64)) % 1000000007
+           |      END) END AS b_hash
+           |FROM cp ORDER BY doc_id""".stripMargin))
 
   /** Exact-dup groups by content hash (first-wins keeper). */
   val dd01ExactGroups = QueryDef("dd01_exact_dup_groups",
