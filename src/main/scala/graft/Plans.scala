@@ -69,7 +69,29 @@ object Plans {
         "Exchange hashpartitioning(l_orderkey")),
     // salted skew aggregate: two-stage — partial sums keyed (k, __salt),
     // final reduce keyed k alone
-    Check("sk02_skew_salted", Seq("__salt", "HashAggregate")))
+    Check("sk02_skew_salted", Seq("__salt", "HashAggregate")),
+    // decontamination: benchmark gram set BROADCASTS (corpus rows never
+    // shuffle for the join), grams hash row-local in the scan
+    Check("dc01_decontamination",
+      Seq("BroadcastHashJoin", "shingle_hashes", "HashAggregate")),
+    // redaction is pure scan-side projection — no join, no aggregate;
+    // the only exchange is the presentation sort
+    Check("pii01_redaction", Seq("Scan parquet"),
+      wantNone = Seq("Join", "HashAggregate")),
+    // UTF-8 byte hashes fold row-local — no join, no aggregate
+    Check("x16_utf8_bytes", Seq("Scan parquet"),
+      wantNone = Seq("Join", "HashAggregate")))
+
+  /** All failed assertions for a session (empty = every pin holds);
+    * shared by the CLI main below and PlanSpec so the pins run under
+    * `sbt test`, not only when someone remembers the main. */
+  def failures(spark: SparkSession, sfDir: String): Seq[String] =
+    checks.flatMap { case Check(name, wants, nones) =>
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+      wants.filterNot(plan.contains).map(w => s"$name :: missing($w)") ++
+        nones.filter(plan.contains).map(w => s"$name :: present($w)")
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -81,21 +103,9 @@ object Plans {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    var failed = 0
-    checks.foreach { case Check(name, wants, nones) =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
-      val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
-      wants.foreach { w =>
-        val ok = plan.contains(w)
-        if (!ok) failed += 1
-        println(s"${if (ok) "PLAN_OK " else "PLAN_FAIL"} $name :: $w")
-      }
-      nones.foreach { w =>
-        val ok = !plan.contains(w)
-        if (!ok) failed += 1
-        println(s"${if (ok) "PLAN_OK " else "PLAN_FAIL"} $name :: absent($w)")
-      }
-    }
+    val fails = failures(spark, sfDir)
+    val failed = fails.size
+    fails.foreach(f => println(s"PLAN_FAIL $f"))
     if (args.contains("--dump")) {
       checks.foreach { c =>
         println(s"\n===== ${c.query} =====")

@@ -194,6 +194,72 @@ object TextQueries {
            |      END) END AS b_hash
            |FROM cp ORDER BY doc_id""".stripMargin))
 
+  /** Benchmark DECONTAMINATION — the training-corpus hygiene pass: find
+    * documents sharing any 3-gram with a benchmark set (here: the
+    * deterministic doc_id % 97 slice standing in for an eval suite).
+    * Engine side works entirely in hashed shingle space (64-bit gram
+    * hashes via [[graft.text.ShingleHashesExpr]], never gram strings)
+    * and BROADCASTS the distinct benchmark grams — benchmark suites are
+    * small by nature, so a 100 TB corpus scan joins against an
+    * in-memory gram set with zero shuffle of corpus rows; only the
+    * matched (doc_id, gram) pairs reach the count-distinct aggregate.
+    * Oracle replays with string 3-grams (dd07 precedent: hashed ==
+    * string modulo negligible 64-bit collisions). */
+  val dc01Decontamination = QueryDef("dc01_decontamination",
+    (s, d) => {
+      val grams = Tables.documents(s, d).select(col("doc_id"),
+        explode(graft.text.ShingleHashesExpr.shingleHashes(
+          TextFunctions.tokens(col("text")), 3)).as("g"))
+      val bench = grams.filter(col("doc_id") % 97 === 0).select("g").distinct()
+      grams.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench), Seq("g"))
+        .groupBy("doc_id")
+        .agg(count_distinct(col("g")).as("n_shared"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+           |        generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS i
+           |        FROM documents),
+           |sh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+           |       FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+           |                  JOIN tok c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+           |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0)
+           |SELECT sh.doc_id, COUNT(DISTINCT sh.s) AS n_shared
+           |FROM sh JOIN bench USING (s)
+           |WHERE sh.doc_id % 97 <> 0
+           |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin))
+
+  /** PII REDACTION — the scrubbing pass every training pipeline runs
+    * before release. The corpus carries no organic PII, so both engines
+    * deterministically inject a synthetic email into every 10th
+    * document, then detect (count) and redact (replace + fingerprint)
+    * with the same regex. Pure row-local scan work — no shuffle, no
+    * UDF: regexp_count/regexp_replace are codegen'd built-ins, which is
+    * exactly why redaction at 100 TB is scan-rate bound. The md5 of the
+    * redacted text proves the replacement output matches byte-for-byte,
+    * not just the match counts. */
+  val pii01Redaction = QueryDef("pii01_redaction",
+    (s, d) => {
+      val re = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 0,
+            concat(col("text"), lit(" contact user"), col("doc_id"),
+              lit("@example.com now"))).otherwise(col("text")).as("t"))
+        .select(col("doc_id"),
+          regexp_count(col("t"), lit(re)).cast(LongType).as("n_pii"),
+          md5(regexp_replace(col("t"), re, "[PII]")).as("redacted_fp"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id,
+           |  CASE WHEN doc_id % 10 = 0
+           |       THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+           |       ELSE text END AS t FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(t, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS BIGINT) AS n_pii,
+           |  md5(regexp_replace(t, '[a-z0-9]+@[a-z]+\.[a-z]+', '[PII]', 'g')) AS redacted_fp
+           |FROM t ORDER BY doc_id""".stripMargin))
+
   /** Exact-dup groups by content hash (first-wins keeper). */
   val dd01ExactGroups = QueryDef("dd01_exact_dup_groups",
     (s, d) => TextDedup.exactGroups(Tables.documents(s, d)).orderBy("keep_id"),
@@ -476,5 +542,5 @@ object TextQueries {
     x15BpeTokens, x16Utf8Bytes, sm01TrainTestSplit, sm02StratifiedSample,
     cp01CorpusCuration, cp02CurationPipeline,
     dd01ExactGroups, dd02ExactKept, dd03Jaccard, dd04MinHash, dd05SimHash,
-    dd07HashedJaccard, dd08MinHashRecall)
+    dd07HashedJaccard, dd08MinHashRecall, dc01Decontamination, pii01Redaction)
 }
