@@ -610,6 +610,66 @@ object RelationalQueries {
         element_at(col("approx_quartiles"), 3).as("q3")),
     None)
 
+  /** HLL++ accuracy bound AS AN ORACLE-CHECKED QUERY: the estimate and
+    * the exact distinct count meet in one lazy plan (two aggregate
+    * frames cross-joined — both tiny), and the output asserts the
+    * sketch's contract: |approx − exact| / exact within 5× the
+    * configured 1% rsd. The oracle computes the exact side and pins
+    * `within_bound = true`, so an HLL regression (hash change, merge
+    * bug, precision drift) is a driver-gate hash mismatch — x02 itself
+    * stays rows-only because sketch internals legitimately differ
+    * between engines. Exact values in the output keep the frame
+    * non-trivial at every SF. */
+  val x04ApproxDistinctBound = QueryDef("x04_approx_distinct_bound",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val exact = li.agg(
+        count_distinct(col("l_partkey")).as("exact_parts"),
+        count_distinct(col("l_orderkey")).as("exact_orders"))
+      val approx = li.agg(
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+      exact.crossJoin(approx).select(
+        col("exact_parts"), col("exact_orders"),
+        (abs(col("approx_parts") - col("exact_parts"))
+          .cast(DoubleType) / col("exact_parts") <= 0.05 &&
+         abs(col("approx_orders") - col("exact_orders"))
+          .cast(DoubleType) / col("exact_orders") <= 0.05).as("within_bound"))
+    },
+    Some("""SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           |  true AS within_bound
+           |FROM lineitem""".stripMargin))
+
+  /** GK-sketch accuracy bound as an oracle-checked query, stated in the
+    * sketch's OWN terms — rank error, not value error: the RANK of each
+    * approximate quartile (fraction of rows ≤ it) must sit within 2% of
+    * its target rank (1000-row accuracy parameter → ~0.1% guarantee;
+    * 2% leaves margin without weakening the check materially). Rank of
+    * a value is an exact count both engines agree on, so the bound
+    * frame hash-matches while x03's raw sketch values stay rows-only. */
+  val x05ApproxQuartileBound = QueryDef("x05_approx_quartile_bound",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val approx = o.agg(approx_percentile(col("o_totalprice"),
+        array(lit(0.25), lit(0.5), lit(0.75)), lit(1000)).as("aq"))
+      val ranks = o.crossJoin(approx).agg(
+        count(lit(1)).as("n"),
+        sum(when(col("o_totalprice") <= element_at(col("aq"), 1), 1L)
+          .otherwise(0L)).as("r1"),
+        sum(when(col("o_totalprice") <= element_at(col("aq"), 2), 1L)
+          .otherwise(0L)).as("r2"),
+        sum(when(col("o_totalprice") <= element_at(col("aq"), 3), 1L)
+          .otherwise(0L)).as("r3"))
+      ranks.select(col("n"),
+        (abs(col("r1").cast(DoubleType) / col("n") - 0.25) <= 0.02 &&
+         abs(col("r2").cast(DoubleType) / col("n") - 0.50) <= 0.02 &&
+         abs(col("r3").cast(DoubleType) / col("n") - 0.75) <= 0.02)
+          .as("ranks_within_bound"))
+    },
+    Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n, true AS ranks_within_bound
+           |FROM orders""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     p01CleanCast,
     v01ValidSplit, v02RejectSplit, v05RangeFilter, v06DropNa,
@@ -621,5 +681,6 @@ object RelationalQueries {
     u01UnionDistinct, u02Except, u03Intersect, u04UnionAll, up01UpsertMerge,
     sc01Scd2History,
     w01LagDelta, w02TopkPerGroup, w03RollingAvg, w05TopkHeap, w06RollingMedian,
-    x01DistinctCount, x02ApproxDistinct, x03ApproxQuartiles)
+    x01DistinctCount, x02ApproxDistinct, x03ApproxQuartiles,
+    x04ApproxDistinctBound, x05ApproxQuartileBound)
 }
