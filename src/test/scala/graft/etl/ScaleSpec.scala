@@ -94,4 +94,22 @@ class ScaleSpec extends SparkSpec {
       .head().getLong(0)
     assert(simNull == 5L)
   }
+
+  test("compact: many small files -> few, same rows, old files gone") {
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "compact").toString + "/t"
+    val df = (1 to 10000).map(i => (i.toLong, s"row$i")).toDF("id", "s")
+    df.repartition(64).write.parquet(dir) // 64 tiny files
+    val sum0 = spark.read.parquet(dir).agg(sum($"id")).head().getLong(0)
+    val (before, after) = Scale.compact(spark, dir, targetFileBytes = 64L << 10)
+    assert(before == 64)
+    assert(after < before, s"expected fewer files, got $after of $before")
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length == after, "directory holds exactly the compacted files")
+    assert(spark.read.parquet(dir).count() == 10000)
+    assert(spark.read.parquet(dir).agg(sum($"id")).head().getLong(0) == sum0)
+    // idempotent at target size: second pass keeps file count stable
+    val (b2, a2) = Scale.compact(spark, dir, targetFileBytes = 64L << 10)
+    assert(b2 == after && a2 <= after)
+  }
 }

@@ -65,6 +65,20 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("streaming PII scrub equals the batch redaction exactly") {
+    val docsDir = s"$stagingDir/documents"
+    Tables.documents(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(docsDir)
+    val schema = Tables.documents(spark, sfDir).schema
+    val re = "[a-z]+ [a-z]+ [a-z]+" // matches real content on this corpus
+    val stream = spark.readStream.schema(schema).parquet(docsDir)
+    val got = StreamingIngest.runToMemory(
+      StreamingIngest.redactStream(stream, re), "stream_redact")
+    val want = StreamingIngest.redactStream(Tables.documents(spark, sfDir), re)
+    assert(got.agg(org.apache.spark.sql.functions.sum(col("n_pii")))
+      .head().getLong(0) > 0, "pattern must actually match")
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
   test("stream-stream interval join equals the batch join exactly") {
     def sides(df: org.apache.spark.sql.DataFrame) = (
       df.filter(col("event_type") === "signup").select("user_id", "ts", "event_id"),
