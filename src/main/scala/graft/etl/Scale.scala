@@ -53,6 +53,23 @@ object Scale {
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
 
+  /** Write range-CLUSTERED by `clusterCols`: rows are range-partitioned
+    * across `nFiles` files and sorted within each, so every file covers
+    * a narrow, non-overlapping slice of the cluster-key space. Parquet
+    * then records tight min/max stats per file/row-group, and a
+    * selective predicate on the cluster key prunes to the one or two
+    * files whose range can match — data skipping at the storage layer,
+    * the single biggest scan lever at 100 TB after partitioning (use
+    * partitionBy for low-cardinality keys like dates, clustering for
+    * high-cardinality keys like ids). ClusteredSpec proves the
+    * locality: a key-range filter touches ≤2 files clustered vs nearly
+    * all files unclustered. */
+  def writeClustered(df: DataFrame, dir: String, clusterCols: Seq[String],
+                     nFiles: Int): Unit =
+    df.repartitionByRange(nFiles, clusterCols.map(col): _*)
+      .sortWithinPartitions(clusterCols.map(col): _*)
+      .write.mode("overwrite").parquet(dir)
+
   /** Compact a parquet directory to ~`targetFileBytes` output files —
     * the small-files pass every long-lived warehouse needs: streaming
     * micro-batches, per-load appends, and over-parallel writes leave

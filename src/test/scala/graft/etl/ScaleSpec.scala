@@ -95,6 +95,26 @@ class ScaleSpec extends SparkSpec {
     assert(simNull == 5L)
   }
 
+  test("clustered layout: selective key range touches <=2 files, not all") {
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "clustered").toString
+    val li = graft.Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+    val maxKey = li.agg(max($"l_orderkey")).head().getLong(0)
+    val cond = $"l_orderkey".between(maxKey / 2, maxKey / 2 + maxKey / 50)
+    // unclustered: same key range scattered across every file
+    li.repartition(16).write.parquet(s"$base/flat")
+    val flatFiles = spark.read.parquet(s"$base/flat").filter(cond)
+      .select(input_file_name()).distinct().count()
+    Scale.writeClustered(li, s"$base/clustered", Seq("l_orderkey"), nFiles = 16)
+    val clusteredFiles = spark.read.parquet(s"$base/clustered").filter(cond)
+      .select(input_file_name()).distinct().count()
+    assert(flatFiles >= 12, s"control: scattered layout should touch ~all files, got $flatFiles")
+    assert(clusteredFiles <= 2, s"clustered range should live in <=2 files, got $clusteredFiles")
+    // layout changes bytes on disk, never the answer
+    assert(spark.read.parquet(s"$base/clustered").filter(cond).count() ==
+      spark.read.parquet(s"$base/flat").filter(cond).count())
+  }
+
   test("compact: many small files -> few, same rows, old files gone") {
     val dir = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("/root/repo/target"), "compact").toString + "/t"
