@@ -24,6 +24,14 @@ object TextQueries {
     s"""len(list_filter($sqlTokArr, x -> x = '$w'))"""
   private val sqlNormalize =
     """trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'), '\s+', ' ', 'g'))"""
+  /** quality-score formula over `text` — mirrors
+    * TextFunctions.qualityScore; shared by x11 and cb01. */
+  private val sqlQuality =
+    s"""(CASE WHEN len($sqlTokArr) >= 5 AND len($sqlTokArr) <= 1000 THEN 1.0 ELSE 0.0 END
+       | + CASE WHEN CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+       |          / NULLIF(length(text), 0) <= 0.2 THEN 1.0 ELSE 0.0 END
+       | + LEAST(CAST(${sqlWordCount("the")} + ${sqlWordCount("and")} + ${sqlWordCount("of")} AS DOUBLE)
+       |          / len($sqlTokArr) * 2.0, 1.0)) / 3.0""".stripMargin
 
   /** Token statistics per language partition. */
   val x10TokenStats = QueryDef("x10_token_stats",
@@ -52,11 +60,7 @@ object TextQueries {
     Some(s"""SELECT doc_id,
             |  len($sqlTokArr) AS n_tokens,
             |  length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
-            |  (CASE WHEN len($sqlTokArr) >= 5 AND len($sqlTokArr) <= 1000 THEN 1.0 ELSE 0.0 END
-            |   + CASE WHEN CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
-            |            / NULLIF(length(text), 0) <= 0.2 THEN 1.0 ELSE 0.0 END
-            |   + LEAST(CAST(${sqlWordCount("the")} + ${sqlWordCount("and")} + ${sqlWordCount("of")} AS DOUBLE)
-            |            / len($sqlTokArr) * 2.0, 1.0)) / 3.0 AS quality
+            |  $sqlQuality AS quality
             |FROM documents ORDER BY doc_id""".stripMargin))
 
   /** Language-ID confusion matrix: declared lang vs marker-word argmax.
@@ -196,6 +200,46 @@ object TextQueries {
            |               + (128 + c % 64)) % 1000000007
            |      END) END AS b_hash
            |FROM cp ORDER BY doc_id""".stripMargin))
+
+  /** TOKEN-BUDGET SELECTION — "take the best data that fits N tokens",
+    * the pass that turns a scored corpus into a training mix. Selection
+    * is by quality THRESHOLD, not per-document cumulative sum: docs
+    * bucket by quality (21 buckets), the running token total over the
+    * TINY bucket aggregate (≤21 rows — the one place an unpartitioned
+    * window is correct, same class as the weekly-report windows) finds
+    * the deepest bucket that still fits, and the corpus filter is then
+    * a plain predicate. At 100 TB this is one bucket aggregate + one
+    * broadcast of the cutoff — never a global per-document window.
+    * Budget = 20% of corpus tokens, derived lazily in-plan (broadcast
+    * 1-row frame, tx01 pattern) so the query is meaningful at every
+    * SF. */
+  val cb01TokenBudget = QueryDef("cb01_token_budget",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, d).select(
+        TextFunctions.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+        floor(TextFunctions.qualityScore(col("text")) * 20).cast(LongType).as("qb"))
+      val budget = toks.agg((sum(col("n_tokens")) * 0.2).as("budget"))
+      val buckets = toks.groupBy("qb").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("bucket_tokens"))
+      val w = Window.orderBy(col("qb").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      buckets.withColumn("cum_tokens", sum(col("bucket_tokens")).over(w))
+        .crossJoin(broadcast(budget))
+        .filter(col("cum_tokens") <= col("budget"))
+        .select(col("qb"), col("n_docs"), col("bucket_tokens"), col("cum_tokens"))
+        .orderBy(col("qb").desc)
+    },
+    Some(s"""WITH q AS (SELECT len($sqlTokArr) AS n_tokens,
+            |  CAST(floor(($sqlQuality) * 20) AS BIGINT) AS qb FROM documents),
+            |b AS (SELECT qb, COUNT(*) AS n_docs,
+            |  CAST(SUM(n_tokens) AS BIGINT) AS bucket_tokens FROM q GROUP BY qb),
+            |c AS (SELECT *, CAST(SUM(bucket_tokens) OVER
+            |  (ORDER BY qb DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM b),
+            |bud AS (SELECT SUM(n_tokens) * 0.2 AS budget FROM q)
+            |SELECT qb, n_docs, bucket_tokens, cum_tokens FROM c, bud
+            |WHERE cum_tokens <= budget ORDER BY qb DESC""".stripMargin))
 
   /** Benchmark DECONTAMINATION — the training-corpus hygiene pass: find
     * documents sharing any 3-gram with a benchmark set (here: the
@@ -545,5 +589,6 @@ object TextQueries {
     x15BpeTokens, x16Utf8Bytes, sm01TrainTestSplit, sm02StratifiedSample,
     cp01CorpusCuration, cp02CurationPipeline,
     dd01ExactGroups, dd02ExactKept, dd03Jaccard, dd04MinHash, dd05SimHash,
-    dd07HashedJaccard, dd08MinHashRecall, dc01Decontamination, pii01Redaction)
+    dd07HashedJaccard, dd08MinHashRecall, dc01Decontamination, pii01Redaction,
+    cb01TokenBudget)
 }
