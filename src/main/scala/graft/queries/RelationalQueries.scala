@@ -629,12 +629,15 @@ object RelationalQueries {
       val approx = li.agg(
         approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
         approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+      // empty-input guard: 0 exact distinct → bound holds iff approx
+      // is also 0 (avoids ANSI divide-by-zero)
+      def ok(a: String, e: String) =
+        when(col(e) === 0, col(a) === 0)
+          .otherwise(abs(col(a) - col(e)).cast(DoubleType) / col(e) <= 0.05)
       exact.crossJoin(approx).select(
         col("exact_parts"), col("exact_orders"),
-        (abs(col("approx_parts") - col("exact_parts"))
-          .cast(DoubleType) / col("exact_parts") <= 0.05 &&
-         abs(col("approx_orders") - col("exact_orders"))
-          .cast(DoubleType) / col("exact_orders") <= 0.05).as("within_bound"))
+        (ok("approx_parts", "exact_parts") &&
+          ok("approx_orders", "exact_orders")).as("within_bound"))
     },
     Some("""SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
            |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
