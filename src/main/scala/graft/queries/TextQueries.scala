@@ -241,6 +241,33 @@ object TextQueries {
             |SELECT qb, n_docs, bucket_tokens, cum_tokens FROM c, bud
             |WHERE cum_tokens <= budget ORDER BY qb DESC""".stripMargin))
 
+  /** Segment-level dedup + reassembly (see
+    * [[graft.text.TextDedup.segmentDedupRebuild]]): repeated 10-token
+    * segments are dropped corpus-wide (first occurrence wins) and each
+    * document is rebuilt from its survivors in original order; the md5
+    * of the rebuilt text pins the reassembly byte-for-byte, not just
+    * the counts. */
+  val pd01ParagraphDedup = QueryDef("pd01_paragraph_dedup",
+    (s, d) => TextDedup.segmentDedupRebuild(Tables.documents(s, d), segTokens = 10)
+      .orderBy("doc_id"),
+    Some(s"""WITH tok AS (SELECT doc_id, $sqlTokArr AS t FROM documents),
+            |st AS (SELECT doc_id, t,
+            |         unnest(generate_series(0, greatest(len(t) - 1, 0), 10)) AS start
+            |       FROM tok WHERE len(t) > 0),
+            |seg AS (SELECT doc_id, CAST(start / 10 AS BIGINT) AS idx,
+            |          array_to_string(t[start + 1 : start + 10], ' ') AS s FROM st),
+            |k AS (SELECT *, ROW_NUMBER() OVER
+            |        (PARTITION BY s ORDER BY doc_id, idx) AS rn FROM seg),
+            |kept AS (SELECT * FROM k WHERE rn = 1),
+            |totals AS (SELECT doc_id, COUNT(*) AS n_total FROM seg GROUP BY doc_id),
+            |ka AS (SELECT doc_id, COUNT(*) AS n_kept,
+            |         md5(string_agg(s, ' ' ORDER BY idx)) AS rebuilt_fp
+            |       FROM kept GROUP BY doc_id)
+            |SELECT totals.doc_id, totals.n_total,
+            |  COALESCE(ka.n_kept, 0) AS n_kept, ka.rebuilt_fp
+            |FROM totals LEFT JOIN ka ON totals.doc_id = ka.doc_id
+            |ORDER BY totals.doc_id""".stripMargin))
+
   /** Benchmark DECONTAMINATION — the training-corpus hygiene pass: find
     * documents sharing any 3-gram with a benchmark set (here: the
     * deterministic doc_id % 97 slice standing in for an eval suite).
@@ -590,5 +617,5 @@ object TextQueries {
     cp01CorpusCuration, cp02CurationPipeline,
     dd01ExactGroups, dd02ExactKept, dd03Jaccard, dd04MinHash, dd05SimHash,
     dd07HashedJaccard, dd08MinHashRecall, dc01Decontamination, pii01Redaction,
-    cb01TokenBudget)
+    cb01TokenBudget, pd01ParagraphDedup)
 }

@@ -188,6 +188,47 @@ object TextDedup {
       .select("id1", "id2", "est_jaccard")
   }
 
+  /** SEGMENT-level dedup with order-preserving document reassembly —
+    * the C4/RefinedWeb move: boilerplate repeats across documents at
+    * sub-document granularity (headers, footers, templates), so dedup
+    * must drop repeated SEGMENTS corpus-wide and then REBUILD each
+    * document from its surviving segments in original order.
+    *
+    * Segments are non-overlapping `segTokens`-token windows.
+    * First-occurrence-wins corpus-wide: one shuffle keyed by segment
+    * content, row_number over (doc, idx) — deterministic whatever the
+    * partitioning. Reassembly is one groupBy(doc): collect_list of
+    * (idx, segment) structs, array_sort, join — order restored without
+    * any global sort. Docs whose every segment was claimed elsewhere
+    * come back with n_kept = 0 and a NULL rebuilt fingerprint.
+    *
+    * Output: (doc_id, n_total, n_kept, rebuilt_fp = md5 of the
+    * space-joined surviving segments). */
+  def segmentDedupRebuild(docs: DataFrame, segTokens: Int,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    require(segTokens > 0)
+    val segs = docs
+      .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col("doc_id"), col("__toks"),
+        posexplode(sequence(lit(0), size(col("__toks")) - 1, lit(segTokens)))
+          .as(Seq("idx", "__start")))
+      .select(col("doc_id"), col("idx"),
+        concat_ws(" ", slice(col("__toks"), col("__start") + 1, lit(segTokens))).as("s"))
+    val w = Window.partitionBy("s").orderBy(col("doc_id"), col("idx"))
+    val kept = segs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val totals = segs.groupBy("doc_id").agg(count(lit(1)).as("n_total"))
+    val keptAgg = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      md5(array_join(
+        transform(array_sort(collect_list(struct(col("idx"), col("s")))),
+          x => x.getField("s")), " ")).as("rebuilt_fp"))
+    totals.join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_total"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("rebuilt_fp"))
+  }
+
   /** 64-bit SimHash per document from whitespace tokens of the
     * NORMALIZED text (case/punct-insensitive, like the fingerprint),
     * weighted by occurrence count. Row-local via [[SimHashExpr]]: the
