@@ -483,6 +483,41 @@ object TextQueries {
       .orderBy("id1", "id2"),
     None)
 
+  /** SimHash with a PORTABLE token hash, value-exact under the oracle —
+    * the companion that was missing for the dd05 family: production
+    * simhash hashes tokens with xxhash64 (fast, not SQL-portable), so
+    * dd05 is rows-only; this variant feeds [[SimHashExpr]] 60-bit
+    * md5-prefix token hashes (15 hex chars — top 4 bits zero, so no
+    * unsigned-overflow anywhere) and DuckDB replays the ENTIRE
+    * fingerprint: per bit, the ±occurrence-count vote over token
+    * hashes; bit set iff the sum is positive. Any drift in
+    * normalization, tokenization, weighting, or the bit-vote itself is
+    * a value mismatch on every row — far stronger than pair-level
+    * checks. Same codegen expression, same blocking machinery apply;
+    * only the token hash differs. */
+  val dd09SimHashPortable = QueryDef("dd09_simhash_portable",
+    (s, d) => Tables.documents(s, d).filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id"),
+        graft.text.SimHashExpr.simhash64(transform(
+          TextFunctions.tokens(TextFunctions.normalize(col("text"))),
+          w => conv(substring(md5(w), 1, 15), 16, 10).cast(LongType)))
+          .as("simhash"))
+      .orderBy("doc_id"),
+    Some(s"""WITH n AS (SELECT doc_id, $sqlNormalize AS nt FROM documents
+            |           WHERE doc_id % 4 = 0),
+            |tok AS (SELECT doc_id, unnest(regexp_split_to_array(nt, '\\s+')) AS w FROM n),
+            |th AS (SELECT doc_id,
+            |         CAST(('0x' || substr(md5(w), 1, 15)) AS UBIGINT) AS h FROM tok),
+            |bits AS (SELECT doc_id, i,
+            |           SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS c
+            |         FROM th CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS i) ii
+            |         GROUP BY doc_id, i),
+            |sh AS (SELECT doc_id,
+            |         CAST(SUM(CASE WHEN c > 0
+            |           THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS BIGINT) AS simhash
+            |       FROM bits GROUP BY doc_id)
+            |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin))
+
   /** Deterministic key-stable train/test split counts per language,
     * using the PORTABLE (md5-prefix) bucket so the oracle reproduces
     * membership exactly: any engine with md5 computes the same split —
@@ -617,5 +652,5 @@ object TextQueries {
     cp01CorpusCuration, cp02CurationPipeline,
     dd01ExactGroups, dd02ExactKept, dd03Jaccard, dd04MinHash, dd05SimHash,
     dd07HashedJaccard, dd08MinHashRecall, dc01Decontamination, pii01Redaction,
-    cb01TokenBudget, pd01ParagraphDedup)
+    cb01TokenBudget, pd01ParagraphDedup, dd09SimHashPortable)
 }
