@@ -129,6 +129,24 @@ object StreamingIngest {
       regexp_count(col("text"), lit(pattern)).cast("long").as("n_pii"),
       regexp_replace(col("text"), pattern, replacement).as("text"))
 
+  /** Streaming DECONTAMINATION: per-document count of benchmark grams
+    * present, over a live document feed. The benchmark gram set is the
+    * STATIC side of a stream-static left-semi join — small by nature,
+    * so Spark broadcasts it into every micro-batch and the stage stays
+    * stateless (no watermark, no state store; the per-doc count is the
+    * streaming aggregate). shingle_hashes emits DISTINCT grams per
+    * document, so count(*) after the semi-join equals the distinct
+    * shared-gram count without needing a (streaming-unsupported)
+    * count_distinct. Same hygiene rule as the batch dc01 pass, applied
+    * to the feed with zero reimplementation. */
+  def decontaminationCounts(docs: DataFrame, benchGrams: DataFrame,
+                            k: Int = 3): DataFrame =
+    docs.select(col("doc_id"),
+      explode(graft.text.ShingleHashesExpr.shingleHashes(
+        graft.text.TextFunctions.tokens(col("text")), k)).as("g"))
+      .join(benchGrams.select(col(benchGrams.columns.head).as("g")), Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+
   /** Run a streaming frame to completion against currently-available
     * input via the memory sink; returns the materialized result. Batch
     * test harness for streaming semantics. */

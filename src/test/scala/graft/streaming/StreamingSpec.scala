@@ -79,6 +79,25 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("streaming decontamination equals the batch gram-overlap counts") {
+    val docsDir = s"$stagingDir/documents"
+    Tables.documents(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(docsDir)
+    val schema = Tables.documents(spark, sfDir).schema
+    val batch = Tables.documents(spark, sfDir)
+    val bench = batch.filter(col("doc_id") % 97 === 0)
+      .select(org.apache.spark.sql.functions.explode(
+        graft.text.ShingleHashesExpr.shingleHashes(
+          graft.text.TextFunctions.tokens(col("text")), 3)).as("g"))
+      .distinct()
+    val stream = spark.readStream.schema(schema).parquet(docsDir)
+    val got = StreamingIngest.runToMemory(
+      StreamingIngest.decontaminationCounts(stream, bench),
+      "stream_decontam", OutputMode.Complete())
+    val want = StreamingIngest.decontaminationCounts(batch, bench)
+    assert(want.count() > 0, "benchmark grams must hit on this corpus")
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
   test("stream-stream interval join equals the batch join exactly") {
     def sides(df: org.apache.spark.sql.DataFrame) = (
       df.filter(col("event_type") === "signup").select("user_id", "ts", "event_id"),
