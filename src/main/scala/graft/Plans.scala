@@ -80,7 +80,12 @@ object Plans {
       wantNone = Seq("Join", "HashAggregate")),
     // UTF-8 byte hashes fold row-local — no join, no aggregate
     Check("x16_utf8_bytes", Seq("Scan parquet"),
-      wantNone = Seq("Join", "HashAggregate")))
+      wantNone = Seq("Join", "HashAggregate")),
+    // clustered-range scan: the key-range predicate reaches the parquet
+    // scan (file/row-group skipping happens against these pushed
+    // bounds at read time)
+    Check("j04_clustered_range",
+      Seq("PushedFilters: [IsNotNull(l_orderkey), GreaterThanOrEqual(l_orderkey,100), LessThanOrEqual(l_orderkey,200)]")))
 
   /** All failed assertions for a session (empty = every pin holds);
     * shared by the CLI main below and PlanSpec so the pins run under

@@ -20,21 +20,36 @@ object ScaleQueries {
     * CREATE TABLE ... CLUSTERED BY), documented in LazinessSpec. */
   private val prepared =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, String)]()
+  private val clustered =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
   private val hooked = java.util.Collections.newSetFromMap(
     new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
 
-  private def bucketedTables(s: SparkSession, d: String): (String, String) = {
-    // evict with the session (mirrors Tables' listener) — a stopped
-    // session must not pin its plans, and a successor session must not
-    // inherit memoized table names whose catalog entries died with it
+  // evict with the session (mirrors Tables' listener) — a stopped
+  // session must not pin its plans, and a successor session must not
+  // inherit memoized table names whose catalog entries died with it
+  private def hook(s: SparkSession): Unit =
     if (hooked.add(s))
       s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onApplicationEnd(
             end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
           hooked.remove(s)
           prepared.keySet.removeIf(_._1 eq s)
+          clustered.keySet.removeIf(_._1 eq s)
         }
       })
+
+  // short path-hash keeps the tag injective: sanitization alone would
+  // collide .../sf0.1 with .../sf0_1 and silently overwrite tables
+  private def tag(d: String): String =
+    d.replaceAll("[^a-zA-Z0-9]", "_") +
+      "_" + java.lang.Long.toHexString(
+        org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+          d.getBytes("UTF-8"), org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+          d.getBytes("UTF-8").length, 42) & 0xffffffffL)
+
+  private def bucketedTables(s: SparkSession, d: String): (String, String) = {
+    hook(s)
     // the memo value is created OUTSIDE the map's lock: the prep runs a
     // full Spark bucketed write, and computeIfAbsent would hold the bin
     // lock for its whole duration. Racing duplicates are idempotent
@@ -42,16 +57,9 @@ object ScaleQueries {
     val key = (s, d)
     val cached = prepared.get(key)
     if (cached != null) return cached
-    // short path-hash keeps the tag injective: sanitization alone would
-    // collide .../sf0.1 with .../sf0_1 and silently overwrite tables
-    val tag = d.replaceAll("[^a-zA-Z0-9]", "_") +
-      "_" + java.lang.Long.toHexString(
-        org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
-          d.getBytes("UTF-8"), org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-          d.getBytes("UTF-8").length, 42) & 0xffffffffL)
-    val oT = s"orders_bkt$tag"
-    val lT = s"lineitem_bkt$tag"
-    val root = new java.io.File(s"target/bucketed/$tag").getAbsolutePath
+    val oT = s"orders_bkt${tag(d)}"
+    val lT = s"lineitem_bkt${tag(d)}"
+    val root = new java.io.File(s"target/bucketed/${tag(d)}").getAbsolutePath
     s.sql(s"DROP TABLE IF EXISTS $oT")
     s.sql(s"DROP TABLE IF EXISTS $lT")
     Scale.writeBucketed(Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
@@ -87,6 +95,43 @@ object ScaleQueries {
            |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
            |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin))
 
+  /** One-time range-clustered copy of lineitem per (session, sfDir):
+    * 16 files, each covering a narrow non-overlapping l_orderkey slice
+    * (Scale.writeClustered). Memoized like the bucketed prep. */
+  private def clusteredLineitem(s: SparkSession, d: String): String = {
+    hook(s)
+    val key = (s, d)
+    val cached = clustered.get(key)
+    if (cached != null) return cached
+    val path = new java.io.File(
+      s"target/clustered/${tag(d)}/lineitem").getAbsolutePath
+    Scale.writeClustered(
+      Tables.lineitem(s, d).select("l_orderkey", "l_quantity"),
+      path, Seq("l_orderkey"), nFiles = 16)
+    val raced = clustered.putIfAbsent(key, path)
+    if (raced != null) raced else path
+  }
+
+  /** Selective key-range aggregate over the range-CLUSTERED lineitem
+    * copy: the layout that turns a predicate into file/row-group
+    * skipping (each file holds one narrow l_orderkey slice, so parquet
+    * min/max stats exclude ~15 of 16 files before any row is read —
+    * ScaleSpec measures the locality; Plans pins the pushed filter).
+    * Oracle runs the same aggregate over the ORIGINAL parquet: layout
+    * changes bytes on disk, never one row of the answer — the same
+    * claim class j03 makes for bucketing. */
+  val j04ClusteredRange = QueryDef("j04_clustered_range",
+    (s, d) => s.read.parquet(clusteredLineitem(s, d))
+      .filter(col("l_orderkey").between(100L, 200L))
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast(DecimalType(12, 2))).cast(DoubleType).as("sum_qty"))
+      .orderBy("l_orderkey"),
+    Some("""SELECT l_orderkey, COUNT(*) AS n_items,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+           |FROM lineitem WHERE l_orderkey BETWEEN 100 AND 200
+           |GROUP BY 1 ORDER BY l_orderkey""".stripMargin))
+
   /** Engineered skew: folding every even orderkey to 0 makes one hot
     * key carry ~50% of lineitem — the shape that melts a single reducer
     * at 100 TB and that AQE cannot always split (custom aggregation,
@@ -120,5 +165,5 @@ object ScaleQueries {
       .orderBy(col("sum_qty").desc, col("k")).limit(20),
     Some(skewOracle))
 
-  val all: Seq[QueryDef] = Seq(j03BucketedJoin, sk01SkewPlain, sk02SkewSalted)
+  val all: Seq[QueryDef] = Seq(j03BucketedJoin, j04ClusteredRange, sk01SkewPlain, sk02SkewSalted)
 }
