@@ -518,6 +518,54 @@ object TextQueries {
             |       FROM bits GROUP BY doc_id)
             |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin))
 
+  /** Hamming-distance near-dup PAIRS over the portable SimHash, under
+    * the full oracle gate — the pair-level companion to dd09 (which
+    * verifies fingerprint values): the same pigeonhole-blocked pairing
+    * machinery as production dd05, but fed [[TextDedup.portableTokenHash]]
+    * so DuckDB can brute-force the entire pair set (fingerprints, xor,
+    * bit_count, threshold) and value-compare every (id1, id2, hamming)
+    * row. The corpus is enriched with engineered near-dup variants
+    * (three appended junk tokens → a few bit-counters cross zero), so
+    * the verified set spans hamming 0–3, not just exact dups. Blocking
+    * completeness is thus oracle-proven here (brute force on the oracle
+    * side vs blocked join on the engine side), complementing the
+    * corpus-level spec proof in TextDedupSpec. */
+  val dd10HammingPairs = QueryDef("dd10_hamming_pairs",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            concat(col("text"), lit(" zzqx vvky zzqx")).as("text")))
+      TextDedup.simHashPairs(base, maxHamming = 3,
+          tokenHash = TextDedup.portableTokenHash)
+        .withColumn("hamming", col("hamming").cast(LongType))
+        .orderBy("id1", "id2")
+    },
+    Some(s"""WITH base AS (
+            |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+            |  UNION ALL
+            |  SELECT doc_id + 1000000 AS doc_id, text || ' zzqx vvky zzqx' AS text
+            |  FROM documents WHERE doc_id % 20 = 0),
+            |n AS (SELECT doc_id, $sqlNormalize AS nt FROM base),
+            |tok AS (SELECT doc_id, unnest(regexp_split_to_array(nt, '\\s+')) AS w FROM n),
+            |th AS (SELECT doc_id,
+            |         CAST(('0x' || substr(md5(w), 1, 15)) AS UBIGINT) AS h FROM tok),
+            |bits AS (SELECT doc_id, i,
+            |           SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS c
+            |         FROM th CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS i) ii
+            |         GROUP BY doc_id, i),
+            |sh AS (SELECT doc_id,
+            |         CAST(SUM(CASE WHEN c > 0
+            |           THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS BIGINT) AS simhash
+            |       FROM bits GROUP BY doc_id)
+            |SELECT a.doc_id AS id1, b.doc_id AS id2,
+            |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+            |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+            |ORDER BY id1, id2""".stripMargin))
+
   /** Deterministic key-stable train/test split counts per language,
     * using the PORTABLE (md5-prefix) bucket so the oracle reproduces
     * membership exactly: any engine with md5 computes the same split —
@@ -652,5 +700,6 @@ object TextQueries {
     cp01CorpusCuration, cp02CurationPipeline,
     dd01ExactGroups, dd02ExactKept, dd03Jaccard, dd04MinHash, dd05SimHash,
     dd07HashedJaccard, dd08MinHashRecall, dc01Decontamination, pii01Redaction,
-    cb01TokenBudget, pd01ParagraphDedup, dd09SimHashPortable)
+    cb01TokenBudget, pd01ParagraphDedup, dd09SimHashPortable,
+    dd10HammingPairs)
 }

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -229,30 +229,42 @@ object TextDedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("rebuilt_fp"))
   }
 
+  /** Portable 60-bit token hash (md5 prefix) — the same value any
+    * engine with md5 computes, so whole-fingerprint results replay
+    * cross-engine (dd09/dd10). Top 4 bits zero → no sign issues. */
+  def portableTokenHash(w: Column): Column =
+    conv(substring(md5(w), 1, 15), 16, 10).cast("long")
+
   /** 64-bit SimHash per document from whitespace tokens of the
     * NORMALIZED text (case/punct-insensitive, like the fingerprint),
     * weighted by occurrence count. Row-local via [[SimHashExpr]]: the
     * fingerprint is computed inside the scan stage — no token explode,
-    * no shuffle; only the 8-byte hash travels downstream. */
+    * no shuffle; only the 8-byte hash travels downstream.
+    *
+    * `tokenHash` defaults to xxhash64 (fastest, codegen'd); pass
+    * [[portableTokenHash]] when the fingerprint must be replayable by
+    * another engine (value-exact oracles, cross-engine audits). */
   def withSimHash(docs: DataFrame, idCol: String = "doc_id",
-                  textCol: String = "text"): DataFrame =
+                  textCol: String = "text",
+                  tokenHash: Column => Column = xxhash64(_)): DataFrame =
     docs.select(col(idCol).as("id"),
       SimHashExpr.simhash64(
         transform(TextFunctions.tokens(TextFunctions.normalize(col(textCol))),
-          w => xxhash64(w))).as("simhash"))
+          tokenHash)).as("simhash"))
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming, found by
     * (maxHamming+1)-chunk pigeonhole blocking then exact bit_count
     * verification. */
   def simHashPairs(docs: DataFrame, maxHamming: Int = 3,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                   idCol: String = "doc_id", textCol: String = "text",
+                   tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     val nChunks = maxHamming + 1
     require(64 % nChunks == 0,
       s"maxHamming+1 must divide 64 (got $nChunks); use 1, 3, 7, 15 or 31 — " +
         "the pigeonhole blocking needs chunks to partition all 64 bits")
     val chunkBits = 64 / nChunks
     // referenced by both sides of the chunk self-join — materialize once
-    val sigs = withSimHash(docs, idCol, textCol)
+    val sigs = withSimHash(docs, idCol, textCol, tokenHash)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunked = sigs.withColumn("chunk", explode(array((0 until nChunks).map(cId =>
       struct(lit(cId).as("chunk_id"),
