@@ -64,19 +64,26 @@ object Bench {
     val passes = (1 to iters).map { _ =>
       val pass = queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try run(fn, sfDir) catch { case e: Throwable =>
-          failed += name
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { run(fn, sfDir); true }
+          catch { case e: Throwable =>
+            failed += name
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+          }
+        name -> ((System.nanoTime() - t0) / 1e9, ok)
       }
       spark.catalog.clearCache()
       pass
     }
-    // min across iterations: a query that failed keeps its (slow) wall
-    // time from the failing pass only if it failed in EVERY pass
+    // min across SUCCESSFUL iterations only: failures typically abort
+    // fast, and letting a near-zero failing time win the min would
+    // understate a query that also succeeded slowly in another pass.
+    // Only a query that failed in every pass reports a failing time.
     val results = queries.map { case (name, _) =>
-      name -> passes.map(_.toMap.apply(name)).min
+      val times = passes.map(_.toMap.apply(name))
+      val okTimes = times.collect { case (t, true) => t }
+      name -> (if (okTimes.nonEmpty) okTimes.min else times.map(_._1).min)
     }
     val total = results.map(_._2).sum
     def r3(v: Double): String = f"$v%.3f"

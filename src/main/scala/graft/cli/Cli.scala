@@ -38,11 +38,20 @@ object Cli {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
-  /** Flag parsing for `--warehouse <dir> --rejects <dir>` suffixes. */
+  /** Flag parsing for `--warehouse <dir> --rejects <dir>` suffixes.
+    * Unknown flags and stray arguments are hard errors: a typo like
+    * `--warehose /x` must not silently load into the default directory. */
   private[cli] def dirs(rest: Seq[String]): (String, String) = {
-    val m = rest.sliding(2, 2).collect {
-      case Seq(k, v) if k.startsWith("--") => k -> v
-    }.toMap
+    val known = Set("--warehouse", "--rejects")
+    val pairs = rest.grouped(2).toSeq
+    pairs.foreach {
+      case Seq(k, _) if known(k) => ()
+      case Seq(k, _) => sys.error(
+        s"unknown flag '$k' (expected ${known.mkString(" or ")})")
+      case Seq(odd) => sys.error(s"stray trailing argument '$odd'")
+      case _ => ()
+    }
+    val m = pairs.collect { case Seq(k, v) => k -> v }.toMap
     (m.getOrElse("--warehouse", "warehouse"), m.getOrElse("--rejects", "rejects"))
   }
 

@@ -80,26 +80,34 @@ object Scale {
     * listing only — no data read) and repartitioning is a round-robin
     * rebalance: no key shuffle, parallel write, even output sizes.
     * Returns (filesBefore, filesAfter). Compaction rewrites in place
-    * via a temp dir + atomic-ish swap: readers of the old listing see
-    * old or new files, never a half-written mix. */
+    * via a temp dir, then swaps add-first/delete-last: new files rename
+    * in before any old file is deleted, so a crash at ANY point leaves
+    * the directory with at least one complete copy of the data (briefly
+    * both — a concurrent reader listing mid-swap may double-count, but
+    * never sees an empty or partial directory). A leftover temp dir
+    * from an interrupted run is an error, not something to silently
+    * destroy: it may hold the about-to-be-swapped copy. */
   def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
               targetFileBytes: Long = 128L << 20): (Int, Int) = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def parquetFiles = fs.listStatus(path)
+    val tmp = new org.apache.hadoop.fs.Path(dir + "__compacting")
+    require(!fs.exists(tmp),
+      s"$tmp exists — a previous compaction was interrupted; inspect and " +
+        "remove it (or rename its files in) before compacting again")
+    val before = fs.listStatus(path)
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-    val before = parquetFiles
     val totalBytes = before.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    val tmp = new org.apache.hadoop.fs.Path(dir + "__compacting")
-    fs.delete(tmp, true)
     spark.read.parquet(dir).repartition(nOut)
       .write.mode("overwrite").parquet(tmp.toString)
     val out = fs.listStatus(tmp)
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-    before.foreach(f => fs.delete(f.getPath, false))
+    // part-file names carry a per-job UUID, so renaming into the live
+    // dir cannot collide with the old generation's names
     out.foreach(f => fs.rename(f.getPath,
       new org.apache.hadoop.fs.Path(path, f.getPath.getName)))
+    before.foreach(f => fs.delete(f.getPath, false))
     fs.delete(tmp, true)
     (before.length, out.length)
   }

@@ -18,10 +18,17 @@ object ScaleQueries {
     * Verify's parallel dump and Bench's warmup+timed passes prepare
     * once. Eager BY DESIGN (it is a write, the library analogue of
     * CREATE TABLE ... CLUSTERED BY), documented in LazinessSpec. */
+  /** Once-only cell: computeIfAbsent installs it cheaply under the map
+    * lock; the `lazy val` runs the expensive prep outside that lock,
+    * synchronized on the cell itself, so exactly ONE caller per key ever
+    * executes the write (racing DROP+overwrite of the same table paths
+    * is NOT idempotent under interleaving — one job can delete files the
+    * other just committed). */
+  private final class Memo[T](thunk: () => T) { lazy val value: T = thunk() }
   private val prepared =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, String)]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Memo[(String, String)]]()
   private val clustered =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Memo[String]]()
   private val hooked = java.util.Collections.newSetFromMap(
     new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
 
@@ -50,25 +57,18 @@ object ScaleQueries {
 
   private def bucketedTables(s: SparkSession, d: String): (String, String) = {
     hook(s)
-    // the memo value is created OUTSIDE the map's lock: the prep runs a
-    // full Spark bucketed write, and computeIfAbsent would hold the bin
-    // lock for its whole duration. Racing duplicates are idempotent
-    // (same DROP+CREATE of the same tables) and putIfAbsent keeps one.
-    val key = (s, d)
-    val cached = prepared.get(key)
-    if (cached != null) return cached
-    val oT = s"orders_bkt${tag(d)}"
-    val lT = s"lineitem_bkt${tag(d)}"
-    val root = new java.io.File(s"target/bucketed/${tag(d)}").getAbsolutePath
-    s.sql(s"DROP TABLE IF EXISTS $oT")
-    s.sql(s"DROP TABLE IF EXISTS $lT")
-    Scale.writeBucketed(Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
-      oT, "o_orderkey", buckets = 8, path = s"$root/$oT")
-    Scale.writeBucketed(Tables.lineitem(s, d).select("l_orderkey", "l_quantity"),
-      lT, "l_orderkey", buckets = 8, path = s"$root/$lT")
-    val fresh = (oT, lT)
-    val raced = prepared.putIfAbsent(key, fresh)
-    if (raced != null) raced else fresh
+    prepared.computeIfAbsent((s, d), _ => new Memo(() => {
+      val oT = s"orders_bkt${tag(d)}"
+      val lT = s"lineitem_bkt${tag(d)}"
+      val root = new java.io.File(s"target/bucketed/${tag(d)}").getAbsolutePath
+      s.sql(s"DROP TABLE IF EXISTS $oT")
+      s.sql(s"DROP TABLE IF EXISTS $lT")
+      Scale.writeBucketed(Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
+        oT, "o_orderkey", buckets = 8, path = s"$root/$oT")
+      Scale.writeBucketed(Tables.lineitem(s, d).select("l_orderkey", "l_quantity"),
+        lT, "l_orderkey", buckets = 8, path = s"$root/$lT")
+      (oT, lT)
+    })).value
   }
 
   /** J-family at warehouse scale: orders⨝lineitem over copies bucketed
@@ -100,16 +100,14 @@ object ScaleQueries {
     * (Scale.writeClustered). Memoized like the bucketed prep. */
   private def clusteredLineitem(s: SparkSession, d: String): String = {
     hook(s)
-    val key = (s, d)
-    val cached = clustered.get(key)
-    if (cached != null) return cached
-    val path = new java.io.File(
-      s"target/clustered/${tag(d)}/lineitem").getAbsolutePath
-    Scale.writeClustered(
-      Tables.lineitem(s, d).select("l_orderkey", "l_quantity"),
-      path, Seq("l_orderkey"), nFiles = 16)
-    val raced = clustered.putIfAbsent(key, path)
-    if (raced != null) raced else path
+    clustered.computeIfAbsent((s, d), _ => new Memo(() => {
+      val path = new java.io.File(
+        s"target/clustered/${tag(d)}/lineitem").getAbsolutePath
+      Scale.writeClustered(
+        Tables.lineitem(s, d).select("l_orderkey", "l_quantity"),
+        path, Seq("l_orderkey"), nFiles = 16)
+      path
+    })).value
   }
 
   /** Selective key-range aggregate over the range-CLUSTERED lineitem

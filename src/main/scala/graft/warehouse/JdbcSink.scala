@@ -20,24 +20,34 @@ object JdbcSink {
   /** Append `df` to `table` at `url`, creating the table on first write.
     * `batchsize` mirrors executemany's chunking; `numPartitions` bounds
     * connection fan-in (a warehouse-side courtesy cap, applied via
-    * coalesce so it never adds a shuffle). */
+    * coalesce so it never adds a shuffle). `varcharBound` sizes the
+    * created string columns — a row whose string exceeds it fails at
+    * the database, so callers loading wide text raise it rather than
+    * discovering a hard-coded ceiling at load time. The caller's
+    * `properties` are never mutated (connection settings must not
+    * accumulate writer internals across reuse). */
   def append(df: DataFrame, url: String, table: String,
              batchsize: Int = 1000, numPartitions: Int = 8,
-             properties: java.util.Properties = new java.util.Properties()): Unit = {
-    properties.setProperty("batchsize", batchsize.toString)
+             properties: java.util.Properties = new java.util.Properties(),
+             varcharBound: Int = 4096): Unit = {
+    val props = new java.util.Properties()
+    // stringPropertyNames walks the defaults chain too, unlike putAll
+    properties.stringPropertyNames().forEach(k =>
+      props.setProperty(k, properties.getProperty(k)))
+    props.setProperty("batchsize", batchsize.toString)
     // Dialects without a bounded default string type (Derby) map
     // StringType to CLOB, which many warehouses refuse to compare or
     // index — predicate pushdown on the key columns would then fail at
     // the database. Bound every string column explicitly instead.
     val stringCols = df.schema.fields
       .filter(_.dataType == org.apache.spark.sql.types.StringType)
-      .map(f => s"${f.name} VARCHAR(4096)") // Spark DDL parser: bare identifiers
+      .map(f => s"${f.name} VARCHAR($varcharBound)") // Spark DDL parser: bare identifiers
     if (stringCols.nonEmpty)
-      properties.setProperty("createTableColumnTypes", stringCols.mkString(", "))
+      props.setProperty("createTableColumnTypes", stringCols.mkString(", "))
     val bounded =
       if (df.rdd.getNumPartitions > numPartitions) df.coalesce(numPartitions)
       else df
-    bounded.write.mode(SaveMode.Append).jdbc(url, table, properties)
+    bounded.write.mode(SaveMode.Append).jdbc(url, table, props)
   }
 
   /** Read a warehouse table back (reporting side / round-trip checks). */

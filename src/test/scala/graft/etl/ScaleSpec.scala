@@ -132,4 +132,19 @@ class ScaleSpec extends SparkSpec {
     val (b2, a2) = Scale.compact(spark, dir, targetFileBytes = 64L << 10)
     assert(b2 == after && a2 <= after)
   }
+
+  test("compact: refuses to run over a leftover interrupted-swap dir") {
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "compactguard").toString + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s").write.parquet(dir)
+    // simulate a crash mid-compaction: the tmp dir may hold the only
+    // complete copy, so a retry must fail loudly, not destroy it
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir + "__compacting"))
+    val e = intercept[IllegalArgumentException] {
+      Scale.compact(spark, dir, targetFileBytes = 64L << 10)
+    }
+    assert(e.getMessage.contains("__compacting"))
+    assert(spark.read.parquet(dir).count() == 2, "data untouched by the refusal")
+  }
 }

@@ -38,6 +38,16 @@ class JdbcSinkSpec extends SparkSpec {
     assert(JdbcSink.read(spark, url, "t_roundtrip").count() == 6)
   }
 
+  test("append never mutates the caller's Properties") {
+    val df = Seq(("A", "x")).toDF("facility_id", "name")
+    val props = new java.util.Properties()
+    props.setProperty("user", "app")
+    JdbcSink.append(df, url, "t_props", properties = props)
+    assert(props.stringPropertyNames().size() == 1,
+      s"writer internals leaked into caller properties: $props")
+    assert(props.getProperty("user") == "app")
+  }
+
   test("JDBC pipeline write: HHS load lands in warehouse tables") {
     val dir = Files.createTempDirectory(Paths.get("/root/repo/target"), "jdbccsv")
     val csvPath = s"$dir/hhs.csv"
