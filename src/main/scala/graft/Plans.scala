@@ -85,7 +85,28 @@ object Plans {
     // scan (file/row-group skipping happens against these pushed
     // bounds at read time)
     Check("j04_clustered_range",
-      Seq("PushedFilters: [IsNotNull(l_orderkey), GreaterThanOrEqual(l_orderkey,100), LessThanOrEqual(l_orderkey,200)]")))
+      Seq("PushedFilters: [IsNotNull(l_orderkey), GreaterThanOrEqual(l_orderkey,100), LessThanOrEqual(l_orderkey,200)]")),
+    // deep 6-way join: dims broadcast, the order-date range reaches the
+    // orders parquet scan as pushed bounds
+    Check("a10_regional_revenue",
+      Seq("BroadcastHashJoin", "GreaterThanOrEqual(o_orderdate", "LessThan(o_orderdate")),
+    // repetition stats: grams build row-local (explode of zip_with)
+    // and feed partial aggregation — NO window, NO sort before the
+    // doc-keyed aggregates
+    Check("rp01_repetition_stats",
+      Seq("Generate", "HashAggregate"), wantNone = Seq("Window")),
+    // stratum quality filter: the cume_dist window partitions by the
+    // (lang, source) strata
+    Check("qf01_quality_stratum_filter", Seq("windowspecdefinition(lang")),
+    // mixture resample: the per-stratum rate frame joins back by
+    // BROADCAST — corpus rows never shuffle to learn their keep rate
+    Check("mx01_domain_mix", Seq("BroadcastHashJoin", "BroadcastExchange")),
+    // global shuffle: the only row-scale window partitions by the hash
+    // bucket; bucket offsets arrive via broadcast — no total-order
+    // window over raw rows anywhere in the plan
+    Check("sh01_global_shuffle",
+      Seq("windowspecdefinition(__b", "BroadcastExchange"),
+      wantNone = Seq("windowspecdefinition(__h")))
 
   /** All failed assertions for a session (empty = every pin holds);
     * shared by the CLI main below and PlanSpec so the pins run under

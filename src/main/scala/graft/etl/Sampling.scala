@@ -59,6 +59,61 @@ object Sampling {
     df.filter(bucket(strataKey, salt, 1000, portable) < rate)
   }
 
+  /** Resample to a TARGET MIXTURE: given per-stratum target shares
+    * (e.g. en→0.5, zh→0.2, …), keep the LARGEST deterministic subset
+    * whose composition matches the shares. Per-stratum keep rates are
+    * computed IN-PLAN from the data: stratum counts → the binding
+    * stratum (smallest count/share, kept whole) → every other stratum
+    * downsampled to match — so the same call serves any corpus without
+    * a hand-tuned rate table, and the whole thing stays one lazy plan
+    * (tiny count aggregate, broadcast back; no driver-side count()).
+    * Membership is the portable md5 bucket over stratum||key — stable
+    * across re-runs, engines, and parallelism. Strata absent from
+    * `targetShare` are dropped (a mixture is a whitelist). */
+  def mixtureResample(df: DataFrame, key: String, strataCol: String,
+                      targetShare: Map[String, Double],
+                      salt: String = "graft"): DataFrame = {
+    require(targetShare.nonEmpty && targetShare.values.forall(_ > 0))
+    val share = targetShare.foldLeft(lit(null).cast("double")) {
+      case (acc, (stratum, p)) =>
+        when(col(strataCol) === stratum, lit(p)).otherwise(acc)
+    }
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__w", share).filter(col("__w").isNotNull)
+    val binding = counts.agg(
+      min(col("__n").cast("double") / col("__w")).as("__m"))
+    // rate_s = m·w_s/n_s ≤ 1 by construction of m; compare in integer
+    // bucket space (floor to a permillion threshold) so both engines
+    // evaluate the identical predicate
+    val rates = counts.crossJoin(broadcast(binding)).select(col(strataCol),
+      floor(col("__m") * col("__w") / col("__n").cast("double") * lit(1000000))
+        .as("__thr"))
+    df.join(broadcast(rates), strataCol)
+      .filter(bucket(concat(col(strataCol).cast("string"), col(key).cast("string")),
+        salt, 1000000, portable = true) < col("__thr"))
+      .drop("__thr")
+  }
+
+  /** Keep the top `frac` of rows per stratum by `scoreCol` (desc;
+    * `tiebreakCol` makes the order total so membership is exact and
+    * deterministic) — rank-based quality filtering, the percentile
+    * cousin of a fixed score threshold: composition-robust when score
+    * distributions drift between strata or snapshots. Uses one
+    * cume_dist window PER STRATUM, the right shape when strata are
+    * numerous and individually bounded (lang × source). For a handful
+    * of giant strata, swap in an approximate-quantile threshold
+    * (aggregate → broadcast → filter) instead of ranking every row. */
+  def topFractionByStratum(df: DataFrame, strataCols: Seq[String],
+                           scoreCol: String, tiebreakCol: String,
+                           frac: Double): DataFrame = {
+    require(frac > 0 && frac <= 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCols.map(col): _*)
+      .orderBy(col(scoreCol).desc, col(tiebreakCol).asc)
+    df.withColumn("__cd", cume_dist().over(w))
+      .filter(col("__cd") <= frac).drop("__cd")
+  }
+
   /** Tag each row train/test with a ~testPermille/1000 test share.
     * Complementary by construction: every key lands in exactly one split. */
   def trainTestSplit(df: DataFrame, key: String, testPermille: Int,

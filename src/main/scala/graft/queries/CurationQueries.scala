@@ -1,0 +1,106 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.etl.{OrderedShuffle, Sampling}
+import graft.text.Repetition
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation queries added round 5: repetition-based quality
+  * signals, rank-based stratum filtering, target-mixture resampling,
+  * and the deterministic global training-order shuffle. All four are
+  * oracle-gated — the approximation-free core of a pretraining data
+  * pipeline's final passes.
+  */
+object CurationQueries {
+
+  /** Gopher-style repetition signals per document (Repetition scaladoc
+    * has the shape argument). Oracle builds the same gram multisets
+    * relationally: tokens with ordinals, bigrams by self-join on
+    * consecutive positions, counts → max/total/duplicated-total. */
+  val rp01RepetitionStats = QueryDef("rp01_repetition_stats",
+    (s, d) => Repetition.repetitionStats(Tables.documents(s, d))
+      .orderBy("doc_id"),
+    Some("""WITH tok AS (
+           |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+           |         generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS i
+           |  FROM documents),
+           |wc AS (SELECT doc_id, COUNT(DISTINCT w) AS wdist, COUNT(*) AS wtot
+           |       FROM tok GROUP BY 1),
+           |big AS (SELECT a.doc_id, a.w || ' ' || b.w AS g
+           |        FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+           |bc AS (SELECT doc_id, g, COUNT(*) AS c FROM big GROUP BY 1, 2),
+           |bs AS (SELECT doc_id, MAX(c) AS btop, SUM(c) AS btot,
+           |       COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS bdup
+           |       FROM bc GROUP BY 1)
+           |SELECT wc.doc_id,
+           |  round(CAST(wdist AS DOUBLE) / wtot, 6) AS unique_word_ratio,
+           |  round(CAST(btop AS DOUBLE) / btot, 6) AS top_bigram_frac,
+           |  round(CAST(bdup AS DOUBLE) / btot, 6) AS dup_bigram_frac
+           |FROM wc JOIN bs ON bs.doc_id = wc.doc_id
+           |ORDER BY wc.doc_id""".stripMargin))
+
+  /** Top quality quartile WITHIN each (lang, source) stratum — the
+    * rank-based filter that survives score-distribution drift between
+    * strata (a fixed threshold keeps 90% of one language and 2% of
+    * another; a per-stratum quantile keeps the same share of each).
+    * Ties broken by doc_id so membership is exact; cume_dist is a
+    * ratio of counts, so both engines compare identical doubles. */
+  val qf01QualityStratumFilter = QueryDef("qf01_quality_stratum_filter",
+    (s, d) => Sampling.topFractionByStratum(
+      Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source"),
+        graft.text.TextFunctions.qualityScore(col("text")).as("quality")),
+      Seq("lang", "source"), "quality", "doc_id", frac = 0.25)
+      .select(col("doc_id"), col("lang"), col("source"),
+        round(col("quality"), 6).as("quality"))
+      .orderBy("doc_id"),
+    Some(s"""WITH q AS (SELECT doc_id, lang, source,
+            |  ${TextQueries.sqlQuality} AS quality FROM documents),
+            |r AS (SELECT *, CUME_DIST() OVER (
+            |        PARTITION BY lang, source
+            |        ORDER BY quality DESC, doc_id) AS cd FROM q)
+            |SELECT doc_id, lang, source, round(quality, 6) AS quality
+            |FROM r WHERE cd <= 0.25 ORDER BY doc_id""".stripMargin))
+
+  /** Resample the corpus to a target LANGUAGE MIXTURE (en 50%, zh 20%,
+    * es/de/fr 10% each): per-stratum rates derive in-plan from the
+    * stratum counts (binding stratum kept whole, everything else
+    * downsampled to match), membership is the portable md5 bucket.
+    * The oracle recomputes rates from the same counts and replays the
+    * bucket predicate — kept doc_ids must match exactly. */
+  val mx01DomainMix = QueryDef("mx01_domain_mix",
+    (s, d) => Sampling.mixtureResample(
+      Tables.documents(s, d), "doc_id", "lang",
+      targetShare = Map("en" -> 0.5, "zh" -> 0.2, "es" -> 0.1,
+        "de" -> 0.1, "fr" -> 0.1))
+      .select("doc_id", "lang").orderBy("doc_id"),
+    Some("""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+           |w AS (SELECT lang, n,
+           |        CASE lang WHEN 'en' THEN CAST(0.5 AS DOUBLE)
+           |                  WHEN 'zh' THEN CAST(0.2 AS DOUBLE)
+           |                  ELSE CAST(0.1 AS DOUBLE) END AS w FROM c),
+           |m AS (SELECT MIN(CAST(n AS DOUBLE) / w) AS m FROM w),
+           |r AS (SELECT lang,
+           |        CAST(FLOOR(m.m * w / CAST(n AS DOUBLE) * 1000000) AS BIGINT) AS thr
+           |      FROM w, m)
+           |SELECT d.doc_id, d.lang
+           |FROM documents d JOIN r USING (lang)
+           |WHERE ('0x' || substr(md5('graft' || lang || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+           |      % 1000000 < thr
+           |ORDER BY doc_id""".stripMargin))
+
+  /** Deterministic global training order (OrderedShuffle scaladoc has
+    * the two-level numbering argument) — pos must equal DuckDB's
+    * single ROW_NUMBER() OVER (ORDER BY hash) exactly, proving the
+    * distributed bucket-offset construction IS the total order. */
+  val sh01GlobalShuffle = QueryDef("sh01_global_shuffle",
+    (s, d) => OrderedShuffle.globalOrder(
+      Tables.documents(s, d).select("doc_id"), "doc_id", seed = "s5")
+      .select(col("doc_id"), col("__h").as("h"), col("pos"))
+      .orderBy("pos"),
+    Some("""SELECT doc_id, md5('s5' || CAST(doc_id AS VARCHAR)) AS h,
+           |  ROW_NUMBER() OVER (ORDER BY md5('s5' || CAST(doc_id AS VARCHAR))) AS pos
+           |FROM documents ORDER BY pos""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(rp01RepetitionStats, qf01QualityStratumFilter,
+    mx01DomainMix, sh01GlobalShuffle)
+}

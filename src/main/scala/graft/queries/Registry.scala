@@ -10,5 +10,6 @@ object Registry {
     RelationalQueries.all ++ GroupingQueries.all ++ BreadthQueries.all ++
       SemiStructuredQueries.all ++ PivotSubqueryQueries.all ++
       TextQueries.all ++ VectorQueries.all ++ EventQueries.all ++
-      MultimodalQueries.all ++ PipelineQueries.all ++ ScaleQueries.all
+      MultimodalQueries.all ++ PipelineQueries.all ++ ScaleQueries.all ++
+      CurationQueries.all
 }

@@ -245,6 +245,44 @@ object RelationalQueries {
             |  CAST(SUM($sqlRevTerm) AS DOUBLE) AS revenue
             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
+  /** Deep multi-join analytics — the TPC-H Q5 shape over the testdata
+    * tables: 6-way join (region→nation→customer+supplier, orders,
+    * lineitem) with a same-nation customer/supplier condition, selective
+    * region + date-range filters, decimal-exact revenue by nation. The
+    * point at scale: Catalyst gets a FREE HAND on join order, the three
+    * dims broadcast (zero fact shuffle to pick up nation names), the
+    * date filter pushes to the orders scan, and only the two fact⨝fact
+    * equi-joins shuffle — the plan a hand-scheduled engine has to build
+    * by hand falls out of the declaration. */
+  val a10RegionalRevenue = QueryDef("a10_regional_revenue",
+    (s, d) => Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA" &&
+        col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+        col("o_orderdate") < lit("1998-01-01").cast(TimestampType))
+      .groupBy("n_name")
+      .agg(sum(revTerm).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name")),
+    Some(s"""SELECT n_name, CAST(SUM($sqlRevTerm) AS DOUBLE) AS revenue,
+            |  COUNT(*) AS n_items
+            |FROM customer
+            |JOIN orders   ON c_custkey = o_custkey
+            |JOIN lineitem ON l_orderkey = o_orderkey
+            |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            |JOIN nation   ON s_nationkey = n_nationkey
+            |JOIN region   ON n_regionkey = r_regionkey
+            |WHERE r_name = 'ASIA'
+            |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+            |  AND o_orderdate < TIMESTAMP '1998-01-01'
+            |GROUP BY n_name
+            |ORDER BY revenue DESC, n_name""".stripMargin))
+
   /** A7/J2 — count after a 3-way dim join (ref: Reporting.py:180-196).
     * nation and region are broadcast (tiny dims): zero shuffle on the
     * customer side beyond the final group-by. */
@@ -679,7 +717,7 @@ object RelationalQueries {
     d01DedupFirstWins, d02DedupComposite, d03AntiJoin, d04SemiJoin, d05LatestWins,
     a01CountFilter, a02CountByGroup, a03GlobalSums, a04SumsByWeek,
     a05RatioByStatus, a06SumArithmetic, a07Join3Count,
-    a08RatioByPriorityWeek, a09AvgByGroup,
+    a08RatioByPriorityWeek, a09AvgByGroup, a10RegionalRevenue,
     t02RecentWeeks, t03TopkCustomers, t04TopBottom,
     u01UnionDistinct, u02Except, u03Intersect, u04UnionAll, up01UpsertMerge,
     sc01Scd2History,

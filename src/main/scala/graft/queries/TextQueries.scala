@@ -25,8 +25,8 @@ object TextQueries {
   private val sqlNormalize =
     """trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'), '\s+', ' ', 'g'))"""
   /** quality-score formula over `text` — mirrors
-    * TextFunctions.qualityScore; shared by x11 and cb01. */
-  private val sqlQuality =
+    * TextFunctions.qualityScore; shared by x11, cb01 and qf01. */
+  private[queries] val sqlQuality =
     s"""(CASE WHEN len($sqlTokArr) >= 5 AND len($sqlTokArr) <= 1000 THEN 1.0 ELSE 0.0 END
        | + CASE WHEN CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
        |          / NULLIF(length(text), 0) <= 0.2 THEN 1.0 ELSE 0.0 END
@@ -259,6 +259,32 @@ object TextQueries {
             |k AS (SELECT *, ROW_NUMBER() OVER
             |        (PARTITION BY s ORDER BY doc_id, idx) AS rn FROM seg),
             |kept AS (SELECT * FROM k WHERE rn = 1),
+            |totals AS (SELECT doc_id, COUNT(*) AS n_total FROM seg GROUP BY doc_id),
+            |ka AS (SELECT doc_id, COUNT(*) AS n_kept,
+            |         md5(string_agg(s, ' ' ORDER BY idx)) AS rebuilt_fp
+            |       FROM kept GROUP BY doc_id)
+            |SELECT totals.doc_id, totals.n_total,
+            |  COALESCE(ka.n_kept, 0) AS n_kept, ka.rebuilt_fp
+            |FROM totals LEFT JOIN ka ON totals.doc_id = ka.doc_id
+            |ORDER BY totals.doc_id""".stripMargin))
+
+  /** Boilerplate removal (see [[graft.text.TextDedup.boilerplateStrip]]):
+    * any 5-token segment appearing in MORE THAN ONE document is dropped
+    * from every document (pd01 keeps the first copy; bp01 keeps none —
+    * cross-document repetition at segment granularity is template
+    * chrome, not content). Rebuilt-text md5 pins reassembly exactly. */
+  val bp01BoilerplateStrip = QueryDef("bp01_boilerplate_strip",
+    (s, d) => TextDedup.boilerplateStrip(Tables.documents(s, d),
+      segTokens = 5, maxDocFreq = 1)
+      .orderBy("doc_id"),
+    Some(s"""WITH tok AS (SELECT doc_id, $sqlTokArr AS t FROM documents),
+            |st AS (SELECT doc_id, t,
+            |         unnest(generate_series(0, greatest(len(t) - 1, 0), 5)) AS start
+            |       FROM tok WHERE len(t) > 0),
+            |seg AS (SELECT doc_id, CAST(start / 5 AS BIGINT) AS idx,
+            |          array_to_string(t[start + 1 : start + 5], ' ') AS s FROM st),
+            |dfc AS (SELECT s, COUNT(DISTINCT doc_id) AS df FROM seg GROUP BY s),
+            |kept AS (SELECT seg.* FROM seg JOIN dfc USING (s) WHERE df <= 1),
             |totals AS (SELECT doc_id, COUNT(*) AS n_total FROM seg GROUP BY doc_id),
             |ka AS (SELECT doc_id, COUNT(*) AS n_kept,
             |         md5(string_agg(s, ' ' ORDER BY idx)) AS rebuilt_fp
@@ -700,6 +726,6 @@ object TextQueries {
     cp01CorpusCuration, cp02CurationPipeline,
     dd01ExactGroups, dd02ExactKept, dd03Jaccard, dd04MinHash, dd05SimHash,
     dd07HashedJaccard, dd08MinHashRecall, dc01Decontamination, pii01Redaction,
-    cb01TokenBudget, pd01ParagraphDedup, dd09SimHashPortable,
+    cb01TokenBudget, pd01ParagraphDedup, bp01BoilerplateStrip, dd09SimHashPortable,
     dd10HammingPairs)
 }

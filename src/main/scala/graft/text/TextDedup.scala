@@ -208,7 +208,38 @@ object TextDedup {
                           idCol: String = "doc_id",
                           textCol: String = "text"): DataFrame = {
     require(segTokens > 0)
-    val segs = docs
+    val segs = segmented(docs, segTokens, idCol, textCol)
+    val w = Window.partitionBy("s").orderBy(col("doc_id"), col("idx"))
+    val kept = segs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    rebuilt(segs, kept)
+  }
+
+  /** BOILERPLATE STRIP — the df-capped sibling of
+    * [[segmentDedupRebuild]]: a segment whose DOCUMENT FREQUENCY
+    * exceeds `maxDocFreq` is boilerplate (header, footer, license
+    * block, template chrome) and is dropped from EVERY document —
+    * first-wins dedup keeps one copy of a repeat; boilerplate removal
+    * keeps none, because the segment was never content. Same
+    * segmentation, reassembly, and output contract; the wide stages
+    * are one df-aggregate and one join, both keyed by segment content
+    * (exactly the first-wins window's shuffle key, so the scale
+    * profile is unchanged). */
+  def boilerplateStrip(docs: DataFrame, segTokens: Int, maxDocFreq: Int,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    require(segTokens > 0 && maxDocFreq > 0)
+    val segs = segmented(docs, segTokens, idCol, textCol)
+    val dfs = segs.groupBy("s").agg(countDistinct("doc_id").as("__df"))
+    val kept = segs.join(dfs, "s").filter(col("__df") <= maxDocFreq).drop("__df")
+    rebuilt(segs, kept)
+  }
+
+  /** Non-overlapping `segTokens`-token windows per document:
+    * (doc_id, idx, s). Segmentation is row-local — posexplode of the
+    * start offsets; no shuffle. */
+  private def segmented(docs: DataFrame, segTokens: Int,
+                        idCol: String, textCol: String): DataFrame =
+    docs
       .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("__toks"))
       .filter(size(col("__toks")) > 0)
       .select(col("doc_id"), col("__toks"),
@@ -216,8 +247,10 @@ object TextDedup {
           .as(Seq("idx", "__start")))
       .select(col("doc_id"), col("idx"),
         concat_ws(" ", slice(col("__toks"), col("__start") + 1, lit(segTokens))).as("s"))
-    val w = Window.partitionBy("s").orderBy(col("doc_id"), col("idx"))
-    val kept = segs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+
+  /** Reassemble survivors in original order; (doc_id, n_total, n_kept,
+    * rebuilt_fp) with n_kept = 0 / NULL fp for fully-claimed docs. */
+  private def rebuilt(segs: DataFrame, kept: DataFrame): DataFrame = {
     val totals = segs.groupBy("doc_id").agg(count(lit(1)).as("n_total"))
     val keptAgg = kept.groupBy("doc_id").agg(
       count(lit(1)).as("n_kept"),

@@ -63,4 +63,47 @@ class SamplingSpec extends SparkSpec {
       assert(r < 0.3, s"$l rate $r should be ~0.1")
     }
   }
+
+  test("mixture resample: binding stratum kept whole, composition near target") {
+    val docs = Tables.documents(spark, sfDir)
+    val target = Map("en" -> 0.5, "zh" -> 0.2, "es" -> 0.1, "de" -> 0.1, "fr" -> 0.1)
+    val kept = Sampling.mixtureResample(docs, "doc_id", "lang", target)
+    val keptBy = kept.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val totBy = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // the binding stratum (min n/w) survives in full
+    val binding = totBy.map { case (l, n) => l -> n / target(l) }.minBy(_._2)._1
+    assert(keptBy(binding) == totBy(binding),
+      s"binding stratum $binding downsampled: ${keptBy(binding)} of ${totBy(binding)}")
+    // achieved mixture tracks the target within hash-sampling noise
+    val total = keptBy.values.sum.toDouble
+    target.foreach { case (l, w) =>
+      val achieved = keptBy.getOrElse(l, 0L) / total
+      assert(math.abs(achieved - w) < 0.05, s"$l achieved $achieved vs target $w")
+    }
+    // deterministic + a strict subset of the corpus
+    val again = Sampling.mixtureResample(docs, "doc_id", "lang", target)
+    assert(kept.select("doc_id").exceptAll(again.select("doc_id")).count() == 0)
+    assert(kept.select("doc_id").exceptAll(docs.select("doc_id")).count() == 0)
+    // strata outside the whitelist are dropped entirely
+    val partial = Sampling.mixtureResample(docs, "doc_id", "lang", Map("en" -> 1.0))
+    assert(partial.select("lang").distinct().as[String].collect().toSeq == Seq("en"))
+  }
+
+  test("top-fraction-by-stratum keeps exactly floor(frac*n) per stratum, highest scores") {
+    val df = Seq(
+      ("a", 1L, 0.9), ("a", 2L, 0.8), ("a", 3L, 0.7), ("a", 4L, 0.6),
+      ("a", 5L, 0.5), ("a", 6L, 0.4), ("a", 7L, 0.3), ("a", 8L, 0.2),
+      ("b", 9L, 0.1), ("b", 10L, 0.2), ("b", 11L, 0.3), ("b", 12L, 0.4)
+    ).toDF("stratum", "id", "score")
+    val kept = Sampling.topFractionByStratum(df, Seq("stratum"), "score", "id", 0.25)
+      .orderBy("id").as[(String, Long, Double)].collect().toSeq
+    // cume_dist = k/n <= 0.25 with a total order keeps the floor(n/4) best
+    assert(kept == Seq(("a", 1L, 0.9), ("a", 2L, 0.8), ("b", 12L, 0.4)))
+    // ties fall to the tiebreak column, not to nondeterminism
+    val tied = Seq(("a", 1L, 0.5), ("a", 2L, 0.5), ("a", 3L, 0.5), ("a", 4L, 0.5))
+      .toDF("stratum", "id", "score")
+    val keptTied = Sampling.topFractionByStratum(tied, Seq("stratum"), "score", "id", 0.5)
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(keptTied == Seq(1L, 2L))
+  }
 }

@@ -139,4 +139,26 @@ class TextDedupSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(got == Map(0L -> "en", 1L -> "es", 2L -> "de"))
   }
+
+  test("boilerplate strip drops shared segments from EVERY doc; first-wins keeps one") {
+    val docs = Seq(
+      (1L, "a b c d e x1 x2 x3 x4 x5"), // shares its first segment with doc 2
+      (2L, "a b c d e y1 y2 y3 y4 y5"),
+      (3L, "z1 z2 z3")                  // unique single (short) segment
+    ).toDF("doc_id", "text")
+    val strip = TextDedup.boilerplateStrip(docs, segTokens = 5, maxDocFreq = 1)
+      .orderBy("doc_id")
+      .select("doc_id", "n_total", "n_kept").as[(Long, Long, Long)].collect().toSeq
+    assert(strip == Seq((1L, 2L, 1L), (2L, 2L, 1L), (3L, 1L, 1L)),
+      s"shared 'a b c d e' must vanish from both docs: $strip")
+    // contrast: first-occurrence-wins dedup KEEPS doc 1's copy
+    val dedup = TextDedup.segmentDedupRebuild(docs, segTokens = 5)
+      .orderBy("doc_id")
+      .select("doc_id", "n_total", "n_kept").as[(Long, Long, Long)].collect().toSeq
+    assert(dedup == Seq((1L, 2L, 2L), (2L, 2L, 1L), (3L, 1L, 1L)))
+    // a raised df cap keeps everything (shared segment df = 2)
+    val lax = TextDedup.boilerplateStrip(docs, segTokens = 5, maxDocFreq = 2)
+      .agg(org.apache.spark.sql.functions.sum(col("n_kept"))).head().getLong(0)
+    assert(lax == 5L)
+  }
 }
