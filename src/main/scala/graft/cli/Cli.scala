@@ -45,6 +45,12 @@ object Cli {
     val known = Set("--warehouse", "--rejects")
     val pairs = rest.grouped(2).toSeq
     pairs.foreach {
+      // a "value" that is itself a flag means the real value was
+      // forgotten (`--warehouse --rejects`): without this check it would
+      // parse as warehouse dir literally "--rejects" — the silent
+      // data-placement misparse hard-error flags exist to prevent
+      case Seq(k, v) if known(k) && v.startsWith("--") => sys.error(
+        s"flag '$k' is missing a value (got '$v')")
       case Seq(k, _) if known(k) => ()
       case Seq(k, _) => sys.error(
         s"unknown flag '$k' (expected ${known.mkString(" or ")})")

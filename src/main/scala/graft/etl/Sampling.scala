@@ -84,9 +84,13 @@ object Sampling {
       min(col("__n").cast("double") / col("__w")).as("__m"))
     // rate_s = m·w_s/n_s ≤ 1 by construction of m; compare in integer
     // bucket space (floor to a permillion threshold) so both engines
-    // evaluate the identical predicate
+    // evaluate the identical predicate. The binding stratum (n/w == m,
+    // bit-identical doubles — same computation on both sides) is pinned
+    // to exactly 1_000_000: floor((n/w)·w/n·1e6) can land at 999_999 in
+    // IEEE doubles, which would drop ~1-per-million binding-stratum rows.
     val rates = counts.crossJoin(broadcast(binding)).select(col(strataCol),
-      floor(col("__m") * col("__w") / col("__n").cast("double") * lit(1000000))
+      when(col("__n").cast("double") / col("__w") === col("__m"), lit(1000000L))
+        .otherwise(floor(col("__m") * col("__w") / col("__n").cast("double") * lit(1000000)))
         .as("__thr"))
     df.join(broadcast(rates), strataCol)
       .filter(bucket(concat(col(strataCol).cast("string"), col(key).cast("string")),

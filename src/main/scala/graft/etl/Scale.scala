@@ -104,9 +104,16 @@ object Scale {
     val out = fs.listStatus(tmp)
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     // part-file names carry a per-job UUID, so renaming into the live
-    // dir cannot collide with the old generation's names
-    out.foreach(f => fs.rename(f.getPath,
-      new org.apache.hadoop.fs.Path(path, f.getPath.getName)))
+    // dir cannot collide with the old generation's names. rename can
+    // still fail by RETURNING FALSE (HDFS does for e.g. a missing dest
+    // parent) — abort before touching the old generation, leaving tmp
+    // intact for the leftover-tmp guard above to surface next run.
+    out.foreach { f =>
+      val dest = new org.apache.hadoop.fs.Path(path, f.getPath.getName)
+      require(fs.rename(f.getPath, dest),
+        s"compact aborted: rename ${f.getPath} -> $dest failed; old " +
+          s"generation untouched, partial new copy left under $tmp")
+    }
     before.foreach(f => fs.delete(f.getPath, false))
     fs.delete(tmp, true)
     (before.length, out.length)

@@ -77,11 +77,18 @@ object CurationQueries {
            |w AS (SELECT lang, n,
            |        CASE lang WHEN 'en' THEN CAST(0.5 AS DOUBLE)
            |                  WHEN 'zh' THEN CAST(0.2 AS DOUBLE)
-           |                  ELSE CAST(0.1 AS DOUBLE) END AS w FROM c),
-           |m AS (SELECT MIN(CAST(n AS DOUBLE) / w) AS m FROM w),
+           |                  WHEN 'es' THEN CAST(0.1 AS DOUBLE)
+           |                  WHEN 'de' THEN CAST(0.1 AS DOUBLE)
+           |                  WHEN 'fr' THEN CAST(0.1 AS DOUBLE)
+           |                  ELSE NULL END AS w FROM c
+           |      ),
+           |wf AS (SELECT * FROM w WHERE w IS NOT NULL),
+           |m AS (SELECT MIN(CAST(n AS DOUBLE) / w) AS m FROM wf),
            |r AS (SELECT lang,
-           |        CAST(FLOOR(m.m * w / CAST(n AS DOUBLE) * 1000000) AS BIGINT) AS thr
-           |      FROM w, m)
+           |        CASE WHEN CAST(n AS DOUBLE) / w = m.m THEN CAST(1000000 AS BIGINT)
+           |             ELSE CAST(FLOOR(m.m * w / CAST(n AS DOUBLE) * 1000000) AS BIGINT)
+           |        END AS thr
+           |      FROM wf, m)
            |SELECT d.doc_id, d.lang
            |FROM documents d JOIN r USING (lang)
            |WHERE ('0x' || substr(md5('graft' || lang || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT

@@ -24,6 +24,19 @@ class CliSpec extends AnyFunSuite {
     assert(e.getMessage.contains("--warehose"))
   }
 
+  test("dirs: known flag whose 'value' is itself a flag is a hard error") {
+    // `--warehouse --rejects` (forgotten value, even argv) must not parse
+    // as warehouse dir literally "--rejects" with rejects defaulting
+    val e = intercept[RuntimeException] {
+      Cli.dirs(Seq("--warehouse", "--rejects"))
+    }
+    assert(e.getMessage.contains("missing a value"))
+    val e2 = intercept[RuntimeException] {
+      Cli.dirs(Seq("--rejects", "--warehouse", "/w", "x"))
+    }
+    assert(e2.getMessage.contains("missing a value"))
+  }
+
   test("dirs: stray trailing argument is a hard error") {
     val e = intercept[RuntimeException] {
       Cli.dirs(Seq("--warehouse", "/w", "oops"))

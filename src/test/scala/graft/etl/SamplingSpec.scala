@@ -89,6 +89,36 @@ class SamplingSpec extends SparkSpec {
     assert(partial.select("lang").distinct().as[String].collect().toSeq == Seq("en"))
   }
 
+  test("mixture resample: binding-stratum threshold clamps to 1e6 despite FP floor") {
+    // With n=3, w=0.7 the binding rate (n/w)·w/n evaluates to
+    // 0.9999999999999999 in doubles, flooring to 999_999 — which would
+    // drop exactly the rows whose portable bucket is 999_999. Hunt such
+    // a key off-Spark (same md5 construction as Sampling.bucket) and
+    // prove it survives.
+    def bucketOf(stratum: String, key: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(("graft" + stratum + key).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % 1000000L
+    }
+    // sanity: the FP hazard is real for these counts/weights
+    val m = 3.0 / 0.7
+    assert(math.floor(m * 0.7 / 3.0 * 1000000).toLong == 999999L)
+    val hot = (1 to 3000000).view.map(i => s"k$i")
+      .find(k => bucketOf("a", k) == 999999L).get
+    val rows = Seq(("a", hot), ("a", "other1"), ("a", "other2")) ++
+      (1 to 1000).map(i => ("b", s"b$i"))
+    val df = rows.toDF("lang", "doc_id")
+    val kept = Sampling.mixtureResample(df, "doc_id", "lang",
+      Map("a" -> 0.7, "b" -> 0.3))
+    // binding stratum is a (3/0.7≈4.3 < 1000/0.3); ALL its rows survive,
+    // including the bucket-999999 key the un-clamped floor would drop
+    val keptA = kept.filter($"lang" === "a").select("doc_id")
+      .as[String].collect().toSet
+    assert(keptA == Set(hot, "other1", "other2"),
+      s"binding stratum lost rows: kept $keptA")
+  }
+
   test("top-fraction-by-stratum keeps exactly floor(frac*n) per stratum, highest scores") {
     val df = Seq(
       ("a", 1L, 0.9), ("a", 2L, 0.8), ("a", 3L, 0.7), ("a", 4L, 0.6),
