@@ -592,6 +592,60 @@ object TextQueries {
             |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
             |ORDER BY id1, id2""".stripMargin))
 
+  /** PORTABLE MinHash+LSH candidates under the FULL oracle gate — the
+    * dd09 move applied to MinHash, closing the last rows-only gap in
+    * the dedup family: md5-derived permutations over string bigram
+    * shingles, md5 band signatures, bucket pairing, est-Jaccard — and
+    * DuckDB replays every stage relationally (min over per-permutation
+    * shingle hashes, string_agg band digests, bucket self-join, per-
+    * index signature agreement). Any drift anywhere in the pipeline is
+    * a value mismatch on the candidate rows. Production dd04 keeps the
+    * compiled xxhash64 path; this is its cross-engine proof. The corpus
+    * is enriched with engineered near-dups (appended junk token →
+    * almost-complete shingle overlap), so the verified candidates span
+    * partial signature agreement, not just exact-dup est=1.0 rows. */
+  val dd11MinHashPortable = QueryDef("dd11_minhash_portable",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = docs.filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            concat(col("text"), lit(" zzqx")).as("text")))
+      TextDedup.portableMinHashCandidates(base,
+        k = 2, nHashes = 16, bands = 4, minEstJaccard = 0.5)
+        .orderBy("id1", "id2")
+    },
+    Some("""WITH docs AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 1000000 AS doc_id, text || ' zzqx' AS text
+           |  FROM documents WHERE doc_id % 20 = 0),
+           |tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+           |        generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS i FROM docs),
+           |sh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w AS s
+           |       FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+           |hs AS (SELECT doc_id, i,
+           |         MIN(CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || s), 1, 15)) AS UBIGINT)) AS mh
+           |       FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) ii
+           |       GROUP BY doc_id, i),
+           |bands AS (SELECT doc_id, i // 4 AS band_id,
+           |            md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS band_sig
+           |          FROM hs GROUP BY doc_id, i // 4),
+           |pairs AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+           |          FROM bands l JOIN bands r
+           |            ON l.band_id = r.band_id AND l.band_sig = r.band_sig
+           |               AND l.doc_id < r.doc_id),
+           |est AS (SELECT p.id1, p.id2,
+           |          round(CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS DOUBLE) / 16, 6)
+           |            AS est_jaccard
+           |        FROM pairs p
+           |        JOIN hs a ON a.doc_id = p.id1
+           |        JOIN hs b ON b.doc_id = p.id2 AND b.i = a.i
+           |        GROUP BY 1, 2)
+           |SELECT id1, id2, est_jaccard FROM est
+           |WHERE est_jaccard >= 0.5 ORDER BY id1, id2""".stripMargin))
+
   /** Deterministic key-stable train/test split counts per language,
     * using the PORTABLE (md5-prefix) bucket so the oracle reproduces
     * membership exactly: any engine with md5 computes the same split —
@@ -727,5 +781,5 @@ object TextQueries {
     dd01ExactGroups, dd02ExactKept, dd03Jaccard, dd04MinHash, dd05SimHash,
     dd07HashedJaccard, dd08MinHashRecall, dc01Decontamination, pii01Redaction,
     cb01TokenBudget, pd01ParagraphDedup, bp01BoilerplateStrip, dd09SimHashPortable,
-    dd10HammingPairs)
+    dd10HammingPairs, dd11MinHashPortable)
 }

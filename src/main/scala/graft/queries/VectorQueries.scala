@@ -132,6 +132,55 @@ object VectorQueries {
     },
     nn01BruteTopK.oracle)
 
+  /** PORTABLE hyperplane-LSH top-k under the FULL oracle gate — the
+    * dd09/dd11 move applied to vector LSH, closing the rows-only gap on
+    * the ANN side: ±1 hyperplanes derive from md5(j:c) parity (plan
+    * literals here, re-derived by md5 in SQL), each signature bit is
+    * sign(Σ emb[c]·plane[c]) with left-to-right double accumulation
+    * (DuckDB list_reduce over an index-lambda product — bit-identical),
+    * and banding + bucket join + exact cosine re-rank replay
+    * relationally. A drift in plane derivation, accumulation order,
+    * banding, or ranking is a value mismatch on every affected row.
+    * Production ANN keeps nn02's compiled SplitMix64 signatures; this
+    * is its cross-engine proof. */
+  val nn07LshPortable = QueryDef("nn07_lsh_portable",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilaritySearch.portableLshTopK(emb, emb.filter(col("vec_id") % 100 === 0),
+        k = 5, nBits = 16, nBands = 4, dim = 64)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH plane AS (
+            |  SELECT j, list(CASE WHEN CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || CAST(c AS VARCHAR)), 1, 15)) AS UBIGINT) % 2 = 0
+            |                      THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END ORDER BY c) AS p
+            |  FROM (SELECT unnest(generate_series(0, 15)) AS j) jj
+            |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS c) cc
+            |  GROUP BY j),
+            |proj AS (SELECT e.vec_id, pl.j,
+            |           list_reduce(list_transform(CAST(e.embedding AS DOUBLE[]),
+            |             (x, i) -> x * pl.p[i]), (a, b) -> a + b) AS pr
+            |         FROM embeddings e CROSS JOIN plane pl),
+            |sig AS (SELECT vec_id,
+            |          CAST(SUM(CASE WHEN pr >= 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS s
+            |        FROM proj GROUP BY vec_id),
+            |qb AS (SELECT vec_id AS query_id, b AS band_id, (s >> (b * 4)) & 15 AS band_val
+            |       FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bb
+            |       WHERE vec_id % 100 = 0),
+            |cb AS (SELECT vec_id AS neighbor_id, b AS band_id, (s >> (b * 4)) & 15 AS band_val
+            |       FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bb),
+            |pairs AS (SELECT DISTINCT query_id, neighbor_id
+            |          FROM qb JOIN cb USING (band_id, band_val)
+            |          WHERE query_id <> neighbor_id),
+            |scored AS (SELECT p.query_id, p.neighbor_id, round($sqlCos, 6) AS sim_r
+            |           FROM pairs p
+            |           JOIN embeddings a ON a.vec_id = p.query_id
+            |           JOIN embeddings b ON b.vec_id = p.neighbor_id)
+            |SELECT query_id, rank, neighbor_id, sim_r FROM (
+            |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            |    ORDER BY sim_r DESC, neighbor_id) AS rank FROM scored) t
+            |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+
   /** Duplicate CLUSTERS from near-dup edges: embedding-cosine pairs
     * (≥ 0.3 within a vec_id%5 probe subset) fed to iterative min-label
     * connected components — the union-find pass that ends every
@@ -201,6 +250,6 @@ object VectorQueries {
            |FROM c ORDER BY vec_id""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(nn01BruteTopK, nn02LshTopK, nn03NearDup,
-    nn04IvfTopK, nn05LshRecall, nn06IvfAllProbe, dd06DupClusters,
-    vq01ScalarQuant)
+    nn04IvfTopK, nn05LshRecall, nn06IvfAllProbe, nn07LshPortable,
+    dd06DupClusters, vq01ScalarQuant)
 }

@@ -188,6 +188,57 @@ object TextDedup {
       .select("id1", "id2", "est_jaccard")
   }
 
+  /** PORTABLE MinHash+LSH candidates — the value-exact, SQL-replayable
+    * sibling of [[minHashCandidates]] (the dd09 move applied to
+    * MinHash): permutations are md5-derived (hash_i(s) = 60-bit md5
+    * prefix of "i:shingle"), shingles stay strings, and band signatures
+    * are md5 over the comma-joined minhash values — so another engine
+    * replays the ENTIRE pipeline (signatures, banding, bucket pairing,
+    * estimated Jaccard) and must value-match every output row. Any
+    * drift in shingling, permutation hashing, banding, or the
+    * est-Jaccard algebra is a hash mismatch, not a silent recall shift.
+    *
+    * Production dedup keeps [[minHashCandidates]] (xxhash64 permutations
+    * over 64-bit shingle hashes, all compiled row-local — no shingle
+    * strings); this variant is the cross-engine verification harness,
+    * same algebra at ~md5 cost. AllPairs pairing: exhaustive within
+    * buckets, the form an oracle replays directly. */
+  def portableMinHashCandidates(docs: DataFrame, k: Int = 2, nHashes: Int = 16,
+                                bands: Int = 4, minEstJaccard: Double = 0.5,
+                                idCol: String = "doc_id",
+                                textCol: String = "text"): DataFrame = {
+    require(nHashes % bands == 0)
+    val rowsPerBand = nHashes / bands
+    val sigs = docs
+      .select(col(idCol).as("id"), TextFunctions.shingles(col(textCol), k).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .select(col("id"), array((0 until nHashes).map(i =>
+        array_min(transform(col("__sh"), s =>
+          conv(substring(md5(concat(lit(s"$i:"), s)), 1, 15), 16, 10)
+            .cast(LongType)))): _*).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sigs.withColumn("band", explode(array((0 until bands).map(b =>
+      struct(lit(b).as("band_id"),
+        md5(concat_ws(",", (0 until rowsPerBand).map(r =>
+          element_at(col("sig"), b * rowsPerBand + r + 1).cast("string")): _*))
+          .as("band_sig"))): _*)))
+      .select(col("id"), col("band.band_id"), col("band.band_sig"))
+    val pairs = banded.select(col("id").as("id1"), col("band_id"), col("band_sig"))
+      .join(banded.select(col("id").as("id2"), col("band_id"), col("band_sig")),
+        Seq("band_id", "band_sig"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").dropDuplicates("id1", "id2")
+    pairs
+      .join(sigs.select(col("id").as("id1"), col("sig").as("sig1")), Seq("id1"))
+      .join(sigs.select(col("id").as("id2"), col("sig").as("sig2")), Seq("id2"))
+      .withColumn("est_jaccard", round(
+        aggregate(zip_with(col("sig1"), col("sig2"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, e) => acc + e).cast("double") / nHashes, 6))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select("id1", "id2", "est_jaccard")
+  }
+
   /** SEGMENT-level dedup with order-preserving document reassembly —
     * the C4/RefinedWeb move: boilerplate repeats across documents at
     * sub-document granularity (headers, footers, templates), so dedup

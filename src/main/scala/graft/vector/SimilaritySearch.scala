@@ -82,6 +82,72 @@ object SimilaritySearch {
       .select("query_id", "rank", "neighbor_id", "sim_r")
   }
 
+  /** Deterministic ±1 hyperplane matrix derived from md5 — the portable
+    * analogue of [[HyperplaneSigExpr]]'s SplitMix64 planes: component
+    * (j, c) is +1 iff the 60-bit md5 prefix of "j:c" is even. Any
+    * md5-capable engine re-derives the identical matrix from the
+    * indices alone (no stored state), which is what makes
+    * [[portableLshTopK]]'s signatures SQL-replayable. */
+  def portablePlanes(nBits: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until nBits).map { j =>
+      (0 until dim).map { c =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$j:$c".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        if (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2 == 0) 1.0
+        else -1.0
+      }
+    }
+
+  /** PORTABLE hyperplane-LSH top-k — the value-exact, SQL-replayable
+    * sibling of [[lshTopK]]: signature bit j = (Σ_c emb[c]·plane_j[c] ≥ 0)
+    * with LEFT-TO-RIGHT double accumulation (the same determinism
+    * contract as [[VectorFunctions.dot]], bit-identical to DuckDB's
+    * list_reduce over an index-lambda transform), planes from
+    * [[portablePlanes]] (embedded as plan literals here, re-derived
+    * via md5 in the oracle). Banding, candidate pairing, and the exact
+    * cosine re-rank all replay relationally, so the whole ANN pipeline
+    * value-matches row-for-row — converting LSH from rows-only trust
+    * to a driver-gated hash match. Production stays [[lshTopK]]
+    * (compiled SplitMix64 signatures, no per-bit higher-order eval). */
+  def portableLshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                      nBits: Int, nBands: Int, dim: Int,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    require(nBits % nBands == 0, "nBits must divide into nBands")
+    require(nBits < 63)
+    val bandWidth = nBits / nBands
+    val planes = portablePlanes(nBits, dim)
+    val sig = planes.zipWithIndex.map { case (p, j) =>
+      val proj = aggregate(
+        zip_with(col(vecCol), typedLit(p), (x, y) => x.cast(DoubleType) * y),
+        lit(0.0), (acc, e) => acc + e)
+      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    def bands(df: DataFrame, id: String): DataFrame =
+      df.select(col(idCol).as(id), sig.as("__sig"))
+        .withColumn("band", explode(array((0 until nBands).map(b =>
+          struct(lit(b).as("band_id"),
+            (shiftright(col("__sig"), b * bandWidth)
+              .bitwiseAND(lit((1L << bandWidth) - 1))).as("band_val"))): _*)))
+        .select(col(id), col("band.band_id"), col("band.band_val"))
+    def payload(df: DataFrame, id: String, vec: String, norm: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+        VectorFunctions.normSq(col(vecCol)).as(norm))
+    val pairs = bands(queries, "query_id").join(bands(corpus, "neighbor_id"),
+      Seq("band_id", "band_val"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").dropDuplicates("query_id", "neighbor_id")
+    val cands = pairs.join(payload(queries, "query_id", "q_vec", "q_norm"), Seq("query_id"))
+      .join(payload(corpus, "neighbor_id", "c_vec", "c_norm"), Seq("neighbor_id"))
+    val sim = VectorFunctions.cosinePrenormed(
+      VectorFunctions.dot(col("q_vec"), col("c_vec")), col("q_norm"), col("c_norm"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim_r").desc, col("neighbor_id"))
+    cands.withColumn("sim_r", round(sim, 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim_r")
+  }
+
   /** Exact near-duplicate pairs (cosine ≥ threshold) between a probe
     * subset and the corpus, id1 < id2. */
   def nearDupPairs(corpus: DataFrame, probes: DataFrame, threshold: Double,

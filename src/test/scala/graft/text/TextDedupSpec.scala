@@ -71,6 +71,27 @@ class TextDedupSpec extends SparkSpec {
     assert(star.length <= all.length)
   }
 
+  test("portable minhash: exact dups est 1.0, near-dups high, unrelated absent") {
+    // capture-sized banding (2-row bands): P(miss) for these fixed md5
+    // permutations is structurally tiny at J≈0.8
+    val cand = TextDedup.portableMinHashCandidates(docs, k = 2, nHashes = 16,
+      bands = 8, minEstJaccard = 0.0)
+      .select("id1", "id2", "est_jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    // raw-text shingles: 0 and 3 differ only in case/punct → not exact
+    // here, but (0,1)/(0,4) share all-but-two bigrams
+    assert(cand((0L, 1L)) >= 0.5, s"near-dup est ${cand.get((0L, 1L))}")
+    assert(cand((0L, 4L)) >= 0.5, s"near-dup est ${cand.get((0L, 4L))}")
+    assert(!cand.keys.exists(p => p._1 == 2L || p._2 == 2L),
+      "unrelated doc 2 should share no band bucket")
+    // determinism: md5 permutations have no seed state to drift
+    val again = TextDedup.portableMinHashCandidates(docs, k = 2, nHashes = 16,
+      bands = 8, minEstJaccard = 0.0)
+      .select("id1", "id2", "est_jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(cand == again)
+  }
+
   test("simhash: normalized-identical docs have distance 0; unrelated docs don't pair") {
     val pairs = TextDedup.simHashPairs(docs, maxHamming = 7)
       .select("id1", "id2", "hamming").as[(Long, Long, Int)].collect()

@@ -48,6 +48,24 @@ class SimilaritySpec extends SparkSpec {
     info(f"LSH recall@5 = $recall%.2f (${(exact & approx).size}/${exact.size})")
   }
 
+  test("portable LSH: planes are deterministic ±1; top-k recall ≥ 0.4 vs brute force") {
+    val p1 = SimilaritySearch.portablePlanes(16, 64)
+    val p2 = SimilaritySearch.portablePlanes(16, 64)
+    assert(p1 == p2 && p1.flatten.forall(v => v == 1.0 || v == -1.0))
+    assert(p1.flatten.count(_ == 1.0) > 300 && p1.flatten.count(_ == -1.0) > 300,
+      "md5 parity should split components roughly evenly")
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter($"vec_id" % 100 === 0)
+    val exact = SimilaritySearch.bruteForceTopK(emb, queries, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = SimilaritySearch.portableLshTopK(emb, queries, 5,
+      nBits = 16, nBands = 4, dim = 64)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"portable LSH recall $recall too low")
+    info(f"portable LSH recall@5 = $recall%.2f")
+  }
+
   test("IVF index round-trips through disk; loaded index answers identically") {
     val emb = graft.Tables.embeddings(spark, sfDir)
     val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") % 100 === 0)
