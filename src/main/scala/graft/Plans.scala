@@ -106,6 +106,12 @@ object Plans {
     // window over raw rows anywhere in the plan
     Check("sh01_global_shuffle",
       Seq("windowspecdefinition(__b", "BroadcastExchange"),
+      wantNone = Seq("windowspecdefinition(__h")),
+    // the 65,536-bucket fanout keeps the identical shape: window still
+    // partitions by __b only — prefix length is a sizing knob, not a
+    // plan change
+    Check("sh02_global_shuffle_wide",
+      Seq("windowspecdefinition(__b", "BroadcastExchange"),
       wantNone = Seq("windowspecdefinition(__h")))
 
   /** All failed assertions for a session (empty = every pin holds);

@@ -108,6 +108,18 @@ object CurationQueries {
            |  ROW_NUMBER() OVER (ORDER BY md5('s5' || CAST(doc_id AS VARCHAR))) AS pos
            |FROM documents ORDER BY pos""".stripMargin))
 
+  /** The 65,536-bucket (4-hex-prefix) fanout of the SAME global
+    * shuffle, against the SAME oracle — proving the construction is
+    * fanout-invariant: prefix length resizes the window partitions
+    * (the 100 TB knob), the total order can't move. */
+  val sh02GlobalShuffleWide = QueryDef("sh02_global_shuffle_wide",
+    (s, d) => OrderedShuffle.globalOrder(
+      Tables.documents(s, d).select("doc_id"), "doc_id", seed = "s5",
+      hexPrefixLen = 4)
+      .select(col("doc_id"), col("__h").as("h"), col("pos"))
+      .orderBy("pos"),
+    sh01GlobalShuffle.oracle)
+
   val all: Seq[QueryDef] = Seq(rp01RepetitionStats, qf01QualityStratumFilter,
-    mx01DomainMix, sh01GlobalShuffle)
+    mx01DomainMix, sh01GlobalShuffle, sh02GlobalShuffleWide)
 }

@@ -29,4 +29,27 @@ class OrderedShuffleSpec extends SparkSpec {
     assert(ordered.select("doc_id", "pos")
       .exceptAll(other.select("doc_id", "pos")).count() > 0)
   }
+
+  test("fanout is a sizing knob: any hex prefix length yields the identical order") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id")
+    val narrow = OrderedShuffle.globalOrder(docs, "doc_id", seed = "t")
+    // prefix 4 = 65,536 buckets — the 100 TB parameterization
+    val wide = OrderedShuffle.globalOrder(docs, "doc_id", seed = "t",
+      hexPrefixLen = 4)
+    assert(narrow.select("doc_id", "pos")
+      .exceptAll(wide.select("doc_id", "pos")).count() == 0)
+    assert(wide.select("doc_id", "pos")
+      .exceptAll(narrow.select("doc_id", "pos")).count() == 0)
+    // the wide variant really buckets on the 4-char prefix: its bucket
+    // space is 16^4 and this corpus hits more than 256 distinct buckets
+    val wideBuckets = docs
+      .select(substring(md5(concat(lit("t"), $"doc_id".cast("string"))), 1, 4)
+        .as("b")).distinct().count()
+    assert(wideBuckets > 256 && wideBuckets <= 65536,
+      s"expected 4-hex bucketing, saw $wideBuckets distinct buckets")
+    // bounds guard: prefix lengths outside [1,8] are rejected
+    intercept[IllegalArgumentException] {
+      OrderedShuffle.globalOrder(docs, "doc_id", "t", hexPrefixLen = 0)
+    }
+  }
 }
