@@ -98,6 +98,11 @@ object Plans {
     // stratum quality filter: the cume_dist window partitions by the
     // (lang, source) strata
     Check("qf01_quality_stratum_filter", Seq("windowspecdefinition(lang")),
+    // approx-quantile stratum filter: threshold via aggregate +
+    // broadcast join back — NO window anywhere (the giant-strata shape)
+    Check("qf02_quality_stratum_approx",
+      Seq("ObjectHashAggregate", "BroadcastHashJoin"),
+      wantNone = Seq("Window")),
     // mixture resample: the per-stratum rate frame joins back by
     // BROADCAST — corpus rows never shuffle to learn their keep rate
     Check("mx01_domain_mix", Seq("BroadcastHashJoin", "BroadcastExchange")),

@@ -118,6 +118,30 @@ object Sampling {
       .filter(col("__cd") <= frac).drop("__cd")
   }
 
+  /** The GIANT-STRATA variant of [[topFractionByStratum]]: per-stratum
+    * score threshold from a percentile sketch (one aggregate), broadcast
+    * back, plain filter — NO per-row window anywhere, so no stratum ever
+    * ranks all its rows on one reducer. The trade: membership is
+    * "score ≥ threshold" (ties at the threshold all survive; kept share
+    * tracks `frac` within the sketch guarantee) instead of the exact
+    * floor(frac·n) rank cut. At `accuracy` ≥ stratum size the sketch
+    * holds every value and the threshold is the exact discrete
+    * (1−frac)-quantile element — which is what lets qf02 replay it
+    * cross-engine. Scores are rounded to 6dp BEFORE the sketch so both
+    * engines pick the threshold element from identical doubles. */
+  def approxTopFractionByStratum(df: DataFrame, strataCols: Seq[String],
+                                 scoreCol: String, frac: Double,
+                                 accuracy: Int = 1000000): DataFrame = {
+    require(frac > 0 && frac <= 1)
+    val scored = df.withColumn("__score_r", round(col(scoreCol), 6))
+    val thresholds = scored.groupBy(strataCols.map(col): _*)
+      .agg(percentile_approx(col("__score_r"), lit(1 - frac), lit(accuracy))
+        .as("__thr"))
+    scored.join(broadcast(thresholds), strataCols)
+      .filter(col("__score_r") >= col("__thr"))
+      .drop("__score_r", "__thr")
+  }
+
   /** Tag each row train/test with a ~testPermille/1000 test share.
     * Complementary by construction: every key lands in exactly one split. */
   def trainTestSplit(df: DataFrame, key: String, testPermille: Int,

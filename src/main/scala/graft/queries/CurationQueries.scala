@@ -61,6 +61,31 @@ object CurationQueries {
             |SELECT doc_id, lang, source, round(quality, 6) AS quality
             |FROM r WHERE cd <= 0.25 ORDER BY doc_id""".stripMargin))
 
+  /** The approximate-quantile sibling of qf01 for GIANT strata: the
+    * per-stratum threshold comes from one percentile aggregate
+    * (broadcast back, plain filter) — no per-row window, so no stratum
+    * ever ranks its rows on a single reducer (the qf01 window's ceiling
+    * when one stratum is half the corpus). At full sketch accuracy the
+    * threshold is the exact discrete 0.75-quantile element, and DuckDB
+    * replays it with quantile_disc over the same 6dp-rounded scores —
+    * membership (ties-at-threshold survive) hash-matches row-for-row,
+    * not just within bounds. Plans.scala pins the no-Window shape. */
+  val qf02QualityStratumApprox = QueryDef("qf02_quality_stratum_approx",
+    (s, d) => Sampling.approxTopFractionByStratum(
+      Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source"),
+        graft.text.TextFunctions.qualityScore(col("text")).as("quality")),
+      Seq("lang", "source"), "quality", frac = 0.25)
+      .select(col("doc_id"), col("lang"), col("source"),
+        round(col("quality"), 6).as("quality"))
+      .orderBy("doc_id"),
+    Some(s"""WITH q AS (SELECT doc_id, lang, source,
+            |  round(${TextQueries.sqlQuality}, 6) AS qr FROM documents),
+            |thr AS (SELECT lang, source, quantile_disc(qr, 0.75) AS t
+            |        FROM q GROUP BY lang, source)
+            |SELECT doc_id, lang, source, qr AS quality
+            |FROM q JOIN thr USING (lang, source)
+            |WHERE qr >= t ORDER BY doc_id""".stripMargin))
+
   /** Resample the corpus to a target LANGUAGE MIXTURE (en 50%, zh 20%,
     * es/de/fr 10% each): per-stratum rates derive in-plan from the
     * stratum counts (binding stratum kept whole, everything else
@@ -121,5 +146,6 @@ object CurationQueries {
     sh01GlobalShuffle.oracle)
 
   val all: Seq[QueryDef] = Seq(rp01RepetitionStats, qf01QualityStratumFilter,
-    mx01DomainMix, sh01GlobalShuffle, sh02GlobalShuffleWide)
+    qf02QualityStratumApprox, mx01DomainMix, sh01GlobalShuffle,
+    sh02GlobalShuffleWide)
 }

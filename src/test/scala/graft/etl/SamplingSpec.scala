@@ -119,6 +119,37 @@ class SamplingSpec extends SparkSpec {
       s"binding stratum lost rows: kept $keptA")
   }
 
+  test("approx top-fraction: threshold semantics, superset of exact rank cut, no stragglers") {
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", $"source",
+        graft.text.TextFunctions.qualityScore($"text").as("quality"))
+    val approx = Sampling.approxTopFractionByStratum(
+      docs, Seq("lang", "source"), "quality", frac = 0.25)
+    val exact = Sampling.topFractionByStratum(
+      docs, Seq("lang", "source"), "quality", "doc_id", frac = 0.25)
+    // every exact-rank keeper also clears the quantile threshold (ties
+    // at the threshold only ADD rows, never drop a top-ranked one)
+    assert(exact.select("doc_id").exceptAll(approx.select("doc_id")).count() == 0,
+      "approx filter dropped a row the exact rank cut keeps")
+    // threshold semantics: per stratum, min kept score >= max dropped score
+    val keptMin = approx.groupBy("lang", "source")
+      .agg(min(round($"quality", 6)).as("kmin"))
+    val dropped = docs.join(approx.select("doc_id", "lang", "source")
+      .withColumn("__k", lit(1)), Seq("doc_id", "lang", "source"), "left")
+      .filter($"__k".isNull)
+    val dropMax = dropped.groupBy("lang", "source")
+      .agg(max(round($"quality", 6)).as("dmax"))
+    assert(keptMin.join(dropMax, Seq("lang", "source"))
+      .filter($"kmin" < $"dmax").count() == 0,
+      "a dropped row outscored a kept row in the same stratum")
+    // kept share tracks frac, inflated only by threshold ties
+    val shares = approx.groupBy("lang", "source").count()
+      .join(docs.groupBy("lang", "source").count()
+        .withColumnRenamed("count", "total"), Seq("lang", "source"))
+      .select(($"count" / $"total").as("share")).as[Double].collect()
+    shares.foreach(s => assert(s >= 0.2 && s <= 0.7, s"kept share $s out of band"))
+  }
+
   test("top-fraction-by-stratum keeps exactly floor(frac*n) per stratum, highest scores") {
     val df = Seq(
       ("a", 1L, 0.9), ("a", 2L, 0.8), ("a", 3L, 0.7), ("a", 4L, 0.6),
