@@ -128,15 +128,34 @@ object Sampling {
     * holds every value and the threshold is the exact discrete
     * (1−frac)-quantile element — which is what lets qf02 replay it
     * cross-engine. Scores are rounded to 6dp BEFORE the sketch so both
-    * engines pick the threshold element from identical doubles. */
+    * engines pick the threshold element from identical doubles.
+    *
+    * That exactness guarantee silently lapses once any stratum outgrows
+    * `accuracy`, so the oracle-gated path sets `requireExact = true`:
+    * the stratum count rides along in the SAME aggregate (no extra
+    * pass) and a `raise_error` fires in-plan if any stratum exceeds
+    * `accuracy` — the job fails loudly instead of drifting from the
+    * cross-engine oracle. Leave it false for production use at scale,
+    * where "within the sketch guarantee" is the documented contract. */
   def approxTopFractionByStratum(df: DataFrame, strataCols: Seq[String],
                                  scoreCol: String, frac: Double,
-                                 accuracy: Int = 1000000): DataFrame = {
+                                 accuracy: Int = 1000000,
+                                 requireExact: Boolean = false): DataFrame = {
     require(frac > 0 && frac <= 1)
     val scored = df.withColumn("__score_r", round(col(scoreCol), 6))
-    val thresholds = scored.groupBy(strataCols.map(col): _*)
+    val agg = scored.groupBy(strataCols.map(col): _*)
       .agg(percentile_approx(col("__score_r"), lit(1 - frac), lit(accuracy))
-        .as("__thr"))
+        .as("__thr"), count(lit(1)).as("__n"))
+    val thresholds =
+      if (requireExact)
+        agg.select(strataCols.map(col) :+
+          when(col("__n") > accuracy, raise_error(concat(
+            lit("approxTopFractionByStratum(requireExact=true): a stratum of "),
+            col("__n"),
+            lit(s" rows exceeds accuracy=$accuracy; the threshold would be " +
+              "approximate, not the exact discrete quantile"))))
+            .otherwise(col("__thr")).as("__thr"): _*)
+      else agg.drop("__n")
     scored.join(broadcast(thresholds), strataCols)
       .filter(col("__score_r") >= col("__thr"))
       .drop("__score_r", "__thr")

@@ -93,8 +93,10 @@ object Scale {
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(dir + "__compacting")
     require(!fs.exists(tmp),
-      s"$tmp exists — a previous compaction was interrupted; inspect and " +
-        "remove it (or rename its files in) before compacting again")
+      s"$tmp exists — a previous compaction was interrupted; the live dir " +
+        "still holds a complete old generation, so inspect and DELETE the " +
+        "leftover temp dir (do not rename its files in — any that were " +
+        "already swapped would be double-added) before compacting again")
     val before = fs.listStatus(path)
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     val totalBytes = before.map(_.getLen).sum
@@ -106,13 +108,27 @@ object Scale {
     // part-file names carry a per-job UUID, so renaming into the live
     // dir cannot collide with the old generation's names. rename can
     // still fail by RETURNING FALSE (HDFS does for e.g. a missing dest
-    // parent) — abort before touching the old generation, leaving tmp
-    // intact for the leftover-tmp guard above to surface next run.
+    // parent) — on failure, roll the already-swapped files BACK to tmp
+    // so the live dir again holds exactly the intact old generation
+    // (readers never keep seeing old+partial-new duplicates), then
+    // abort with tmp intact for the leftover-tmp guard to surface.
+    val swapped = scala.collection.mutable.ArrayBuffer
+      .empty[(org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path)]
     out.foreach { f =>
       val dest = new org.apache.hadoop.fs.Path(path, f.getPath.getName)
-      require(fs.rename(f.getPath, dest),
-        s"compact aborted: rename ${f.getPath} -> $dest failed; old " +
-          s"generation untouched, partial new copy left under $tmp")
+      if (!fs.rename(f.getPath, dest)) {
+        val unrolled = swapped.reverseIterator
+          .count { case (src, d) => fs.rename(d, src) }
+        throw new IllegalStateException(
+          s"compact aborted: rename ${f.getPath} -> $dest failed; " +
+            s"rolled back $unrolled/${swapped.size} already-swapped files " +
+            s"to $tmp — live dir holds the intact old generation" +
+            (if (unrolled < swapped.size)
+              s" PLUS ${swapped.size - unrolled} new files that also failed to " +
+                "roll back (duplicates until removed)"
+            else ""))
+      }
+      swapped += ((f.getPath, dest))
     }
     before.foreach(f => fs.delete(f.getPath, false))
     fs.delete(tmp, true)

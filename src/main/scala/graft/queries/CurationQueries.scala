@@ -74,7 +74,7 @@ object CurationQueries {
     (s, d) => Sampling.approxTopFractionByStratum(
       Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source"),
         graft.text.TextFunctions.qualityScore(col("text")).as("quality")),
-      Seq("lang", "source"), "quality", frac = 0.25)
+      Seq("lang", "source"), "quality", frac = 0.25, requireExact = true)
       .select(col("doc_id"), col("lang"), col("source"),
         round(col("quality"), 6).as("quality"))
       .orderBy("doc_id"),

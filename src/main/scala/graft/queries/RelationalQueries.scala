@@ -405,8 +405,13 @@ object RelationalQueries {
       val base = Tables.customer(s, d)
       val mods = base.filter(col("c_custkey") % 10 === 0)
         .withColumn("c_acctbal", col("c_acctbal") + 1000d)
+      // new-key offset derives from the table's own id range so the
+      // inserts stay disjoint from real keys at ANY scale factor
+      val off = base.agg((max(col("c_custkey")) + 1).as("__off"))
       val ins = base.filter(col("c_custkey") % 100 === 0)
-        .withColumn("c_custkey", col("c_custkey") + 10000000L)
+        .crossJoin(broadcast(off))
+        .withColumn("c_custkey", col("c_custkey") + col("__off"))
+        .drop("__off")
       val merged = graft.etl.Upsert.upsert(
         base, mods.unionByName(ins), Seq("c_custkey"))
       merged.groupBy("c_nationkey")
@@ -418,7 +423,8 @@ object RelationalQueries {
            |  SELECT * REPLACE (c_acctbal + 1000 AS c_acctbal)
            |  FROM customer WHERE c_custkey % 10 = 0
            |  UNION ALL
-           |  SELECT * REPLACE (c_custkey + 10000000 AS c_custkey)
+           |  SELECT * REPLACE (c_custkey + (SELECT MAX(c_custkey) + 1 FROM customer)
+           |                    AS c_custkey)
            |  FROM customer WHERE c_custkey % 100 = 0),
            |merged AS (
            |  SELECT * FROM customer

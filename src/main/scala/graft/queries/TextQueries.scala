@@ -559,10 +559,15 @@ object TextQueries {
   val dd10HammingPairs = QueryDef("dd10_hamming_pairs",
     (s, d) => {
       val docs = Tables.documents(s, d)
+      // synthetic near-dup ids sit ABOVE the real id range at any scale
+      // factor (a fixed +1e6 offset would collide once the corpus hits
+      // 1e6 docs — silently, since both engines would collide alike)
+      val off = docs.agg((max(col("doc_id")) + 1).as("__off"))
       val base = docs.filter(col("doc_id") % 2 === 0)
         .select(col("doc_id"), col("text"))
         .unionByName(docs.filter(col("doc_id") % 20 === 0)
-          .select((col("doc_id") + 1000000).as("doc_id"),
+          .crossJoin(broadcast(off))
+          .select((col("doc_id") + col("__off")).as("doc_id"),
             concat(col("text"), lit(" zzqx vvky zzqx")).as("text")))
       TextDedup.simHashPairs(base, maxHamming = 3,
           tokenHash = TextDedup.portableTokenHash)
@@ -572,7 +577,8 @@ object TextQueries {
     Some(s"""WITH base AS (
             |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
             |  UNION ALL
-            |  SELECT doc_id + 1000000 AS doc_id, text || ' zzqx vvky zzqx' AS text
+            |  SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents) AS doc_id,
+            |         text || ' zzqx vvky zzqx' AS text
             |  FROM documents WHERE doc_id % 20 = 0),
             |n AS (SELECT doc_id, $sqlNormalize AS nt FROM base),
             |tok AS (SELECT doc_id, unnest(regexp_split_to_array(nt, '\\s+')) AS w FROM n),
@@ -607,10 +613,13 @@ object TextQueries {
   val dd11MinHashPortable = QueryDef("dd11_minhash_portable",
     (s, d) => {
       val docs = Tables.documents(s, d)
+      // scale-safe synthetic ids: offset = max(doc_id)+1 (see dd10)
+      val off = docs.agg((max(col("doc_id")) + 1).as("__off"))
       val base = docs.filter(col("doc_id") % 4 === 0)
         .select(col("doc_id"), col("text"))
         .unionByName(docs.filter(col("doc_id") % 20 === 0)
-          .select((col("doc_id") + 1000000).as("doc_id"),
+          .crossJoin(broadcast(off))
+          .select((col("doc_id") + col("__off")).as("doc_id"),
             concat(col("text"), lit(" zzqx")).as("text")))
       TextDedup.portableMinHashCandidates(base,
         k = 2, nHashes = 16, bands = 4, minEstJaccard = 0.5)
@@ -619,7 +628,8 @@ object TextQueries {
     Some("""WITH docs AS (
            |  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
            |  UNION ALL
-           |  SELECT doc_id + 1000000 AS doc_id, text || ' zzqx' AS text
+           |  SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents) AS doc_id,
+           |         text || ' zzqx' AS text
            |  FROM documents WHERE doc_id % 20 = 0),
            |tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
            |        generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS i FROM docs),

@@ -142,12 +142,60 @@ class SamplingSpec extends SparkSpec {
     assert(keptMin.join(dropMax, Seq("lang", "source"))
       .filter($"kmin" < $"dmax").count() == 0,
       "a dropped row outscored a kept row in the same stratum")
-    // kept share tracks frac, inflated only by threshold ties
+    // kept share tracks frac, inflated only by threshold ties. A stratum
+    // whose 6dp-rounded scores are all tied keeps 100% of its rows — that
+    // is the documented ties-survive semantics, not a bug — so the band
+    // applies only to strata with >1 distinct rounded score and enough
+    // rows for the quantile cut to bite.
+    val strata = docs.groupBy("lang", "source")
+      .agg(count(lit(1)).as("total"),
+        countDistinct(round($"quality", 6)).as("ndistinct"))
     val shares = approx.groupBy("lang", "source").count()
-      .join(docs.groupBy("lang", "source").count()
-        .withColumnRenamed("count", "total"), Seq("lang", "source"))
-      .select(($"count" / $"total").as("share")).as[Double].collect()
-    shares.foreach(s => assert(s >= 0.2 && s <= 0.7, s"kept share $s out of band"))
+      .join(strata, Seq("lang", "source"))
+      .select(($"count" / $"total").as("share"), $"total", $"ndistinct")
+      .as[(Double, Long, Long)].collect()
+    shares.foreach { case (s, n, nd) =>
+      assert(s <= 1.0 && s > 0.0, s"kept share $s outside (0,1]")
+      if (nd > 1 && n >= 8)
+        assert(s >= 0.2 && s <= 0.7,
+          s"kept share $s out of band (n=$n, distinct scores=$nd)")
+    }
+    // the band must actually have been exercised on this data
+    assert(shares.exists { case (_, n, nd) => nd > 1 && n >= 8 },
+      "no stratum qualified for the share-band assertion")
+  }
+
+  test("approx top-fraction: discrete-quantile convention pinned on rank boundaries; requireExact guard fires") {
+    // integer-rank boundary (n divisible by 4, frac=0.25): the (1-frac)-
+    // quantile rank q*n = 6 is exact. Pin WHICH element the sketch picks
+    // (the 6th ascending, 0.6) — DuckDB quantile_disc(0.75) picks the
+    // same one (round-half-up of (n-1)*q = 5.25 -> 0-based index 5), so
+    // qf02's cross-engine exactness rests on this convention.
+    val n8 = Seq.tabulate(8)(i => ("a", i.toLong, (i + 1) * 0.1))
+      .toDF("stratum", "id", "score")
+    val kept8 = Sampling.approxTopFractionByStratum(
+      n8, Seq("stratum"), "score", frac = 0.25, requireExact = true)
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(kept8 == Seq(5L, 6L, 7L), s"n=8 kept $kept8: threshold element drifted")
+    // half-rank boundary (n=7, (n-1)*q = 4.5): both engines round UP to
+    // the 6th ascending element (0.6) -> keep the top 2
+    val n7 = Seq.tabulate(7)(i => ("a", i.toLong, (i + 1) * 0.1))
+      .toDF("stratum", "id", "score")
+    val kept7 = Sampling.approxTopFractionByStratum(
+      n7, Seq("stratum"), "score", frac = 0.25, requireExact = true)
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(kept7 == Seq(5L, 6L), s"n=7 kept $kept7: threshold element drifted")
+    // requireExact fails LOUDLY once a stratum outgrows the sketch
+    // accuracy, instead of silently going approximate under the oracle
+    val err = intercept[Exception] {
+      Sampling.approxTopFractionByStratum(
+        n8, Seq("stratum"), "score", frac = 0.25,
+        accuracy = 4, requireExact = true).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(err).exists(_.contains("exceeds accuracy")),
+      s"unexpected failure: $err")
   }
 
   test("top-fraction-by-stratum keeps exactly floor(frac*n) per stratum, highest scores") {
