@@ -173,15 +173,58 @@ object Multimodal {
     payloads.select(col("doc_id"), col("media_type"),
       length(col("payload")).as("n_bytes"))
 
-  /** Resize stub: cap payloads at maxBytes (stands in for image
-    * downscaling — a real implementation replaces the byte-truncation
-    * with a decoder+scaler, same signature). Pure column expression:
-    * fuses into the scan, no shuffle. */
-  def resizePayload(payloads: DataFrame, maxBytes: Int): DataFrame = {
-    require(maxBytes > 0)
-    payloads.withColumn("payload",
-      expr(s"substring(payload, 1, $maxBytes)").cast(BinaryType))
-      .withColumn("resized", length(col("payload")) === maxBytes)
+  val resizedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("out_w", IntegerType, nullable = true),
+    StructField("out_h", IntegerType, nullable = true),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("resize_error", StringType, nullable = true)))
+
+  /** Real decode → scale → re-encode for one PNG payload: ImageIO
+    * decode, `java.awt.Graphics2D` bilinear scaled redraw to `outW`
+    * wide (height follows the aspect ratio, ceil so no row of source
+    * pixels maps below one output row), PNG re-encode. */
+  private def resizePng(png: Array[Byte], outW: Int): Either[String, (Int, Int, Array[Byte])] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      if (img == null) Left("not a decodable image")
+      else {
+        val outH = math.max(1,
+          math.ceil(img.getHeight.toDouble * outW / img.getWidth).toInt)
+        val dst = new java.awt.image.BufferedImage(
+          outW, outH, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val g = dst.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, outW, outH, null)
+        g.dispose()
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, "png", baos)
+        Right((outW, outH, baos.toByteArray))
+      }
+    } catch { case e: Exception => Left(s"resize failed: ${e.getMessage}") }
+
+  /** REAL image resize over PNG payloads (no more byte-cap stand-in):
+    * per-partition batched decode → Graphics2D bilinear redraw at
+    * `outWidth` (aspect-preserving height) → PNG re-encode. Corrupt or
+    * non-image payloads land in the `resize_error` reject channel,
+    * never fail the task — same contract as [[extractImageFeatures]].
+    * Output dims are closed-form from input dims (out_h =
+    * ceil(h·outWidth/w)), which is what lets the mm04 oracle verify
+    * the resized geometry over every row cross-engine. */
+  def resizeImages(payloads: DataFrame, outWidth: Int): DataFrame = {
+    require(outWidth > 0)
+    val enc = org.apache.spark.sql.Encoders.row(resizedSchema)
+    payloads.select("doc_id", "payload").mapPartitions { iter =>
+      javax.imageio.ImageIO.setUseCache(false) // codec init, once per partition
+      iter.map { r =>
+        val docId = r.getAs[Long]("doc_id")
+        resizePng(r.getAs[Array[Byte]]("payload"), outWidth) match {
+          case Right((w, h, png)) => Row(docId, w, h, png, null)
+          case Left(err)          => Row(docId, null, null, null, err)
+        }
+      }
+    }(enc)
   }
 
   val frameSchema: StructType = StructType(Seq(
@@ -189,14 +232,14 @@ object Multimodal {
     StructField("frame_idx", IntegerType, nullable = false),
     StructField("frame", BinaryType, nullable = false)))
 
-  /** Frame sampling for video-shaped payloads: every `stride`-th
-    * fixed-size chunk becomes a frame row (doc_id, frame_idx, bytes).
-    * The DECODE (chunk boundaries from a container format) is the
-    * stubbed part — fixed-size chunking stands in for keyframe
-    * extraction; the one-payload-row → many-frame-rows explosion with
-    * per-partition batching is the real multimodal pipeline shape.
-    * Frames fan out BEFORE feature extraction so downstream operators
-    * parallelize per frame, not per video. */
+  /** UNIFORM (strided) frame sampling for video-shaped payloads: every
+    * `stride`-th fixed-size chunk becomes a frame row (doc_id,
+    * frame_idx, bytes) — the "1 fps thumbnail" path that needs no
+    * decode at all. For CONTENT-AWARE selection (scene changes) see
+    * [[selectKeyframes]], which decodes real PNG frames and picks by
+    * inter-frame histogram delta. Frames fan out BEFORE feature
+    * extraction so downstream operators parallelize per frame, not per
+    * video. */
   def sampleFrames(payloads: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
     require(frameBytes > 0 && stride > 0)
     val enc = org.apache.spark.sql.Encoders.row(frameSchema)
@@ -209,6 +252,119 @@ object Multimodal {
           val until = math.min(from + frameBytes, bytes.length)
           Row(r.getAs[Long]("doc_id"), i, java.util.Arrays.copyOfRange(bytes, from, until))
         }
+      }
+    }(enc)
+  }
+
+  // ---------------------------------------------------------------
+  // Content-aware keyframe selection (real decode, histogram deltas)
+  // ---------------------------------------------------------------
+
+  val videoSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("frames", ArrayType(BinaryType, containsNull = false), nullable = false)))
+
+  /** Video-shaped payload table: each document's bytes become a
+    * sequence of REAL PNG frames (consecutive `frameBytes`-sized
+    * chunks, each encoded as a 1-row grayscale PNG whose width is the
+    * exact chunk length — no padding, so decode recovers the chunk
+    * byte-for-byte). Stands in for reading a container format; the
+    * array<binary> column is the storage shape a frame-extracted video
+    * table has at rest. */
+  def videoFromDocuments(docs: DataFrame, frameBytes: Int): DataFrame = {
+    require(frameBytes > 0)
+    val enc = org.apache.spark.sql.Encoders.row(videoSchema)
+    docs.select(col("doc_id"), col("text").cast(BinaryType).as("raw"))
+      .mapPartitions { iter =>
+        javax.imageio.ImageIO.setUseCache(false) // encoder init, once per partition
+        iter.map { r =>
+          val bytes = r.getAs[Array[Byte]]("raw")
+          val n = (bytes.length + frameBytes - 1) / frameBytes
+          val frames = (0 until n).map { i =>
+            val from = i * frameBytes
+            val until = math.min(from + frameBytes, bytes.length)
+            encodePng(java.util.Arrays.copyOfRange(bytes, from, until),
+              width = until - from)
+          }
+          Row(r.getAs[Long]("doc_id"), n, frames)
+        }
+      }(enc)
+  }
+
+  /** Decode a PNG to ALL its pixel bytes (row-major). */
+  private def decodePngAll(png: Array[Byte]): Either[String, Array[Byte]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      if (img == null) Left("not a decodable image")
+      else {
+        val w = img.getWidth
+        val out = new Array[Byte](w * img.getHeight)
+        var i = 0
+        while (i < out.length) {
+          out(i) = img.getRaster.getSample(i % w, i / w, 0).toByte
+          i += 1
+        }
+        Right(out)
+      }
+    } catch { case e: Exception => Left(s"decode failed: ${e.getMessage}") }
+
+  val keyframeSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("delta", DoubleType, nullable = true),
+    StructField("frame", BinaryType, nullable = true),
+    StructField("decode_error", StringType, nullable = true)))
+
+  /** REAL keyframe selection (no more fixed-stride stand-in): decode
+    * each PNG frame, compute the 8-bin intensity histogram over the
+    * DECODED pixels, and keep a frame iff its L1 histogram delta to
+    * the PREVIOUS frame (rounded to 6dp, left-to-right bin
+    * accumulation — both pinned so the mm04 oracle replays the exact
+    * doubles) clears `threshold`. The first decodable frame of every
+    * video is always a keyframe (delta = null). Undecodable frames
+    * land in the `decode_error` reject channel and do not advance the
+    * comparison baseline — selection resumes against the last GOOD
+    * frame, and if none was seen yet the next good frame is a
+    * keyframe.
+    *
+    * Scale shape: one sequential pass per video row inside
+    * mapPartitions (frame order is intrinsic to the semantics), videos
+    * parallelize across partitions, selected frames fan out as rows
+    * for downstream per-frame operators. Decoder init amortizes per
+    * partition. */
+  def selectKeyframes(videos: DataFrame, threshold: Double): DataFrame = {
+    require(threshold >= 0)
+    val enc = org.apache.spark.sql.Encoders.row(keyframeSchema)
+    videos.select("doc_id", "frames").mapPartitions { iter =>
+      javax.imageio.ImageIO.setUseCache(false) // decoder init, once per partition
+      iter.flatMap { r =>
+        val docId = r.getLong(0)
+        val frames = r.getSeq[Array[Byte]](1)
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        var prev: Array[Double] = null
+        var i = 0
+        frames.foreach { png =>
+          decodePngAll(png) match {
+            case Left(err) => out += Row(docId, i, null, null, err)
+            case Right(pixels) =>
+              val h = histogram8(pixels)
+              if (prev == null) out += Row(docId, i, null, png, null)
+              else {
+                var d = 0.0
+                var j = 0
+                while (j < 8) { d += math.abs(h(j) - prev(j)); j += 1 }
+                // same rounding Spark's round(col, 6) applies, so the
+                // kept set is reproducible from the SQL replay
+                val dr = BigDecimal(d)
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+                if (dr >= threshold) out += Row(docId, i, dr, png, null)
+              }
+              prev = h
+          }
+          i += 1
+        }
+        out.iterator
       }
     }(enc)
   }

@@ -68,5 +68,79 @@ object MultimodalQueries {
            |  CAST(ceil(ceil(octet_length(encode(text)) / 16.0) / 2.0) AS BIGINT) AS n_frames
            |FROM documents ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(mm01PayloadMeta, mm02Features, mm03FrameSample)
+  /** Content-aware KEYFRAME SELECTION under the full oracle gate: each
+    * document becomes a sequence of real PNG frames (16-byte chunks,
+    * exact-width encode), the engine ImageIO-decodes every frame and
+    * keeps those whose 8-bin histogram L1 delta vs the previous frame
+    * clears 0.2 (first frame always kept, delta NULL). The oracle
+    * replays the whole thing — chunking, per-chunk histograms over the
+    * SOURCE bytes, lag deltas with left-to-right bin accumulation,
+    * 6dp rounding, threshold — so a hash match proves the selection
+    * ran over correctly DECODED pixels (any decode drift changes a
+    * histogram, hence a delta, hence the kept set or its delta
+    * column). */
+  val mm04Keyframes = QueryDef("mm04_keyframes",
+    (s, d) => Multimodal.selectKeyframes(
+      Multimodal.videoFromDocuments(Tables.documents(s, d), frameBytes = 16),
+      threshold = 0.2)
+      .filter(col("decode_error").isNull)
+      .select(col("doc_id"), col("frame_idx").cast(LongType).as("frame_idx"),
+        col("delta"))
+      .orderBy("doc_id", "frame_idx"),
+    Some {
+      val bins = (0 until 8).map(i =>
+        s"CAST(len(list_filter(bins, x -> x = $i)) AS DOUBLE)/n AS f$i")
+        .mkString(",\n|        ")
+      val l1 = (0 until 8).map(i => s"abs(f$i - lag(f$i) OVER w)")
+        .mkString(" + ")
+      s"""WITH f0 AS (
+         |  SELECT doc_id, text,
+         |    unnest(generate_series(0, CAST(ceil(length(text)/16.0) AS BIGINT) - 1)) AS i
+         |  FROM documents),
+         |f AS (SELECT doc_id, CAST(i AS INT) AS frame_idx,
+         |        substr(text, CAST(i*16 + 1 AS INT), 16) AS chunk FROM f0),
+         |b AS (SELECT doc_id, frame_idx, length(chunk) AS n,
+         |        list_transform(string_to_array(chunk, ''), c -> unicode(c) // 32) AS bins
+         |      FROM f),
+         |h AS (SELECT doc_id, frame_idx,
+         |        $bins
+         |      FROM b),
+         |dl AS (SELECT doc_id, frame_idx,
+         |        round($l1, 6) AS delta
+         |      FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx))
+         |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx, delta
+         |FROM dl WHERE frame_idx = 0 OR delta >= 0.2
+         |ORDER BY doc_id, frame_idx""".stripMargin
+    })
+
+  /** REAL image resize (decode → Graphics2D bilinear redraw → PNG
+    * re-encode) with the output GEOMETRY oracle-checked: out_h =
+    * ceil(h·outW/w) is closed-form from the text length, so every
+    * row's resized dimensions — read back from the re-encoded PNG by a
+    * second real decode — must match the SQL. Pixel-level resize
+    * properties (constant-color invariance, determinism, reject
+    * channel) are covered by MultimodalSpec. */
+  val mm05Resize = QueryDef("mm05_resize_dims",
+    (s, d) => {
+      val resized = Multimodal.resizeImages(
+        Multimodal.payloadsPng(Tables.documents(s, d)), outWidth = 8)
+        .filter(col("resize_error").isNull)
+      // read the dims back OUT of the resized PNG payload (a real
+      // second decode), not from the operator's own metadata columns
+      val enc = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong)
+      resized.select("doc_id", "payload").map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
+        (r.getLong(0), img.getWidth.toLong, img.getHeight.toLong)
+      }(enc).toDF("doc_id", "out_w", "out_h").orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, CAST(8 AS BIGINT) AS out_w,
+           |  CAST(ceil(greatest(ceil(length(text)/16.0), 1)/2.0) AS BIGINT) AS out_h
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(mm01PayloadMeta, mm02Features, mm03FrameSample,
+    mm04Keyframes, mm05Resize)
 }
