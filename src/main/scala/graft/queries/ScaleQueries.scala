@@ -163,5 +163,66 @@ object ScaleQueries {
       .orderBy(col("sum_qty").desc, col("k")).limit(20),
     Some(skewOracle))
 
-  val all: Seq[QueryDef] = Seq(j03BucketedJoin, j04ClusteredRange, sk01SkewPlain, sk02SkewSalted)
+  /** Fact side for the skewed JOIN pair: every even l_partkey folds
+    * onto key 1, so one hot key carries ~half of lineitem INTO THE
+    * JOIN SHUFFLE. Folding to 1 (not 0) keeps the hot key inside the
+    * dim's key range. */
+  private def skewedByPart(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select(
+      when(col("l_partkey") % 2 === 0, lit(1L))
+        .otherwise(col("l_partkey")).as("k"),
+      col("l_quantity").cast(DecimalType(12, 2)).as("qd"))
+
+  /** Dim side: the part table, key-unique, a PLAIN PROJECTION — no
+    * aggregate between its shuffle and the join, which is exactly the
+    * shape AQE's OptimizeSkewedJoin can split (the rule only matches
+    * SMJ(Sort(shuffle), Sort(shuffle)); a dim built by aggregation
+    * parks a HashAggregate on the shuffle and disqualifies the join
+    * from runtime skew splitting — a real 100 TB design rule:
+    * pre-materialize dim aggregates BEFORE a skewed join). */
+  private def partDim(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(col("p_partkey").as("k"), col("p_brand"))
+
+  private val skewJoinOracle =
+    """WITH sk AS (SELECT CASE WHEN l_partkey % 2 = 0 THEN 1 ELSE l_partkey END AS k,
+      |             CAST(l_quantity AS DECIMAL(12,2)) AS qd FROM lineitem),
+      |dim AS (SELECT p_partkey AS k, p_brand FROM part)
+      |SELECT sk.k, CAST(SUM(sk.qd) AS DOUBLE) AS sum_qty, dim.p_brand
+      |FROM sk JOIN dim ON sk.k = dim.k
+      |GROUP BY sk.k, dim.p_brand
+      |ORDER BY sum_qty DESC, sk.k LIMIT 20""".stripMargin
+
+  /** Skewed JOIN, plain: the hot key carries ~50% of the fact side
+    * into one join partition. THIS is the shape AQE's
+    * OptimizeSkewedJoin exists for — at cluster scale the hot
+    * partition exceeds the skew threshold and AQE splits it into
+    * advisory-sized chunks, replicating the matching dim rows
+    * (ScaleSpec pins `skew=true` in the executed plan with thresholds
+    * scaled to test data). Semantics are untouched either way — same
+    * oracle as the salted variant. */
+  val sk03SkewJoinPlain = QueryDef("sk03_skew_join_plain",
+    (s, d) => skewedByPart(s, d).join(partDim(s, d), "k")
+      .groupBy("k", "p_brand")
+      .agg(sum(col("qd")).cast(DoubleType).as("sum_qty"))
+      .select(col("k"), col("sum_qty"), col("p_brand"))
+      .orderBy(col("sum_qty").desc, col("k")).limit(20),
+    Some(skewJoinOracle))
+
+  /** The same join through [[Scale.saltedJoin]]: the fact side salts
+    * in [0,8), the dim side explodes 8×, so the hot key's rows spread
+    * over 8 reducers STRUCTURALLY — the mitigation for paths where AQE
+    * can't re-plan (aggregate-fed dims as above, custom operators,
+    * non-SMJ joins). Hash-matches the identical oracle: salting never
+    * changes a row. */
+  val sk04SkewJoinSalted = QueryDef("sk04_skew_join_salted",
+    (s, d) => Scale.saltedJoin(
+      skewedByPart(s, d), partDim(s, d), "k", salts = 8)
+      .groupBy("k", "p_brand")
+      .agg(sum(col("qd")).cast(DoubleType).as("sum_qty"))
+      .select(col("k"), col("sum_qty"), col("p_brand"))
+      .orderBy(col("sum_qty").desc, col("k")).limit(20),
+    Some(skewJoinOracle))
+
+  val all: Seq[QueryDef] = Seq(j03BucketedJoin, j04ClusteredRange,
+    sk01SkewPlain, sk02SkewSalted, sk03SkewJoinPlain, sk04SkewJoinSalted)
 }

@@ -147,6 +147,37 @@ object StreamingIngest {
       .join(benchGrams.select(col(benchGrams.columns.head).as("g")), Seq("g"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
 
+  /** Streaming REPETITION SIGNALS (rp01's Gopher stats over a live
+    * feed): the stats are DOC-LOCAL — every output row derives from
+    * exactly one input row — so applying the batch operator per
+    * micro-batch via foreachBatch is EXACT, independent of how rows
+    * split across batches. No state store, no watermark; `sink`
+    * receives each micro-batch's finished stats (write to parquet,
+    * push to a topic, …). */
+  def repetitionStatsStream(docs: DataFrame)
+                           (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch((b: DataFrame, _: Long) =>
+        sink(graft.text.Repetition.repetitionStats(b)))
+      .start()
+
+  /** Streaming BOILERPLATE STRIP (bp01 over a live feed): the segment
+    * blocklist is derived ONCE from the batch corpus
+    * (`TextDedup.boilerplateSegments`) and becomes the static side —
+    * per micro-batch the strip is row-local segmentation + one
+    * broadcastable anti-join + doc-local rebuild, so the pass is
+    * stateless and stream==batch exact whenever the blocklist matches
+    * the batch run's. (Document frequency is a CORPUS property; a
+    * live feed deliberately applies the warehouse-derived rule rather
+    * than re-estimating df inside the stream.) */
+  def boilerplateStripStream(docs: DataFrame, blocklist: DataFrame,
+                             segTokens: Int)
+                            (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch((b: DataFrame, _: Long) =>
+        sink(graft.text.TextDedup.boilerplateStripAgainst(b, blocklist, segTokens)))
+      .start()
+
   /** Run a streaming frame to completion against currently-available
     * input via the memory sink; returns the materialized result. Batch
     * test harness for streaming semantics. */

@@ -277,11 +277,38 @@ object TextDedup {
     * profile is unchanged). */
   def boilerplateStrip(docs: DataFrame, segTokens: Int, maxDocFreq: Int,
                        idCol: String = "doc_id",
-                       textCol: String = "text"): DataFrame = {
+                       textCol: String = "text"): DataFrame =
+    boilerplateStripAgainst(docs,
+      boilerplateSegments(docs, segTokens, maxDocFreq, idCol, textCol),
+      segTokens, idCol, textCol)
+
+  /** The BLOCKLIST half of [[boilerplateStrip]]: segments whose
+    * document frequency exceeds `maxDocFreq` (one column `s`).
+    * Computed over the batch corpus, it becomes the STATIC side of the
+    * streaming strip (`StreamingIngest.boilerplateStripStream`) — the
+    * rule derived once from the warehouse applies to the live feed. */
+  def boilerplateSegments(docs: DataFrame, segTokens: Int, maxDocFreq: Int,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
     require(segTokens > 0 && maxDocFreq > 0)
+    segmented(docs, segTokens, idCol, textCol)
+      .groupBy("s").agg(countDistinct("doc_id").as("__df"))
+      .filter(col("__df") > maxDocFreq).select("s")
+  }
+
+  /** Strip a document set against a precomputed segment blocklist:
+    * row-local segmentation, one anti-join on segment content, rebuild.
+    * With the blocklist from [[boilerplateSegments]] over the SAME
+    * docs this equals [[boilerplateStrip]] exactly; with a batch-
+    * derived blocklist it is the stateless streaming form. */
+  def boilerplateStripAgainst(docs: DataFrame, blocklist: DataFrame,
+                              segTokens: Int,
+                              idCol: String = "doc_id",
+                              textCol: String = "text"): DataFrame = {
+    require(segTokens > 0)
     val segs = segmented(docs, segTokens, idCol, textCol)
-    val dfs = segs.groupBy("s").agg(countDistinct("doc_id").as("__df"))
-    val kept = segs.join(dfs, "s").filter(col("__df") <= maxDocFreq).drop("__df")
+    val kept = segs.join(blocklist.select(col(blocklist.columns.head).as("s")),
+      Seq("s"), "left_anti")
     rebuilt(segs, kept)
   }
 

@@ -147,4 +147,69 @@ class ScaleSpec extends SparkSpec {
     assert(e.getMessage.contains("__compacting"))
     assert(spark.read.parquet(dir).count() == 2, "data untouched by the refusal")
   }
+
+  private def withSQLConf[T](pairs: (String, String)*)(body: => T): T = {
+    val conf = spark.conf
+    val saved = pairs.map { case (k, _) => k -> conf.getOption(k) }
+    pairs.foreach { case (k, v) => conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
+  test("AQE OptimizeSkewedJoin engages on the hot-key shuffle join; salted join stays skew-free structurally") {
+    // the sk03 shape: one key carries ~half the fact side. Thresholds
+    // are scaled to the test data the way production scales them to
+    // executor memory — what's pinned is the MECHANISM (AQE detects the
+    // oversized partition and splits it, marking the join skew=true).
+    val skewSf = "/root/testdata/sf0.01" // enough bytes for AQE's size stats
+    // fold ~90% of keys onto 1: the hot partition must dwarf the median
+    // in COMPRESSED shuffle bytes (identical keys compress well, which
+    // mutes a 50/50 fold below the detection factor). The dim is a
+    // PLAIN PROJECTION — OptimizeSkewedJoin only matches
+    // SMJ(Sort(shuffle), Sort(shuffle)); an aggregate-built dim parks
+    // a HashAggregate on the shuffle and disqualifies the join.
+    // a skewed reduce partition splits at MAP-OUTPUT granularity: with
+    // the whole table in one map task (one small parquet file) the hot
+    // partition is a single indivisible chunk. repartition(8) stands in
+    // for the thousands of mappers a real scan has.
+    val fact = Tables.lineitem(spark, skewSf).select(
+      when(col("l_partkey") % 10 =!= 0, lit(1L))
+        .otherwise(col("l_partkey")).as("k"),
+      col("l_quantity").cast("decimal(12,2)").as("qd"))
+      .repartition(8)
+    val dim = Tables.part(spark, skewSf)
+      .select(col("p_partkey").as("k"), col("p_brand"))
+    withSQLConf(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4k") {
+      val joined = fact.join(dim, "k")
+      joined.collect() // finalize THIS QueryExecution's adaptive plan
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"OptimizeSkewedJoin did not engage; final plan:\n$plan")
+      // same query through the salted join under the SAME confs: the
+      // hot key spreads over 32 salts (~8 per reducer), so no partition
+      // clears 2x the median and the executed plan carries no skew
+      // marker — the imbalance was removed structurally, not rescued
+      // at runtime
+      val salted = Scale.saltedJoin(fact, dim, "k", salts = 32)
+      salted.collect()
+      val saltedPlan = salted.queryExecution.executedPlan.toString
+      assert(!saltedPlan.contains("skew=true"),
+        "salted join should not need AQE skew handling")
+      // and the two agree row-for-row
+      val a = joined.groupBy("k", "p_brand").agg(sum("qd").as("s"))
+      val b = salted.groupBy("k", "p_brand").agg(sum("qd").as("s"))
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    }
+  }
 }

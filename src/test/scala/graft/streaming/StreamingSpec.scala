@@ -121,4 +121,46 @@ class StreamingSpec extends SparkSpec {
     val got = StreamingIngest.runToMemory(counts, "stream_counts", OutputMode.Complete())
     assert(got.agg(sum("n")).head().getLong(0) == Tables.events(spark, sfDir).count())
   }
+
+  test("streaming repetition signals equal the batch operator exactly") {
+    val docsDir = s"$stagingDir/documents_rp"
+    // several source files + maxFilesPerTrigger=1 forces MULTIPLE
+    // micro-batches, proving parity doesn't depend on one-batch luck
+    Tables.documents(spark, sfDir).repartition(4)
+      .write.mode("overwrite").parquet(docsDir)
+    val schema = Tables.documents(spark, sfDir).schema
+    val outDir = s"$stagingDir/out_rp"
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(docsDir)
+    val q = StreamingIngest.repetitionStatsStream(stream)(
+      b => b.write.mode("append").parquet(outDir))
+    q.awaitTermination()
+    val got = spark.read.parquet(outDir)
+    val want = graft.text.Repetition.repetitionStats(Tables.documents(spark, sfDir))
+    assert(got.count() == want.count() && want.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
+  test("streaming boilerplate strip equals the batch pass exactly") {
+    val docsDir = s"$stagingDir/documents_bp"
+    Tables.documents(spark, sfDir).repartition(4)
+      .write.mode("overwrite").parquet(docsDir)
+    val schema = Tables.documents(spark, sfDir).schema
+    val batch = Tables.documents(spark, sfDir)
+    // the df>1 blocklist derives from the BATCH corpus; the stream
+    // applies it statically — the deployable semantics
+    val blocklist = graft.text.TextDedup.boilerplateSegments(
+      batch, segTokens = 5, maxDocFreq = 1)
+    assert(blocklist.count() > 0, "corpus must contain cross-doc boilerplate")
+    val outDir = s"$stagingDir/out_bp"
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(docsDir)
+    val q = StreamingIngest.boilerplateStripStream(stream, blocklist, segTokens = 5)(
+      b => b.write.mode("append").parquet(outDir))
+    q.awaitTermination()
+    val got = spark.read.parquet(outDir)
+    val want = graft.text.TextDedup.boilerplateStrip(batch, segTokens = 5, maxDocFreq = 1)
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
 }
