@@ -161,6 +161,54 @@ object Sampling {
       .drop("__score_r", "__thr")
   }
 
+  /** Systematic PPS (probability-proportional-to-size) sampling: pick
+    * `k` rows per stratum with inclusion probability proportional to
+    * `weightCol` — the classic weighted sampler for training-data
+    * mixtures ("sample documents proportional to token count"), in its
+    * fully DETERMINISTIC, integer-exact form (no rand(), no
+    * transcendentals — replayable bit-for-bit in any engine).
+    *
+    * Mechanism (one pass, no rejection): lay the strata's rows on a
+    * line in `orderCol` order, each covering an interval of length =
+    * its weight; shoot k evenly-spaced darts t_j = ⌊(2j+1)·W / 2k⌋
+    * (j = 0..k−1, W = stratum weight sum); a row is selected iff a
+    * dart lands in its interval. Exactly k selections per stratum when
+    * W ≥ k (darts are distinct); a row wider than the W/k stride can
+    * catch several darts but is emitted once. Zero-weight rows are
+    * never selected (empty interval); an all-zero stratum selects
+    * nothing (guarded — no division by zero).
+    *
+    * Dart-count-below-x closes over integer floor division:
+    * cnt(x) = clamp(⌈(2kx − W) / 2W⌉, 0, k), so selection is
+    * cnt(hi) − cnt(lo) > 0 with hi/lo the cumulative-weight interval —
+    * the clamp makes trunc-vs-floor division agree for every sign, so
+    * Spark `div` and DuckDB `//` compute identical picks.
+    *
+    * Scale shape: two windows per stratum (running sum + stratum
+    * total), both partitioned by the strata columns — bounded strata,
+    * the qf01 pattern; no global window, no shuffle beyond the
+    * stratum hash. For ONE giant stratum, pre-aggregate per-partition
+    * weight offsets (the OrderedShuffle prefix-sum trick) instead. */
+  def systematicPps(df: DataFrame, strataCols: Seq[String], weightCol: String,
+                    orderCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val byStratum = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCols.map(col): _*)
+    val running = byStratum.orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val w = col(weightCol).cast("bigint")
+    // `div` (integral division) keeps everything in exact bigint space;
+    // nullif guards the all-zero-weight stratum (null cnt → row dropped)
+    def cnt(x: String): Column = expr(
+      s"least(CAST($k AS BIGINT), greatest(CAST(0 AS BIGINT), " +
+        s"(${2L * k} * $x + __w - 1) div nullif(2 * __w, 0)))")
+    df.withColumn("__hi", sum(w).over(running))
+      .withColumn("__w", sum(w).over(byStratum))
+      .withColumn("__lo", col("__hi") - w)
+      .filter(cnt("__hi") > cnt("__lo"))
+      .drop("__hi", "__lo", "__w")
+  }
+
   /** Tag each row train/test with a ~testPermille/1000 test share.
     * Complementary by construction: every key lands in exactly one split. */
   def trainTestSplit(df: DataFrame, key: String, testPermille: Int,

@@ -70,6 +70,70 @@ object Scale {
       .sortWithinPartitions(clusterCols.map(col): _*)
       .write.mode("overwrite").parquet(dir)
 
+  /** Morton (z-order) value: bit-interleave the low `bitsPer` bits of
+    * two non-negative integer columns — bit i of `x` lands at position
+    * 2i, bit i of `y` at 2i+1. Built entirely from codegen'd bitwise
+    * built-ins (shift/and/or), so the z-value computes scan-side inside
+    * whole-stage codegen; no UDF, no custom expression needed.
+    *
+    * Why: range-clustering on ONE key (writeClustered) gives perfect
+    * pruning on that key and ZERO pruning on any other. Sorting by the
+    * interleaved value instead makes every contiguous z-range a small
+    * axis-aligned rectangle in (x, y) space, so parquet min/max stats
+    * prune usefully for predicates on EITHER dimension (~√ of the file
+    * count for a single-dim slice) — the standard multi-dimensional
+    * layout trick for 100 TB tables with more than one hot filter
+    * column. Values above 2^bitsPer−1 truncate (high bits ignored):
+    * acceptable for LAYOUT, which may never affect query answers. */
+  def zValue2(x: Column, y: Column, bitsPer: Int = 16): Column = {
+    require(bitsPer >= 1 && bitsPer <= 31, s"bitsPer must be in [1,31], got $bitsPer")
+    val xs = x.cast("bigint")
+    val ys = y.cast("bigint")
+    (0 until bitsPer).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(xs, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(ys, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+  }
+
+  /** Write z-ORDERED on (xCol, yCol): rows range-partitioned and sorted
+    * by the interleaved [[zValue2]] of both columns NORMALIZED to the
+    * same `bitsPer`-bit domain, z-value dropped before write.
+    *
+    * Normalization is the step that makes interleaving work on real
+    * keys: raw domains are never the same width (a 10-value suppkey vs
+    * a 10⁹-value partkey), and interleaving raw bits parks the narrow
+    * dimension entirely in the low bit positions — which every file
+    * then spans, so its pruning is ZERO. Range-scaling each column to
+    * [0, 2^bitsPer) first (integer arithmetic off a one-pass min/max of
+    * the frame being rewritten — a cheap pre-scan of a write job)
+    * gives both dimensions equal bit-weight, so each output file is a
+    * compact rectangle of the 2-D key space and min/max stats prune a
+    * single-dim slice to ~√(file count) files. Same contract as
+    * [[writeClustered]]: layout changes bytes on disk, never one row of
+    * any answer. */
+  def writeZOrdered(df: DataFrame, dir: String, xCol: String, yCol: String,
+                    nFiles: Int, bitsPer: Int = 8): Unit = {
+    val bRow = df.agg(min(col(xCol)).cast("bigint"), max(col(xCol)).cast("bigint"),
+      min(col(yCol)).cast("bigint"), max(col(yCol)).cast("bigint")).head()
+    // empty input (or all-null keys) → no range; write a degenerate
+    // single-bucket layout rather than fail the job
+    val b = (0 to 3).map(i => if (bRow.isNullAt(i)) 0L else bRow.getLong(i))
+    // double math: overflow-free for any key range under ANSI mode, and
+    // sub-ulp rounding can only nudge a row across a bucket boundary —
+    // irrelevant for layout
+    def scaled(c: String, lo: Long, hi: Long): Column =
+      if (hi <= lo) lit(0L)
+      else (col(c).cast("double") - lit(lo.toDouble)) *
+        lit(((1L << bitsPer) - 1).toDouble / (hi - lo))
+    val z = zValue2(scaled(xCol, b(0), b(1)), scaled(yCol, b(2), b(3)), bitsPer)
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(dir)
+  }
+
   /** Compact a parquet directory to ~`targetFileBytes` output files —
     * the small-files pass every long-lived warehouse needs: streaming
     * micro-batches, per-load appends, and over-parallel writes leave

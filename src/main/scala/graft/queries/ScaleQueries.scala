@@ -43,6 +43,7 @@ object ScaleQueries {
           hooked.remove(s)
           prepared.keySet.removeIf(_._1 eq s)
           clustered.keySet.removeIf(_._1 eq s)
+          zordered.keySet.removeIf(_._1 eq s)
         }
       })
 
@@ -118,6 +119,47 @@ object ScaleQueries {
     * Oracle runs the same aggregate over the ORIGINAL parquet: layout
     * changes bytes on disk, never one row of the answer — the same
     * claim class j03 makes for bucketing. */
+  /** One-time z-ordered copy of lineitem per (session, sfDir):
+    * 16 files sorted by the (l_partkey, l_suppkey) Morton interleave.
+    * Memoized like the bucketed/clustered preps. */
+  private val zordered =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Memo[String]]()
+
+  private def zorderedLineitem(s: SparkSession, d: String): String = {
+    hook(s)
+    zordered.computeIfAbsent((s, d), _ => new Memo(() => {
+      val path = new java.io.File(
+        s"target/zordered/${tag(d)}/lineitem").getAbsolutePath
+      Scale.writeZOrdered(
+        Tables.lineitem(s, d).select("l_partkey", "l_suppkey", "l_quantity"),
+        path, "l_partkey", "l_suppkey", nFiles = 16)
+      path
+    })).value
+  }
+
+  /** 2-D selective aggregate over the z-ORDERED lineitem copy: the
+    * layout for tables with TWO hot filter columns, where 1-D
+    * clustering (j04) prunes one dimension perfectly and the other not
+    * at all. Bit-interleaved ordering makes each file a compact
+    * rectangle of (partkey, suppkey) space — min/max stats prune on
+    * both predicates at once (ScaleSpec measures ~√n-file locality per
+    * single dimension; the 2-D predicate here intersects). Oracle runs
+    * the same aggregate over the ORIGINAL parquet: z-ordering is pure
+    * layout and must not change one row. */
+  val zo01ZorderRange = QueryDef("zo01_zorder_range",
+    (s, d) => s.read.parquet(zorderedLineitem(s, d))
+      .filter(col("l_partkey").between(10L, 40L) &&
+        col("l_suppkey").between(2L, 6L))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast(DecimalType(12, 2))).cast(DoubleType).as("sum_qty"))
+      .orderBy("l_partkey", "l_suppkey"),
+    Some("""SELECT l_partkey, l_suppkey, COUNT(*) AS n_items,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+           |FROM lineitem
+           |WHERE l_partkey BETWEEN 10 AND 40 AND l_suppkey BETWEEN 2 AND 6
+           |GROUP BY 1, 2 ORDER BY l_partkey, l_suppkey""".stripMargin))
+
   val j04ClusteredRange = QueryDef("j04_clustered_range",
     (s, d) => s.read.parquet(clusteredLineitem(s, d))
       .filter(col("l_orderkey").between(100L, 200L))
@@ -224,5 +266,6 @@ object ScaleQueries {
     Some(skewJoinOracle))
 
   val all: Seq[QueryDef] = Seq(j03BucketedJoin, j04ClusteredRange,
+    zo01ZorderRange,
     sk01SkewPlain, sk02SkewSalted, sk03SkewJoinPlain, sk04SkewJoinSalted)
 }

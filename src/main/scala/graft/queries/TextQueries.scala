@@ -329,6 +329,51 @@ object TextQueries {
            |WHERE sh.doc_id % 97 <> 0
            |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin))
 
+  /** BLOOM-PRUNED DECONTAMINATION — dc01's operator at its 100 TB
+    * shape. dc01 joins every corpus shingle against the benchmark set;
+    * at corpus scale that shuffles ~all corpus grams even though almost
+    * none are contaminated. Here the benchmark grams build a
+    * [[graft.sketch.BloomAgg]] blob (distributed OR-merge build, one
+    * 32 KB blob per task shipped), the blob broadcasts as a scalar, and
+    * a codegen'd [[graft.sketch.BloomMightContain]] probe drops clean
+    * grams SCAN-SIDE — before any shuffle. Survivors (true matches +
+    * bounded false positives) then confirm against the exact benchmark
+    * set, so the final keep-list is EXACT: bloom filters have no false
+    * negatives, and the confirm join removes the false positives. The
+    * oracle replays the exact semantics with no bloom at all — pruning
+    * must change the plan, never one row. */
+  val dc02BloomDecontamination = QueryDef("dc02_bloom_decontamination",
+    (s, d) => {
+      import graft.sketch.Bloom
+      val grams = Tables.documents(s, d).select(col("doc_id"),
+        explode(graft.text.ShingleHashesExpr.shingleHashes(
+          TextFunctions.tokens(col("text")), 3)).as("g"))
+      val bench = grams.filter(col("doc_id") % 97 === 0).select("g").distinct()
+      val bloomDf = bench.agg(Bloom.bloom_agg(col("g"), 1 << 18, 5).as("bf"))
+      val contaminated = grams.filter(col("doc_id") % 97 =!= 0)
+        .crossJoin(broadcast(bloomDf))
+        .filter(Bloom.might_contain(col("g"), col("bf"), 5))
+        .join(bench, Seq("g"), "left_semi")
+        .select("doc_id").distinct()
+      Tables.documents(s, d).filter(col("doc_id") % 97 =!= 0)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+           |        generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS i
+           |        FROM documents),
+           |sh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+           |       FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+           |                  JOIN tok c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+           |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+           |contaminated AS (SELECT DISTINCT sh.doc_id FROM sh JOIN bench USING (s)
+           |                 WHERE sh.doc_id % 97 <> 0)
+           |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+           |WHERE d.doc_id % 97 <> 0
+           |  AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+           |ORDER BY d.doc_id""".stripMargin))
+
   /** PII REDACTION — the scrubbing pass every training pipeline runs
     * before release. The corpus carries no organic PII, so both engines
     * deterministically inject a synthetic email into every 10th
@@ -689,6 +734,31 @@ object TextQueries {
            |      % 1000 < CASE WHEN lang = 'en' THEN 500 ELSE 100 END
            |GROUP BY lang ORDER BY lang""".stripMargin))
 
+  /** Systematic PPS weighted sampling: 5 docs per language, inclusion
+    * probability proportional to n_chars ("sample documents by token
+    * mass" — the weighted-mixture sampler). Fully deterministic
+    * integer-exact dart placement (see Sampling.systematicPps), so the
+    * oracle replays the IDENTICAL picks with the same window sums and
+    * floor divisions — no rand(), no transcendentals, no approximation
+    * to wave at: the selected ROWS hash-match, not just their count. */
+  val ws01PpsSample = QueryDef("ws01_pps_sample",
+    (s, d) => graft.etl.Sampling.systematicPps(
+      Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
+      Seq("lang"), "n_chars", "doc_id", k = 5)
+      .orderBy("doc_id"),
+    Some("""WITH c AS (SELECT doc_id, lang, n_chars,
+           |        SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+           |                           ROWS UNBOUNDED PRECEDING) AS hi,
+           |        SUM(n_chars) OVER (PARTITION BY lang) AS w
+           |       FROM documents),
+           |m AS (SELECT *, hi - n_chars AS lo FROM c),
+           |s AS (SELECT *,
+           |   LEAST(5, GREATEST(0, (10*hi + w - 1) // NULLIF(2*w, 0))) AS cnt_hi,
+           |   LEAST(5, GREATEST(0, (10*lo + w - 1) // NULLIF(2*w, 0))) AS cnt_lo
+           |   FROM m)
+           |SELECT doc_id, lang, n_chars FROM s WHERE cnt_hi > cnt_lo
+           |ORDER BY doc_id""".stripMargin))
+
   /** Capstone: the corpus-curation pipeline end-to-end in ONE plan —
     * predicted-language filter → quality threshold → exact dedup
     * (first-wins) → per-source survivor stats. Composes langId,
@@ -787,9 +857,11 @@ object TextQueries {
   val all: Seq[QueryDef] = Seq(
     x10TokenStats, x11QualityScore, x12LangId, x13Fingerprint, x14RollingHash,
     x15BpeTokens, x16Utf8Bytes, sm01TrainTestSplit, sm02StratifiedSample,
+    ws01PpsSample,
     cp01CorpusCuration, cp02CurationPipeline,
     dd01ExactGroups, dd02ExactKept, dd03Jaccard, dd04MinHash, dd05SimHash,
-    dd07HashedJaccard, dd08MinHashRecall, dc01Decontamination, pii01Redaction,
+    dd07HashedJaccard, dd08MinHashRecall, dc01Decontamination,
+    dc02BloomDecontamination, pii01Redaction,
     cb01TokenBudget, pd01ParagraphDedup, bp01BoilerplateStrip, dd09SimHashPortable,
     dd10HammingPairs, dd11MinHashPortable)
 }

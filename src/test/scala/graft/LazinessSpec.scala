@@ -33,7 +33,7 @@ class LazinessSpec extends SparkSpec {
     * lazy plan. */
   private val eagerByDesign =
     Set("dd06_dup_clusters", "nn04_ivf_topk", "nn06_ivf_allprobe",
-      "j03_bucketed_join", "j04_clustered_range")
+      "j03_bucketed_join", "j04_clustered_range", "zo01_zorder_range")
 
   test("every registered query builds and optimizes with zero jobs") {
     // warm the table cache first so file-listing jobs (a read-time cost,

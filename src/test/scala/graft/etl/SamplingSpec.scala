@@ -215,4 +215,41 @@ class SamplingSpec extends SparkSpec {
       .select("id").as[Long].collect().toSeq.sorted
     assert(keptTied == Seq(1L, 2L))
   }
+
+  test("systematic PPS: exactly k picks per stratum, zero-weight rows never picked") {
+    val df = Seq(
+      ("a", 1L, 10L), ("a", 2L, 0L), ("a", 3L, 1L), ("a", 4L, 1L),
+      ("a", 5L, 50L), ("a", 6L, 3L), ("a", 7L, 7L), ("a", 8L, 28L),
+      ("b", 9L, 1L), ("b", 10L, 1L), ("b", 11L, 1L), ("b", 12L, 1L),
+      ("c", 13L, 0L), ("c", 14L, 0L) // all-zero stratum: no picks, no div0
+    ).toDF("stratum", "id", "w")
+    val picked = Sampling.systematicPps(df, Seq("stratum"), "w", "id", k = 2)
+      .select("stratum", "id").as[(String, Long)].collect().toSeq.sorted
+    assert(picked.count(_._1 == "a") == 2, s"stratum a must yield k=2 picks, got $picked")
+    assert(picked.count(_._1 == "b") == 2)
+    assert(!picked.exists(_._1 == "c"), "all-zero-weight stratum must pick nothing")
+    assert(!picked.contains(("a", 2L)), "zero-weight row must never be picked")
+    // hand-check stratum a (W=100, k=2): darts at floor(W/4)=25 and
+    // floor(3W/4)=75 -> intervals [10,11)..? cum: 10,10,11,12,62,65,72,100
+    // t0=25 lands in id5's [12,62); t1=75 lands in id8's [72,100)
+    assert(picked.filter(_._1 == "a").map(_._2) == Seq(5L, 8L))
+    // b uniform weights: darts at 1 and 3 -> rows with lo<=t<hi: id10 ([1,2)), id12 ([3,4))
+    assert(picked.filter(_._1 == "b").map(_._2) == Seq(10L, 12L))
+  }
+
+  test("systematic PPS: inclusion tracks weight share; heavy rows certain; deterministic") {
+    // a row with weight > W/k MUST be selected (its interval spans a stride)
+    val df = Seq(("s", 1L, 1L), ("s", 2L, 90L), ("s", 3L, 1L), ("s", 4L, 8L))
+      .toDF("stratum", "id", "w")
+    val picks = Sampling.systematicPps(df, Seq("stratum"), "w", "id", k = 4)
+      .select("id").as[Long].collect().toSeq
+    assert(picks.contains(2L), "a row heavier than W/k is always selected")
+    // deterministic across partitionings
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "lang", "n_chars")
+    val a = Sampling.systematicPps(docs, Seq("lang"), "n_chars", "doc_id", 5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val b = Sampling.systematicPps(docs.repartition(7), Seq("lang"), "n_chars", "doc_id", 5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b && a.nonEmpty, "picks must not depend on physical partitioning")
+  }
 }

@@ -115,6 +115,54 @@ class ScaleSpec extends SparkSpec {
       spark.read.parquet(s"$base/flat").filter(cond).count())
   }
 
+  test("z-order layout: balanced pruning on BOTH dims; 1-D clustering prunes only its own") {
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "zorder").toString
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_suppkey", "l_quantity")
+    val dom = li.agg(min($"l_partkey"), max($"l_partkey"),
+      min($"l_suppkey"), max($"l_suppkey")).head()
+    // a raw interval mapping into scaled band 1 of 4 ([66, 125] of the
+    // 8-bit normalized domain, 2-value margin off the [64, 127] band
+    // edges) — band-aligned so the expected file set is a clean row or
+    // column of the 4x4 z-cell grid, not a straddle of two
+    def bandSlice(c: String, lo: Long, hi: Long): org.apache.spark.sql.Column = {
+      val a = lo + math.ceil(66.0 * (hi - lo) / 255).toLong
+      val b = lo + math.floor(125.0 * (hi - lo) / 255).toLong
+      col(c).between(a, b)
+    }
+    val xCond = bandSlice("l_partkey", dom.getLong(0), dom.getLong(1))
+    val yCond = bandSlice("l_suppkey", dom.getLong(2), dom.getLong(3))
+    Scale.writeClustered(li, s"$base/by_x", Seq("l_partkey"), nFiles = 16)
+    Scale.writeZOrdered(li, s"$base/z", "l_partkey", "l_suppkey", nFiles = 16)
+    def files(dir: String, cond: org.apache.spark.sql.Column): Long =
+      spark.read.parquet(dir).filter(cond)
+        .select(input_file_name()).distinct().count()
+    // bounds allow for repartitionByRange's SAMPLED boundaries (seeded
+    // off rdd ids — cuts drift a file either way between runs): a band
+    // is ~4 of 16 grid cells -> ~4-8 files aligned, +2 sampling slack;
+    // the claim that matters is pruned (≤10) vs blind (≥12 of 16)
+    // x-selective: both layouts prune (1-D sharply, z to a grid column)
+    assert(files(s"$base/by_x", xCond) <= 6,
+      "1-D cluster should prune its own key range")
+    assert(files(s"$base/z", xCond) <= 10,
+      "z-order should prune an x-band to ~a column of the cell grid")
+    // y-selective: 1-D layout on x is blind — touches ~all files;
+    // z-order still prunes to ~a row of the cell grid
+    val byXy = files(s"$base/by_x", yCond)
+    val zy = files(s"$base/z", yCond)
+    assert(byXy >= 12, s"control: x-clustered layout should scatter a y-slice, got $byXy")
+    assert(zy <= 10, s"z-order should prune a y-slice to ~a grid row, got $zy")
+    // 2-D conjunction: ~one cell + boundary spill from unaligned cuts
+    assert(files(s"$base/z", xCond && yCond) <= 6,
+      "z-order should prune a 2-D predicate to ~one cell")
+    // layout never changes the answer
+    assert(spark.read.parquet(s"$base/z").filter(xCond && yCond).count() ==
+      li.filter(xCond && yCond).count())
+    assert(li.filter(xCond).count() > 0 && li.filter(yCond).count() > 0,
+      "degenerate fixture: empty slices prove nothing")
+  }
+
   test("compact: many small files -> few, same rows, old files gone") {
     val dir = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("/root/repo/target"), "compact").toString + "/t"
