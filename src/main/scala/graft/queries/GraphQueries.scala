@@ -1,0 +1,88 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph-analytics queries over the warehouse's implicit graphs —
+  * PageRank-style link analysis is a corpus-quality signal every
+  * web-scale training pipeline computes (host/domain authority feeding
+  * document quality scores).
+  */
+object GraphQueries {
+
+  /** PAGERANK, fixed 6 power iterations, INTEGER-QUANTIZED: ranks live
+    * as integer mass in units of 10⁻¹⁵ of the total, every per-step
+    * operation is integer floor division/multiplication/addition —
+    * fully deterministic and engine-portable (no float summation-order
+    * drift to wave at; the oracle unrolls the same six iterations as
+    * chained CTEs and matches EXACT integers).
+    *
+    * Graph: customer→supplier edges from orders⨝lineitem (who buys
+    * from whom), node ids namespaced 2k / 2k+1 so the two key spaces
+    * can't collide. Semantics per iteration (damping 0.85):
+    * r'(v) = (15·base) div 100 + (85·Σ_{u→v} (r(u) div outdeg(u))) div 100,
+    * base = Q div N. Floor-division dust and dangling-node mass (a
+    * supplier has no out-edges) evaporate identically in both engines —
+    * quantized PageRank trades mass conservation for bit-exactness.
+    *
+    * Scale shape: the whole six-round computation is ONE lazy plan —
+    * per round, one equi-join of edges⨝ranks (shuffle keyed by node
+    * id), one partial/final sum to the destination, one left join back
+    * to the node set; degree and the base scalar are computed once and
+    * reused. That is the Pregel schedule expressed declaratively; at
+    * 100 TB the edge table shuffles by src/dst exactly as any
+    * iterative graph engine would, and AQE sizes each round's
+    * reducers. (For UNBOUNDED iteration counts use an imperative loop
+    * with localCheckpoint — the ConnectedComponents pattern; a fixed
+    * small count composes better as a single plan.) */
+  val pr01PageRank = QueryDef("pr01_pagerank",
+    (s, d) => {
+      val Q = 1000000000000000L
+      val e = Tables.orders(s, d)
+        .select(col("o_orderkey"), (col("o_custkey") * 2).as("src"))
+        .join(Tables.lineitem(s, d)
+          .select(col("l_orderkey"), (col("l_suppkey") * 2 + 1).as("dst")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select("src", "dst").distinct()
+      val nodes = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct()
+      val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      val baseDf = nodes.agg(count(lit(1)).as("__n"))
+        .select(expr(s"$Q div nullif(__n, 0)").as("base"))
+      val r0 = nodes.crossJoin(broadcast(baseDf)).select(col("id"), col("base").as("pr"))
+      def step(r: DataFrame): DataFrame = {
+        val contrib = e
+          .join(deg, "src")
+          .join(r.select(col("id").as("src"), col("pr")), "src")
+          .select(col("dst").as("id"), expr("pr div outdeg").as("c"))
+          .groupBy("id").agg(sum(col("c")).as("s"))
+        nodes.join(contrib, Seq("id"), "left")
+          .crossJoin(broadcast(baseDf))
+          .select(col("id"),
+            expr("(15 * base) div 100 + (85 * coalesce(s, 0)) div 100").as("pr"))
+      }
+      val r6 = Iterator.iterate(r0)(step).drop(6).next()
+      r6.orderBy(col("pr").desc, col("id")).limit(20)
+    },
+    Some {
+      val iter = (i: Int) =>
+        s"""r$i AS (SELECT n.id,
+           |  (15 * (SELECT base FROM params)) // 100
+           |  + (85 * COALESCE(c.s, 0)) // 100 AS pr
+           | FROM nodes n LEFT JOIN (
+           |   SELECT e.dst AS id, CAST(SUM(r.pr // d.outdeg) AS BIGINT) AS s
+           |   FROM e JOIN r${i - 1} r ON e.src = r.id JOIN deg d ON e.src = d.src
+           |   GROUP BY e.dst) c ON n.id = c.id)""".stripMargin
+      s"""WITH e AS (SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+         |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+         |params AS (SELECT 1000000000000000 // NULLIF(COUNT(*), 0) AS base FROM nodes),
+         |r0 AS (SELECT id, (SELECT base FROM params) AS pr FROM nodes),
+         |${(1 to 6).map(iter).mkString(",\n")}
+         |SELECT id, pr FROM r6 ORDER BY pr DESC, id LIMIT 20""".stripMargin
+    })
+
+  val all: Seq[QueryDef] = Seq(pr01PageRank)
+}

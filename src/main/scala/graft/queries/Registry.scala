@@ -11,5 +11,5 @@ object Registry {
       SemiStructuredQueries.all ++ PivotSubqueryQueries.all ++
       TextQueries.all ++ VectorQueries.all ++ EventQueries.all ++
       MultimodalQueries.all ++ PipelineQueries.all ++ ScaleQueries.all ++
-      CurationQueries.all
+      CurationQueries.all ++ GraphQueries.all
 }

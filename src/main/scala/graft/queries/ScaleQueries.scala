@@ -265,7 +265,35 @@ object ScaleQueries {
       .orderBy(col("sum_qty").desc, col("k")).limit(20),
     Some(skewJoinOracle))
 
+  /** INCREMENTAL AGGREGATE MAINTENANCE: the standing-aggregate pattern
+    * for append-only facts — aggregate ONLY the new batch, then merge
+    * per-key algebraic states (count/decimal-sum/min/max; avg derived
+    * at read). Here "history" and "delta" split lineitem 6:1 by
+    * orderkey; merged state must equal the from-scratch aggregate over
+    * the WHOLE table, which is exactly what the oracle computes — one
+    * plain GROUP BY, no split anywhere. Decimal sums make the merge
+    * bit-identical, not approximately equal. At 100 TB: the nightly
+    * shuffle is sized by the delta + the state table, never a rescan
+    * of raw history. */
+  val ia01IncrementalAgg = QueryDef("ia01_incremental_agg",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val hist = li.filter(pmod(col("l_orderkey"), lit(7)) =!= 0)
+      val delta = li.filter(pmod(col("l_orderkey"), lit(7)) === 0)
+      val merged = graft.etl.IncrementalAgg.merge(
+        graft.etl.IncrementalAgg.state(hist, Seq("l_returnflag"), "l_quantity"),
+        graft.etl.IncrementalAgg.state(delta, Seq("l_returnflag"), "l_quantity"),
+        Seq("l_returnflag"))
+      graft.etl.IncrementalAgg.result(merged).orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, COUNT(l_quantity) AS n_rows,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_v,
+           |  MIN(l_quantity) AS min_v, MAX(l_quantity) AS max_v,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE)
+           |    / COUNT(l_quantity) AS avg_v
+           |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(j03BucketedJoin, j04ClusteredRange,
-    zo01ZorderRange,
+    zo01ZorderRange, ia01IncrementalAgg,
     sk01SkewPlain, sk02SkewSalted, sk03SkewJoinPlain, sk04SkewJoinSalted)
 }
