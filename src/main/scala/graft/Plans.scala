@@ -117,7 +117,32 @@ object Plans {
     // plan change
     Check("sh02_global_shuffle_wide",
       Seq("windowspecdefinition(__b", "BroadcastExchange"),
-      wantNone = Seq("windowspecdefinition(__h")))
+      wantNone = Seq("windowspecdefinition(__h")),
+    // bloom decontamination: the blob builds as an aggregate
+    // (bloom_agg), probes scan-side via the codegen expression
+    // (might_contain) BEFORE the exact confirm join, which still
+    // broadcasts the benchmark gram set
+    Check("dc02_bloom_decontamination",
+      Seq("bloom_agg", "might_contain", "shingle_hashes", "BroadcastHashJoin")),
+    // z-ordered scan: BOTH dimension predicates reach the parquet scan
+    // as pushed bounds (the stats that do the 2-D file skipping)
+    Check("zo01_zorder_range",
+      Seq("GreaterThanOrEqual(l_partkey,10)", "GreaterThanOrEqual(l_suppkey,2)",
+        "LessThanOrEqual(l_partkey,40)", "LessThanOrEqual(l_suppkey,6)")),
+    // systematic PPS: both windows partition by the stratum — bounded
+    // strata, never a global window; the whole pick is window+filter,
+    // no join anywhere
+    Check("ws01_pps_sample", Seq("windowspecdefinition(lang"),
+      wantNone = Seq("Join")),
+    // incremental agg: batch states union then re-aggregate — partial/
+    // final hash aggregation, no window, no sort before the merge
+    Check("ia01_incremental_agg", Seq("HashAggregate", "Union"),
+      wantNone = Seq("Window")),
+    // pagerank: the damping base is a lazy 1-row broadcast-scalar frame
+    // (never a plan-build-time count()); rank flow per round is plain
+    // hash aggregation
+    Check("pr01_pagerank",
+      Seq("BroadcastNestedLoopJoin", "HashAggregate")))
 
   /** All failed assertions for a session (empty = every pin holds);
     * shared by the CLI main below and PlanSpec so the pins run under
