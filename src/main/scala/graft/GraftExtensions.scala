@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.graftbridge.GraftSqlBridge
-import graft.text.{MinHashesExpr, ShingleHashesExpr, SimHashExpr}
+import graft.text.{MinHashesExpr, NormalizeExpr, ShingleHashesExpr, SimHashExpr}
 import graft.vector.DotProductExpr
 
 /** SparkSessionExtensions entry point: registers the engine's native
@@ -47,6 +47,15 @@ object GraftExtensions {
     require(exprs.length == 1, "simhash64(hashArray)")
     SimHashExpr(exprs.head)
   }
+  private def normalizeBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "unicode_normalize(str, 'NFC'|'NFD'|'NFKC'|'NFKD')")
+    val form = exprs(1) match {
+      case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+      case other => throw new IllegalArgumentException(
+        s"unicode_normalize: form must be a string literal, got $other")
+    }
+    NormalizeExpr(exprs.head, form)
+  }
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("vec_dot"),
@@ -60,7 +69,10 @@ object GraftExtensions {
       shingleHashesBuilder _),
     (FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHashExpr].getName, "simhash64"),
-      simhashBuilder _))
+      simhashBuilder _),
+    (FunctionIdentifier("unicode_normalize"),
+      new ExpressionInfo(classOf[NormalizeExpr].getName, "unicode_normalize"),
+      normalizeBuilder _))
 
   /** Register into an already-running session. */
   def install(spark: SparkSession): Unit =

@@ -142,7 +142,43 @@ object Plans {
     // (never a plan-build-time count()); rank flow per round is plain
     // hash aggregation
     Check("pr01_pagerank",
-      Seq("BroadcastNestedLoopJoin", "HashAggregate")))
+      Seq("BroadcastNestedLoopJoin", "HashAggregate")),
+    // grouping sets: ONE scan fans out through Expand into partial/final
+    // hash aggregation — not a union of per-set scans
+    Check("g04_grouping_sets", Seq("Expand", "HashAggregate")),
+    // range-frame window: the only window partitions by customer and
+    // uses a RANGE (value) frame, not a ROWS frame
+    Check("w07_range_frame",
+      Seq("windowspecdefinition(o_custkey", "RangeFrame")),
+    // array HOFs stay row-local in the scan-side projection: no
+    // explode, no join, no aggregate
+    Check("f07_array_hof", Seq("Scan parquet"),
+      wantNone = Seq("Generate", "Join", "HashAggregate")),
+    // unicode normalization is a scan-side codegen projection
+    Check("f08_unicode_normalize", Seq("unicode_normalize", "Scan parquet"),
+      wantNone = Seq("Join", "HashAggregate")),
+    // BPE training: pair counts partial/final-aggregate, each argmax is
+    // a TakeOrdered(1) broadcast back as a scalar — and the vocabulary
+    // never windows or sorts globally
+    Check("bt01_bpe_train",
+      Seq("TakeOrderedAndProject", "BroadcastNestedLoopJoin", "HashAggregate"),
+      wantNone = Seq("Window")),
+    // value windows: every function shares ONE window spec keyed by
+    // nation — one sort, one window operator
+    Check("w08_value_windows", Seq("windowspecdefinition(c_nationkey")),
+    // k-fold: the fold id is a scan-side expression feeding partial
+    // aggregation — no join, no window
+    Check("sm03_kfold", Seq("HashAggregate"),
+      wantNone = Seq("Join", "Window")),
+    // sketch states build via ObjectHashAggregate (map-side partial
+    // sketches merge before the shuffle)
+    Check("ia02_sketch_merge", Seq("ObjectHashAggregate")),
+    // importance scoring: grams hash row-local in the scan
+    // (shingle_hashes), affinity + scoring are hash aggregations, the
+    // top-20 is a TakeOrdered — no window, no sort of the full corpus
+    Check("is01_importance_score",
+      Seq("shingle_hashes", "HashAggregate", "TakeOrderedAndProject"),
+      wantNone = Seq("Window")))
 
   /** All failed assertions for a session (empty = every pin holds);
     * shared by the CLI main below and PlanSpec so the pins run under

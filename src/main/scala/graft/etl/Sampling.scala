@@ -218,4 +218,16 @@ object Sampling {
       when(bucket(col(key), salt, 1000, portable) < testPermille, lit("test"))
         .otherwise(lit("train")))
   }
+
+  /** Deterministic k-FOLD assignment: `fold` = key bucket in [0, k).
+    * Every row lands in exactly one fold, folds are disjoint and
+    * jointly exhaustive by construction, and membership is key-stable —
+    * cross-validation folds that survive re-runs and backfills without
+    * materializing k corpus copies. Same hash flavors as the other
+    * samplers (portable=true ⇒ md5, reproducible in any engine). */
+  def kFold(df: DataFrame, key: String, k: Int, salt: String = "graft",
+            portable: Boolean = false): DataFrame = {
+    require(k > 0)
+    df.withColumn("fold", bucket(col(key), salt, k, portable))
+  }
 }

@@ -143,7 +143,130 @@ object BreadthQueries {
            |  quantile_cont(l_quantity, 0.75) AS q3
            |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
+  /** RANGE-frame window: per-customer trailing-30-day order count and
+    * revenue at every order. The frame is defined on the ORDER KEY'S
+    * VALUE (epoch day), not row position — peers (same customer, same
+    * day) always share a frame, so the result is deterministic under
+    * any shuffle order, unlike a ROWS frame over a non-unique key. The
+    * decimal sum keeps the window aggregate order-independent; output
+    * is keyed by o_orderkey for a total sort. */
+  val w07RangeFrame = QueryDef("w07_range_frame",
+    (s, d) => {
+      val base = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+          .cast(LongType).as("epoch_day"),
+        col("o_totalprice").cast(DecimalType(12, 2)).as("__price"))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("epoch_day"))
+        .rangeBetween(-30, Window.currentRow)
+      base.select(
+        col("o_orderkey"), col("o_custkey"), col("epoch_day"),
+        count(lit(1)).over(w).as("n_30d"),
+        sum(col("__price")).over(w).cast(DoubleType).as("rev_30d"))
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH b AS (SELECT o_orderkey, o_custkey,
+           |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS epoch_day,
+           |    CAST(o_totalprice AS DECIMAL(12,2)) AS price
+           |  FROM orders)
+           |SELECT o_orderkey, o_custkey, epoch_day,
+           |  COUNT(*) OVER w AS n_30d,
+           |  CAST(SUM(price) OVER w AS DOUBLE) AS rev_30d
+           |FROM b WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_day
+           |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+           |ORDER BY o_orderkey""".stripMargin))
+
+  /** Array higher-order functions — transform (with and without the
+    * index lambda), filter, and a fold — over a row-local token array.
+    * Everything stays inside the row (no explode/shuffle): the
+    * HOF-composition shape that keeps array work scan-side at scale.
+    * Array outputs are string-joined so both engines hash the same
+    * scalar encodings. */
+  val f07ArrayHof = QueryDef("f07_array_hof",
+    (s, d) => Tables.part(s, d)
+      .select(col("p_partkey"), split(col("p_name"), " ").as("toks"))
+      .select(
+        col("p_partkey"),
+        size(col("toks")).cast(LongType).as("n_toks"),
+        aggregate(col("toks"), lit(0L), (a, x) => a + length(x)).as("total_chars"),
+        array_join(filter(col("toks"), x => length(x) > 5), " ").as("long_toks"),
+        array_join(transform(col("toks"),
+          (x, i) => concat((i + 1).cast("string"), lit(":"), x)), ",").as("indexed"),
+        array_join(array_sort(col("toks")), " ").as("sorted_toks"))
+      .orderBy("p_partkey"),
+    Some("""WITH b AS (SELECT p_partkey, string_split(p_name, ' ') AS toks FROM part)
+           |SELECT p_partkey,
+           |  len(toks) AS n_toks,
+           |  CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS total_chars,
+           |  COALESCE(array_to_string(list_filter(toks, x -> length(x) > 5), ' '), '') AS long_toks,
+           |  array_to_string(list_transform(toks, (x, i) -> concat(i, ':', x)), ',') AS indexed,
+           |  array_to_string(list_sort(toks), ' ') AS sorted_toks
+           |FROM b ORDER BY p_partkey""".stripMargin))
+
+  /** Value-picking and distribution windows: first_value / last_value
+    * (with the explicit unbounded-following frame last_value needs in
+    * BOTH engines — the default frame silently returns the current row),
+    * lag with a default, percent_rank, cume_dist. Ordered by the unique
+    * customer key within each nation, so every function is
+    * deterministic; percent_rank/cume_dist divide exact integer
+    * rank/count pairs — identical IEEE doubles in both engines. */
+  val w08ValueWindows = QueryDef("w08_value_windows",
+    (s, d) => {
+      val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_custkey"))
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.customer(s, d).select(
+        col("c_custkey"), col("c_nationkey"),
+        first(col("c_acctbal")).over(w).as("first_bal"),
+        last(col("c_acctbal")).over(wFull).as("last_bal"),
+        lag(col("c_acctbal"), 1, 0.0).over(w).as("prev_bal"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cdist"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_nationkey,
+           |  first_value(c_acctbal) OVER w AS first_bal,
+           |  last_value(c_acctbal) OVER (PARTITION BY c_nationkey ORDER BY c_custkey
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_bal,
+           |  lag(c_acctbal, 1, 0.0) OVER w AS prev_bal,
+           |  percent_rank() OVER w AS pct_rank,
+           |  cume_dist() OVER w AS cdist
+           |FROM customer
+           |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_custkey)
+           |ORDER BY c_custkey""".stripMargin))
+
+  /** DECOMPOSED test suffix — "cafe" + COMBINING ACUTE, "A" + COMBINING
+    * RING — written with escapes so the source bytes are unambiguous;
+    * interpolated into the oracle SQL so both engines receive the
+    * identical codepoint sequence. */
+  private val F08Suffix = " café Å"
+
+  /** Unicode normalization + accent stripping (graft.text.NormalizeExpr
+    * — Spark has no built-in; DuckDB's nfc_normalize/strip_accents are
+    * the oracle). A decomposed suffix (e+U+0301, A+U+030A) is appended
+    * to every part name so the composed/decomposed length delta and the
+    * stripped form are exercised on every row; codepoint lengths pin
+    * that NFC actually composed (len_nfc = len_raw - 2). */
+  val f08UnicodeNormalize = QueryDef("f08_unicode_normalize",
+    (s, d) => {
+      import graft.text.NormalizeExpr.normalize
+      val base = concat(col("p_name"), lit(F08Suffix))
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        length(base).cast(LongType).as("len_raw"),
+        length(normalize(base, "NFC")).cast(LongType).as("len_nfc"),
+        normalize(base, "NFC").as("nfc"),
+        regexp_replace(normalize(base, "NFD"), "\\p{M}", "").as("stripped"))
+        .orderBy("p_partkey")
+    },
+    Some(s"""SELECT p_partkey,
+            |  length(p_name || '$F08Suffix') AS len_raw,
+           |  length(nfc_normalize(p_name || '$F08Suffix')) AS len_nfc,
+           |  nfc_normalize(p_name || '$F08Suffix') AS nfc,
+           |  strip_accents(p_name || '$F08Suffix') AS stripped
+           |FROM part ORDER BY p_partkey""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     j01LeftOuter, j02FullOuter, f01StringFuncs, f02DateFuncs,
-    f03ConditionalAgg, w04RankNtile, f04Quartiles)
+    f03ConditionalAgg, w04RankNtile, f04Quartiles,
+    w07RangeFrame, w08ValueWindows, f07ArrayHof, f08UnicodeNormalize)
 }

@@ -63,5 +63,28 @@ object GroupingQueries {
            |FROM orders JOIN customer ON o_custkey = c_custkey
            |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(g01Rollup, g02Cube, g03SqlText)
+  /** Explicit GROUPING SETS — two independent single-dimension
+    * aggregates ((status), (priority)) computed in ONE scan via Expand
+    * (each input row fans out once per set, partial aggregation
+    * combines map-side), vs the naive two-scans-plus-UNION. Like g01,
+    * the decimal revenue term is projected before the expand so it is
+    * computed once per input row, not once per grouping set. */
+  val g04GroupingSets = QueryDef("g04_grouping_sets",
+    (s, d) => Tables.orders(s, d)
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        col("o_totalprice").cast(DecimalType(12, 2)).as("__price"))
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__price")).cast(DoubleType).as("total"),
+        grouping_id().cast(LongType).as("gid"))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority")),
+    Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+           |  GROUPING(o_orderstatus, o_orderpriority) AS gid
+           |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+           |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(g01Rollup, g02Cube, g03SqlText, g04GroupingSets)
 }

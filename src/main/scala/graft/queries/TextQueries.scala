@@ -329,6 +329,52 @@ object TextQueries {
            |WHERE sh.doc_id % 97 <> 0
            |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin))
 
+  /** IMPORTANCE SCORING for data selection (DSIR-shaped): score every
+    * document by how much its n-gram profile looks like a TARGET
+    * domain (here the 'src13' source) relative to the raw corpus —
+    * the signal importance-resampling selects training data with.
+    * Per-gram affinity is INTEGER-QUANTIZED (df_target·10⁶ div df_all,
+    * the pr01 trick): no logs, no floats, so ranking decisions are
+    * bit-portable and the oracle value-matches the whole pipeline.
+    * Grams are row-local hashed 2-shingles (scan-side, never
+    * materialized as strings — the dc01/dd07 scale path); the oracle
+    * replays them as string grams, equivalent while xxhash64 is
+    * collision-free on the corpus (same argument the oracle gate
+    * already validates for dc01/dd07). Shape at 100 TB: one shuffle
+    * of (gram, doc) pairs to build the affinity table, one shuffle to
+    * score — both keyed by an 8-byte gram hash. */
+  val is01ImportanceScore = QueryDef("is01_importance_score",
+    (s, d) => {
+      val grams = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        explode(graft.text.ShingleHashesExpr.shingleHashes(
+          TextFunctions.tokens(col("text")), 2)).as("g"))
+      val aff = grams.groupBy("g").agg(
+        count(lit(1)).as("df_all"),
+        count(when(col("source") === "src13", 1)).as("df_target"))
+        .select(col("g"), expr("df_target * 1000000 div df_all").as("a"))
+      grams.join(aff, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"), sum(col("a")).as("aff_sum"))
+        .select(col("doc_id"), col("n_grams"),
+          expr("aff_sum div n_grams").as("importance"))
+        .orderBy(col("importance").desc, col("doc_id")).limit(20)
+    },
+    Some("""WITH tok AS (SELECT doc_id, source,
+           |        unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+           |        generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS i
+           |        FROM documents),
+           |sh AS (SELECT DISTINCT a.doc_id, a.source, a.w || ' ' || b.w AS s
+           |       FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+           |st AS (SELECT s, COUNT(*) AS df_all,
+           |         COUNT(*) FILTER (source = 'src13') AS df_target
+           |       FROM sh GROUP BY s),
+           |aff AS (SELECT s, df_target * 1000000 // df_all AS a FROM st),
+           |imp AS (SELECT sh.doc_id, COUNT(*) AS n_grams,
+           |          CAST(SUM(aff.a) AS BIGINT) AS aff_sum
+           |        FROM sh JOIN aff USING (s) GROUP BY sh.doc_id)
+           |SELECT doc_id, n_grams, aff_sum // n_grams AS importance
+           |FROM imp ORDER BY importance DESC, doc_id LIMIT 20""".stripMargin))
+
   /** BLOOM-PRUNED DECONTAMINATION — dc01's operator at its 100 TB
     * shape. dc01 joins every corpus shingle against the benchmark set;
     * at corpus scale that shuffles ~all corpus grams even though almost
@@ -734,6 +780,20 @@ object TextQueries {
            |      % 1000 < CASE WHEN lang = 'en' THEN 500 ELSE 100 END
            |GROUP BY lang ORDER BY lang""".stripMargin))
 
+  /** Deterministic 5-FOLD cross-validation assignment: per (fold, lang)
+    * counts, fold membership reproduced exactly by the oracle (portable
+    * md5 bucket mod 5). Folds are disjoint and exhaustive by
+    * construction — the per-lang counts sum to the corpus. */
+  val sm03KFold = QueryDef("sm03_kfold",
+    (s, d) => graft.etl.Sampling.kFold(
+      Tables.documents(s, d), "doc_id", k = 5, portable = true)
+      .groupBy("fold", "lang").agg(count(lit(1)).as("n"))
+      .orderBy("fold", "lang"),
+    Some("""SELECT ('0x' || substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+           |         % 5 AS fold,
+           |  lang, COUNT(*) AS n
+           |FROM documents GROUP BY 1, 2 ORDER BY fold, lang""".stripMargin))
+
   /** Systematic PPS weighted sampling: 5 docs per language, inclusion
     * probability proportional to n_chars ("sample documents by token
     * mass" — the weighted-mixture sampler). Fully deterministic
@@ -854,14 +914,54 @@ object TextQueries {
             |    ELSE 'duplicate' END AS bucket FROM p4)
             |SELECT bucket, COUNT(*) AS n FROM b GROUP BY bucket ORDER BY bucket""".stripMargin))
 
+  /** Distributed BPE merge TRAINING (x15 applies a fixed merge table;
+    * this LEARNS one): 6 most-frequent-adjacent-pair merges over the
+    * corpus vocabulary, exact integer counts, lexicographic tie-break.
+    * The oracle unrolls the same 6 iterations as chained CTEs (the
+    * pr01 pattern) over the identical `|s1||s2|`-delimited encoding,
+    * so pair counts, argmax decisions, and merge applications are all
+    * value-matched. See graft.text.BpeTrain for the encoding trick
+    * that makes greedy left-to-right merging a plain `replace`. */
+  val bt01BpeTrain = QueryDef("bt01_bpe_train",
+    (s, d) => graft.text.BpeTrain.learnMerges(Tables.documents(s, d), "text", 6),
+    Some {
+      val iter = (i: Int) =>
+        s"""p$i AS (
+           |  SELECT syms[i] AS a, syms[i + 1] AS b,
+           |    CAST(SUM(cnt) AS BIGINT) AS n
+           |  FROM (SELECT cnt, syms, unnest(range(1, len(syms))) AS i
+           |        FROM (SELECT cnt, string_split(trim(enc, '|'), '||') AS syms
+           |              FROM w${i - 1}) z) q
+           |  GROUP BY a, b),
+           |b$i AS (SELECT a, b, n FROM p$i ORDER BY n DESC, a, b LIMIT 1),
+           |w$i AS (SELECT cnt, replace(enc,
+           |    '|' || (SELECT a FROM b$i) || '||' || (SELECT b FROM b$i) || '|',
+           |    '|' || (SELECT a FROM b$i) || (SELECT b FROM b$i) || '|') AS enc
+           |  FROM w${i - 1})""".stripMargin
+      s"""WITH v AS (
+         |  SELECT w, COUNT(*) AS cnt FROM (
+         |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+         |    FROM documents) t
+         |  WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY w),
+         |w0 AS (SELECT cnt,
+         |    '|' || array_to_string(string_split(w, ''), '||') || '|' AS enc
+         |  FROM v),
+         |${(1 to 6).map(iter).mkString(",\n")}
+         |SELECT * FROM (
+         |${(1 to 6).map(i =>
+            s"  SELECT $i AS step, a, b, a || b AS merged, n FROM b$i")
+           .mkString("  UNION ALL\n")}
+         |) ORDER BY step""".stripMargin
+    })
+
   val all: Seq[QueryDef] = Seq(
     x10TokenStats, x11QualityScore, x12LangId, x13Fingerprint, x14RollingHash,
     x15BpeTokens, x16Utf8Bytes, sm01TrainTestSplit, sm02StratifiedSample,
-    ws01PpsSample,
+    sm03KFold, ws01PpsSample,
     cp01CorpusCuration, cp02CurationPipeline,
     dd01ExactGroups, dd02ExactKept, dd03Jaccard, dd04MinHash, dd05SimHash,
     dd07HashedJaccard, dd08MinHashRecall, dc01Decontamination,
-    dc02BloomDecontamination, pii01Redaction,
+    dc02BloomDecontamination, is01ImportanceScore, pii01Redaction,
     cb01TokenBudget, pd01ParagraphDedup, bp01BoilerplateStrip, dd09SimHashPortable,
-    dd10HammingPairs, dd11MinHashPortable)
+    dd10HammingPairs, dd11MinHashPortable, bt01BpeTrain)
 }

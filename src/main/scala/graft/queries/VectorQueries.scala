@@ -249,7 +249,31 @@ object VectorQueries {
            |  round(err, 6) AS err_r
            |FROM c ORDER BY vec_id""".stripMargin))
 
+  /** SemDeDup-shaped semantic dedup over an embedding subset: cosine
+    * edges ≥ 0.25, transitive closure, keep the min-id representative —
+    * the full id→representative mapping (not just cluster sizes like
+    * dd06), which is what a curation pipeline joins against to drop
+    * semantic near-duplicates while recording what they duplicated.
+    * Oracle replays the closure as a recursive CTE over the exact
+    * cosine edge set. */
+  val sd01SemanticDedup = QueryDef("sd01_semantic_dedup",
+    (s, d) => {
+      val sub = Tables.embeddings(s, d).filter(col("vec_id") % 4 === 0)
+      SimilaritySearch.semanticDedup(sub, threshold = 0.25).orderBy("id")
+    },
+    Some(s"""WITH RECURSIVE
+            |s AS (SELECT * FROM embeddings WHERE vec_id % 4 = 0),
+            |e(a, b) AS (SELECT a.vec_id, b.vec_id
+            |  FROM s a JOIN s b ON a.vec_id < b.vec_id
+            |  WHERE $sqlCos >= 0.25),
+            |bi(a, b) AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+            |walk(id, l) AS (SELECT vec_id, vec_id FROM s
+            |  UNION SELECT bi.b, walk.l FROM walk JOIN bi ON bi.a = walk.id),
+            |lbl AS (SELECT id, MIN(l) AS kept_as FROM walk GROUP BY id)
+            |SELECT id, kept_as, id = kept_as AS is_kept
+            |FROM lbl ORDER BY id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(nn01BruteTopK, nn02LshTopK, nn03NearDup,
     nn04IvfTopK, nn05LshRecall, nn06IvfAllProbe, nn07LshPortable,
-    dd06DupClusters, vq01ScalarQuant)
+    dd06DupClusters, vq01ScalarQuant, sd01SemanticDedup)
 }

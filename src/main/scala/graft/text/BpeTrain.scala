@@ -1,0 +1,80 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Distributed BPE merge LEARNING (the training side of x15's
+  * merge-applying tokenizer): iteratively find the most frequent
+  * adjacent symbol pair across the corpus vocabulary and fuse it.
+  *
+  * Layout: each word's symbol sequence is one delimited string,
+  * `|s1||s2||...|` — every symbol wrapped in `|`. A pair (a,b) then
+  * matches the substring `|a||b|` EXACTLY once per adjacency, and
+  * greedy left-to-right merge application is a plain `replace`:
+  * consecutive runs fuse pairwise (`|a||a||a||a|` → `|aa||aa|`)
+  * because each replacement consumes its own delimiters — unlike the
+  * classic space-joined encoding, where the shared separator makes
+  * `replace` miss every second overlapping occurrence. The alphabet is
+  * restricted to `[a-z]+` words so `|` can never collide with a symbol.
+  *
+  * Scale shape: the corpus collapses to (word, cnt) ONCE (the only
+  * scan of the raw text); per merge step there is one pair-count
+  * partial/final aggregation over the vocabulary (map-side combined,
+  * keys are tiny symbol pairs), one TakeOrdered(1) for the argmax, and
+  * one broadcast of the single winning pair back into a row-local
+  * `replace`. At 100 TB the text scan dominates and happens once; the
+  * iterations touch only the vocabulary, which is orders of magnitude
+  * smaller than the corpus (and is persisted per step — see
+  * learnMerges). Exact integer counts + a total tie-break make every
+  * argmax decision engine-portable: the oracle replays all steps as
+  * chained CTEs and value-matches the merge table row-for-row.
+  */
+object BpeTrain {
+
+  /** Corpus vocabulary: distinct lowercase-alpha words with exact
+    * frequencies. Tokenization mirrors TextFunctions.tokens (the
+    * x10-pinned `\s+` split of trimmed text). */
+  def vocab(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(TextFunctions.tokens(lower(col(textCol)))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+
+  /** `cat` → `|c||a||t|` (see class doc for why this layout). */
+  private def encode(w: org.apache.spark.sql.Column) =
+    concat(lit("|"), array_join(
+      transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1))), "||"),
+      lit("|"))
+
+  /** Learn `nMerges` merges; returns (step, a, b, merged, n) — the
+    * merge table a tokenizer would ship, in learned order. */
+  def learnMerges(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    var v = vocab(docs, textCol).select(col("cnt"), encode(col("w")).as("enc"))
+    val steps = (1 to nMerges).map { step =>
+      // Each step consumes the previous vocabulary TWICE (pair counting
+      // for the argmax, and the merge rewrite) — persisting the
+      // vocab-sized frame keeps the plan tree linear in nMerges instead
+      // of doubling per step. The vocabulary is corpus-distinct words:
+      // tiny relative to the corpus, safe to cache at any scale.
+      v = v.persist()
+      val pairs = v
+        .select(col("cnt"),
+          split(trim(col("enc"), "|"), "\\|\\|").as("syms"))
+        .select(col("cnt"), explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("n"))
+      // argmax with a total tie-break: count desc, then (a,b) lexicographic
+      val best = pairs.orderBy(col("n").desc, col("a"), col("b")).limit(1)
+      v = v.crossJoin(broadcast(best))
+        .select(col("cnt"), replace(col("enc"),
+          concat(lit("|"), col("a"), lit("||"), col("b"), lit("|")),
+          concat(lit("|"), col("a"), col("b"), lit("|"))).as("enc"))
+      best.select(lit(step).cast(LongType).as("step"), col("a"), col("b"),
+        concat(col("a"), col("b")).as("merged"), col("n"))
+    }
+    steps.reduce((a, b) => a.union(b)).orderBy("step")
+  }
+}

@@ -163,4 +163,26 @@ object SimilaritySearch {
       .filter(col("sim") >= threshold)
       .select(col("id1"), col("id2"), round(col("sim"), 6).as("sim_r"))
   }
+
+  /** SemDeDup-shaped SEMANTIC DEDUPLICATION: connect items whose
+    * embedding cosine ≥ threshold, resolve transitive groups with the
+    * large-star/small-star contraction, and keep the min-id
+    * representative per group. Returns EVERY input id with its
+    * representative (`kept_as`) and keep flag — the full mapping a
+    * pipeline needs both to filter the corpus and to attribute dropped
+    * docs to their surviving near-duplicate.
+    *
+    * Edge generation here is the exact all-pairs kernel (right for
+    * probe subsets and verification); at 100 TB feed the SAME
+    * labeling stage from the banded candidates (`lshTopK` /
+    * `minHashCandidates` shapes) — the contraction only ever sees
+    * (id1, id2) pairs and doesn't care who produced them. */
+  def semanticDedup(corpus: DataFrame, threshold: Double,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val edges = nearDupPairs(corpus, corpus, threshold, idCol, vecCol)
+    graft.graph.ConnectedComponents.runStars(
+      corpus.select(col(idCol).as("id")), edges.select("id1", "id2"))
+      .select(col("id"), col("cluster_id").as("kept_as"),
+        (col("id") === col("cluster_id")).as("is_kept"))
+  }
 }

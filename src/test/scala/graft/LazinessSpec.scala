@@ -25,15 +25,16 @@ class LazinessSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
-  /** Eager BY DESIGN, not by accident: dd06 runs an iterative
+  /** Eager BY DESIGN, not by accident: dd06 and sd01 run an iterative
     * fixpoint (each round materializes via localCheckpoint), nn04
     * trains its coarse quantizer on a sample at build, j03 prepares
     * its bucketed warehouse copies on first use (a memoized CREATE
     * TABLE, not a per-run action). Everything else must be a single
     * lazy plan. */
   private val eagerByDesign =
-    Set("dd06_dup_clusters", "nn04_ivf_topk", "nn06_ivf_allprobe",
-      "j03_bucketed_join", "j04_clustered_range", "zo01_zorder_range")
+    Set("dd06_dup_clusters", "sd01_semantic_dedup", "nn04_ivf_topk",
+      "nn06_ivf_allprobe", "j03_bucketed_join", "j04_clustered_range",
+      "zo01_zorder_range")
 
   test("every registered query builds and optimizes with zero jobs") {
     // warm the table cache first so file-listing jobs (a read-time cost,

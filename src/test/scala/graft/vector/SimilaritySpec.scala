@@ -106,4 +106,22 @@ class SimilaritySpec extends SparkSpec {
       assert(a < b); assert(s >= 0.4 - 1e-6)
     }
   }
+
+  test("semanticDedup: transitive chains collapse to min-id representative") {
+    // 10 at 0°, 20 at ~30°, 30 at ~60°: cos(10,20)≈cos(20,30)≈.87 ≥ .8
+    // but cos(10,30)=.5 < .8 — the chain still collapses via 20.
+    // 40 points away from all three (cos ≤ 0) and survives alone.
+    val emb = Seq(
+      (10L, Seq(1f, 0f)),
+      (20L, Seq(0.866f, 0.5f)),
+      (30L, Seq(0.5f, 0.866f)),
+      (40L, Seq(0f, -1f))
+    ).toDF("vec_id", "embedding")
+    val got = SimilaritySearch.semanticDedup(emb, 0.8)
+      .select("id", "kept_as", "is_kept")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got == Set(
+      (10L, 10L, true), (20L, 10L, false), (30L, 10L, false),
+      (40L, 40L, true)))
+  }
 }
