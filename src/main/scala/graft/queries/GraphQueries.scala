@@ -39,6 +39,14 @@ object GraphQueries {
   val pr01PageRank = QueryDef("pr01_pagerank",
     (s, d) => {
       val Q = 1000000000000000L
+      // e/nodes/deg are loop-invariant and referenced in every unrolled
+      // round, but deliberately NOT persisted: identical exchanges
+      // inside ONE physical plan dedupe via ReusedExchange, so the
+      // orders⨝lineitem distinct runs once regardless. Persisting was
+      // measured 1.7× SLOWER at sf0.1 (8-9 s → 13-16 s warm): cache
+      // scans replace codegen'd reuse and the cached subtree opts out
+      // of AQE. (Contrast bt01, where the repeated subtree DIFFERS per
+      // step and persist is what keeps the plan linear.)
       val e = Tables.orders(s, d)
         .select(col("o_orderkey"), (col("o_custkey") * 2).as("src"))
         .join(Tables.lineitem(s, d)
