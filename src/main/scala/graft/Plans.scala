@@ -178,7 +178,13 @@ object Plans {
     // top-20 is a TakeOrdered — no window, no sort of the full corpus
     Check("is01_importance_score",
       Seq("shingle_hashes", "HashAggregate", "TakeOrderedAndProject"),
-      wantNone = Seq("Window")))
+      wantNone = Seq("Window")),
+    // count-min: the counter blob builds as an aggregate (cm_agg,
+    // ObjectHashAggregate partial merge) and broadcasts back as a
+    // scalar; estimates evaluate scan-side (cm_estimate)
+    Check("fq02_cms_tokens",
+      Seq("cm_agg", "cm_estimate", "ObjectHashAggregate",
+        "BroadcastNestedLoopJoin")))
 
   /** All failed assertions for a session (empty = every pin holds);
     * shared by the CLI main below and PlanSpec so the pins run under

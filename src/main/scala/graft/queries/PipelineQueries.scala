@@ -153,6 +153,39 @@ object PipelineQueries {
             |SELECT lang, token, COUNT(*) AS cnt, CAST(0 AS BIGINT) AS undercount
             |FROM w GROUP BY lang, token ORDER BY lang, token""".stripMargin))
 
+  /** COUNT-MIN SKETCH frequency estimation (graft.sketch.CountMin —
+    * the point-query sibling of fq01's Misra-Gries): one mergeable
+    * depth×width counter blob over the whole token stream, probed for
+    * the exact top-20 tokens. Pinned flags, x04-style: `ge_ok` is the
+    * sketch's DETERMINISTIC one-sided guarantee (counters only add, so
+    * estimate ≥ truth — always), `bound_ok` pins estimate ≤ truth +
+    * 0.5% of the stream (≈15× the expected e/width overcount at
+    * width=8192 — fails only if the sketch breaks, not on unlucky
+    * collisions). The oracle replays the exact side and the flags.
+    * Scale: the blob builds map-side (ObjectHashAggregate merge by
+    * elementwise add) and broadcasts back as a scalar — the token
+    * stream is never shuffled for the probe. */
+  val fq02CmsTokens = QueryDef("fq02_cms_tokens",
+    (s, d) => {
+      import graft.sketch.CountMin
+      val toks = Tables.documents(s, d)
+        .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+      val sketch = toks.agg(
+        CountMin.cm_agg(xxhash64(col("token")), depth = 4, width = 8192).as("cms"),
+        count(lit(1)).as("n_total"))
+      val top = toks.groupBy("token").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("token")).limit(20)
+      val est = CountMin.cm_estimate(xxhash64(col("token")), col("cms"), depth = 4)
+      top.crossJoin(broadcast(sketch))
+        .select(col("token"), col("n_exact"),
+          (est >= col("n_exact")).as("ge_ok"),
+          (est <= col("n_exact") + expr("n_total div 200")).as("bound_ok"))
+        .orderBy(col("n_exact").desc, col("token"))
+    },
+    Some(s"""WITH w AS (SELECT unnest($sqlTokArr) AS token FROM documents)
+            |SELECT token, COUNT(*) AS n_exact, TRUE AS ge_ok, TRUE AS bound_ok
+            |FROM w GROUP BY token ORDER BY n_exact DESC, token LIMIT 20""".stripMargin))
+
   /** BM25 document ranking for a fixed query ("table value scan"):
     * standard Okapi BM25 (k1=1.2, b=0.75) with the robust idf
     * ln(1 + (N-df+0.5)/(df+0.5)). Every factor is exact integer-derived
@@ -211,5 +244,5 @@ object PipelineQueries {
             |ORDER BY bm25_r DESC, doc_id LIMIT 10""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(ck01DocChunks, pk01SequencePacking, vc01VocabTopK,
-    tx01TfIdfTopTerms, tx02Bm25, fz01FuzzyPairs, fq01FreqTokens)
+    tx01TfIdfTopTerms, tx02Bm25, fz01FuzzyPairs, fq01FreqTokens, fq02CmsTokens)
 }
