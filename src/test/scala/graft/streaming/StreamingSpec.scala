@@ -141,6 +141,33 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("streaming MV maintenance: incremental state equals batch aggregate exactly") {
+    import graft.etl.IncrementalAgg
+    val srcDir = s"$stagingDir/events_mv"
+    // 4 source files + maxFilesPerTrigger=1 → 4 merge rounds: parity
+    // must come from the algebra, not from one-batch luck
+    Tables.events(spark, sfDir).repartition(4)
+      .write.mode("overwrite").parquet(srcDir)
+    val stateDir = s"$stagingDir/state_mv"
+    val stream = spark.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = StreamingIngest.maintainAggState(
+      stream, Seq("event_type"), "value", stateDir)
+    q.awaitTermination()
+    val got = IncrementalAgg.result(
+      StreamingIngest.currentAggState(spark, stateDir).get)
+    val want = IncrementalAgg.result(
+      IncrementalAgg.state(Tables.events(spark, sfDir), Seq("event_type"), "value"))
+    assert(got.count() == want.count() && want.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    // multi-batch actually happened and old generations were pruned
+    val gens = new java.io.File(stateDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
+      .map(_.getName.stripPrefix("gen-").toLong)
+    assert(gens.max >= 3, "expected one generation per micro-batch")
+    assert(gens.length <= 2, "older generations should be pruned")
+  }
+
   test("streaming boilerplate strip equals the batch pass exactly") {
     val docsDir = s"$stagingDir/documents_bp"
     Tables.documents(spark, sfDir).repartition(4)
