@@ -184,7 +184,14 @@ object Plans {
     // scalar; estimates evaluate scan-side (cm_estimate)
     Check("fq02_cms_tokens",
       Seq("cm_agg", "cm_estimate", "ObjectHashAggregate",
-        "BroadcastNestedLoopJoin")))
+        "BroadcastNestedLoopJoin")),
+    // PMI: the df-floor token set joins back by BROADCAST, the doc
+    // count is a broadcast scalar, the top-20 is a TakeOrdered —
+    // no window, no global sort of the pair space
+    Check("co01_token_pmi",
+      Seq("BroadcastHashJoin", "BroadcastNestedLoopJoin",
+        "TakeOrderedAndProject", "HashAggregate"),
+      wantNone = Seq("Window")))
 
   /** All failed assertions for a session (empty = every pin holds);
     * shared by the CLI main below and PlanSpec so the pins run under

@@ -153,6 +153,51 @@ object PipelineQueries {
             |SELECT lang, token, COUNT(*) AS cnt, CAST(0 AS BIGINT) AS undercount
             |FROM w GROUP BY lang, token ORDER BY lang, token""".stripMargin))
 
+  /** TOKEN CO-OCCURRENCE PMI (integer-quantized): which token pairs
+    * appear in the same document far more often than independence
+    * predicts — the collocation/phrase-induction signal. PMI's
+    * log(p(a,b)/(p(a)p(b))) is rank-equivalent to the ratio itself, so
+    * the score is the INTEGER ((c_ab·10⁶ div c_a) · N) div c_b with
+    * that exact operation order mirrored in the oracle: every
+    * intermediate is ≤ 10⁶·N, overflow-safe at ANY corpus size (the
+    * naive c_ab·N·10⁶ overflows at ~10⁹ docs), and there is not one
+    * float in the ranking. Fan-out control: only tokens with df ≥ 20
+    * pair up (the dd03-style frequency floor), pairs need support ≥ 5.
+    * Scale: distinct (doc, token) shuffles by doc for the pairing
+    * self-join, pair counts partial-aggregate on (a, b); the df floor
+    * bounds per-doc pair fan-out structurally. */
+  val co01TokenPmi = QueryDef("co01_token_pmi",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("t"))
+        .distinct()
+      val freq = toks.groupBy("t").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 20)
+      val ft = toks.join(broadcast(freq), "t").select("doc_id", "t", "df")
+      val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("nd"))
+      val pairs = ft.as("a").join(ft.as("b"),
+          col("a.doc_id") === col("b.doc_id") && col("a.t") < col("b.t"))
+        .groupBy(col("a.t").as("ta"), col("b.t").as("tb"),
+          col("a.df").as("dfa"), col("b.df").as("dfb"))
+        .agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 5)
+      pairs.crossJoin(broadcast(nDocs))
+        .select(col("ta"), col("tb"), col("c_ab"),
+          expr("(((c_ab * 1000000) div dfa) * nd) div dfb").as("pmi_q"))
+        .orderBy(col("pmi_q").desc, col("ta"), col("tb")).limit(20)
+    },
+    Some(s"""WITH toks AS (SELECT DISTINCT doc_id, unnest($sqlTokArr) AS t FROM documents),
+            |freq AS (SELECT t, COUNT(*) AS df FROM toks GROUP BY t HAVING COUNT(*) >= 20),
+            |ft AS (SELECT doc_id, toks.t, df FROM toks JOIN freq USING (t)),
+            |nd AS (SELECT COUNT(*) AS nd FROM documents),
+            |pairs AS (SELECT a.t AS ta, b.t AS tb, a.df AS dfa, b.df AS dfb,
+            |    COUNT(*) AS c_ab
+            |  FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.t < b.t
+            |  GROUP BY 1, 2, 3, 4 HAVING COUNT(*) >= 5)
+            |SELECT ta, tb, c_ab,
+            |  (((c_ab * 1000000) // dfa) * (SELECT nd FROM nd)) // dfb AS pmi_q
+            |FROM pairs ORDER BY pmi_q DESC, ta, tb LIMIT 20""".stripMargin))
+
   /** COUNT-MIN SKETCH frequency estimation (graft.sketch.CountMin —
     * the point-query sibling of fq01's Misra-Gries): one mergeable
     * depth×width counter blob over the whole token stream, probed for
@@ -244,5 +289,6 @@ object PipelineQueries {
             |ORDER BY bm25_r DESC, doc_id LIMIT 10""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(ck01DocChunks, pk01SequencePacking, vc01VocabTopK,
-    tx01TfIdfTopTerms, tx02Bm25, fz01FuzzyPairs, fq01FreqTokens, fq02CmsTokens)
+    tx01TfIdfTopTerms, tx02Bm25, fz01FuzzyPairs, fq01FreqTokens, fq02CmsTokens,
+    co01TokenPmi)
 }
