@@ -191,7 +191,11 @@ object Plans {
     Check("co01_token_pmi",
       Seq("BroadcastHashJoin", "BroadcastNestedLoopJoin",
         "TakeOrderedAndProject", "HashAggregate"),
-      wantNone = Seq("Window")))
+      wantNone = Seq("Window")),
+    // interval overlap: the bucketization turns the theta join into an
+    // EQUI-join on __b — a nested-loop must never appear
+    Check("ov01_interval_overlap", Seq("Join", "Generate"),
+      wantNone = Seq("BroadcastNestedLoopJoin", "CartesianProduct")))
 
   /** All failed assertions for a session (empty = every pin holds);
     * shared by the CLI main below and PlanSpec so the pins run under

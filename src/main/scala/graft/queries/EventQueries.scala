@@ -178,6 +178,46 @@ object EventQueries {
            |  COUNT(*) AS n_users
            |FROM conv GROUP BY bucket ORDER BY bucket""".stripMargin))
 
+  /** INTERVAL-OVERLAP join (graft.events.IntervalJoin): 30-day order
+    * windows of one customer cohort against 21-day windows of another —
+    * "which fulfillment windows ran concurrently". The engine executes
+    * a bucketized EQUI-join (each interval covers ≤2 width-32 buckets,
+    * pairs emitted once at the overlap's left-edge bucket); the oracle
+    * replays the naive quadratic theta join — the plan must differ, the
+    * rows must not. Per-left-order overlap count and total shared days
+    * (inclusive, integer-exact). */
+  val ov01IntervalOverlap = QueryDef("ov01_interval_overlap",
+    (s, d) => {
+      import graft.events.IntervalJoin
+      def cohort(rem: Int, len: Int) = Tables.orders(s, d)
+        .filter(col("o_custkey") % 100 === rem)
+        .select(col("o_orderkey"),
+          datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+            .cast("long").as("lo"))
+        .withColumn("hi", col("lo") + (len - 1))
+      val a = cohort(0, 30)
+      val b = cohort(1, 21).select(col("o_orderkey").as("b_orderkey"),
+        col("lo").as("b_lo"), col("hi").as("b_hi"))
+      IntervalJoin.overlapPairs(a, b, "lo", "hi", "b_lo", "b_hi", bucketWidth = 32)
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_overlaps"),
+          sum(least(col("hi"), col("b_hi")) - greatest(col("lo"), col("b_lo")) + 1)
+            .as("overlap_days"))
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH a AS (SELECT o_orderkey,
+           |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS lo,
+           |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 29 AS hi
+           |  FROM orders WHERE o_custkey % 100 = 0),
+           |b AS (SELECT o_orderkey,
+           |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS lo,
+           |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 20 AS hi
+           |  FROM orders WHERE o_custkey % 100 = 1)
+           |SELECT a.o_orderkey, COUNT(*) AS n_overlaps,
+           |  CAST(SUM(LEAST(a.hi, b.hi) - GREATEST(a.lo, b.lo) + 1) AS BIGINT) AS overlap_days
+           |FROM a JOIN b ON a.lo <= b.hi AND b.lo <= a.hi
+           |GROUP BY a.o_orderkey ORDER BY a.o_orderkey""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(s01SessionCounts, s02SessionWindow, s03DailyByType,
-    aj01AsOf, bj01BandJoin, ts01GapFill, fn01Funnel)
+    aj01AsOf, bj01BandJoin, ov01IntervalOverlap, ts01GapFill, fn01Funnel)
 }

@@ -56,4 +56,34 @@ class JoinOpsSpec extends SparkSpec {
     } yield (a, b)).toSet
     assert(got == brute)
   }
+
+  test("interval overlap: brute-force parity, touching endpoints, emit-once") {
+    val rnd = new scala.util.Random(7)
+    val as = (1 to 80).map(i => (i.toLong, {
+      val lo = rnd.nextInt(400).toLong; (lo, lo + rnd.nextInt(30)) }))
+      .map { case (id, (lo, hi)) => (id, lo, hi) }
+    val bs = (1 to 80).map(i => (i.toLong + 1000, {
+      val lo = rnd.nextInt(400).toLong; (lo, lo + rnd.nextInt(30)) }))
+      .map { case (id, (lo, hi)) => (id, lo, hi) }
+    // plus a deterministic touching pair (hi == lo) and a disjoint pair
+    val aDf = (as :+ (900L, 500L, 510L) :+ (901L, 600L, 601L))
+      .toDF("aid", "lo", "hi")
+    val bDf = (bs :+ (1900L, 510L, 512L) :+ (1901L, 700L, 701L))
+      .toDF("bid", "b_lo", "b_hi")
+    def run(w: Long) = IntervalJoin
+      .overlapPairs(aDf, bDf, "lo", "hi", "b_lo", "b_hi", w)
+      .select("aid", "bid").as[(Long, Long)].collect()
+    val got = run(32)
+    val brute = (for {
+      (a, alo, ahi) <- as :+ (900L, 500L, 510L) :+ (901L, 600L, 601L)
+      (b, blo, bhi) <- bs :+ (1900L, 510L, 512L) :+ (1901L, 700L, 701L)
+      if alo <= bhi && blo <= ahi
+    } yield (a, b)).toSet
+    assert(got.toSet == brute)
+    assert(got.length == got.toSet.size, "each pair must be emitted exactly once")
+    assert(got.toSet.contains((900L, 1900L)), "touching endpoints overlap (closed intervals)")
+    assert(!got.toSet.contains((901L, 1901L)))
+    // bucket width is a sizing knob, never a semantics knob
+    assert(run(1000).toSet == brute)
+  }
 }
