@@ -195,7 +195,12 @@ object Plans {
     // interval overlap: the bucketization turns the theta join into an
     // EQUI-join on __b — a nested-loop must never appear
     Check("ov01_interval_overlap", Seq("Join", "Generate"),
-      wantNone = Seq("BroadcastNestedLoopJoin", "CartesianProduct")))
+      wantNone = Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+    // winsorized stats: the per-group bound table joins back by
+    // BROADCAST (corpus rows never shuffle to learn their bounds);
+    // no window anywhere
+    Check("f09_winsorized_stats", Seq("BroadcastHashJoin", "HashAggregate"),
+      wantNone = Seq("Window")))
 
   /** All failed assertions for a session (empty = every pin holds);
     * shared by the CLI main below and PlanSpec so the pins run under

@@ -265,8 +265,53 @@ object BreadthQueries {
            |  strip_accents(p_name || '$F08Suffix') AS stripped
            |FROM part ORDER BY p_partkey""".stripMargin))
 
+  /** WINSORIZED (percentile-clipped) robust statistics per group:
+    * p05/p95 bounds, clip counts, and the robust mean after clipping —
+    * the outlier-resistant aggregate a metrics pipeline uses where a
+    * plain mean is one corrupt row away from garbage. Parity recipe:
+    * bounds are 6dp-ROUNDED before use (0.05/0.95 interpolation
+    * positions aren't binary-exact, unlike f04's quartiles — rounding
+    * makes both engines clip on identical values), clipped values sum
+    * in DECIMAL, and the mean divides two exactly-determined values as
+    * doubles. Bounds come back via a broadcast join (two-pass shape:
+    * tiny per-group bound table, corpus scanned twice, no window). */
+  val f09WinsorizedStats = QueryDef("f09_winsorized_stats",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val bounds = li.groupBy("l_returnflag").agg(
+        round(expr("percentile(l_extendedprice, 0.05)"), 6).as("lo_r"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 6).as("hi_r"))
+      val price = col("l_extendedprice").cast(DoubleType)
+      li.join(broadcast(bounds), "l_returnflag")
+        .select(col("l_returnflag"), col("lo_r"), col("hi_r"),
+          least(greatest(price, col("lo_r")), col("hi_r")).as("clip"),
+          (price < col("lo_r")).cast(LongType).as("is_lo"),
+          (price > col("hi_r")).cast(LongType).as("is_hi"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("is_lo")).as("n_clip_lo"),
+          sum(col("is_hi")).as("n_clip_hi"),
+          (sum(col("clip").cast(DecimalType(24, 6))).cast(DoubleType) /
+            count(lit(1)).cast(DoubleType)).as("robust_mean"),
+          first(col("lo_r")).as("lo_r"), first(col("hi_r")).as("hi_r"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH b AS (SELECT l_returnflag,
+           |    round(quantile_cont(l_extendedprice, 0.05), 6) AS lo_r,
+           |    round(quantile_cont(l_extendedprice, 0.95), 6) AS hi_r
+           |  FROM lineitem GROUP BY l_returnflag)
+           |SELECT l.l_returnflag, COUNT(*) AS n,
+           |  CAST(SUM(CASE WHEN l_extendedprice < lo_r THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+           |  CAST(SUM(CASE WHEN l_extendedprice > hi_r THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+           |  CAST(SUM(CAST(LEAST(GREATEST(l_extendedprice, lo_r), hi_r) AS DECIMAL(24,6))) AS DOUBLE)
+           |    / COUNT(*) AS robust_mean,
+           |  ANY_VALUE(lo_r) AS lo_r, ANY_VALUE(hi_r) AS hi_r
+           |FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
+           |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     j01LeftOuter, j02FullOuter, f01StringFuncs, f02DateFuncs,
     f03ConditionalAgg, w04RankNtile, f04Quartiles,
-    w07RangeFrame, w08ValueWindows, f07ArrayHof, f08UnicodeNormalize)
+    w07RangeFrame, w08ValueWindows, f07ArrayHof, f08UnicodeNormalize,
+    f09WinsorizedStats)
 }
