@@ -199,8 +199,14 @@ object Plans {
     // winsorized stats: the per-group bound table joins back by
     // BROADCAST (corpus rows never shuffle to learn their bounds);
     // no window anywhere
-    Check("f09_winsorized_stats", Seq("BroadcastHashJoin", "HashAggregate"),
-      wantNone = Seq("Window")))
+    Check("f09_winsorized_stats",
+      Seq("BroadcastHashJoin", "HashAggregate"),
+      wantNone = Seq("Window")),
+    // forward as-of composes from union + a value-range window — there
+    // is NO join node anywhere in the plan (the point of the shape:
+    // one key shuffle, no per-row point-in-time subquery)
+    Check("aj02_asof_forward", Seq("Window", "RangeFrame"),
+      wantNone = Seq("Join")))
 
   /** All failed assertions for a session (empty = every pin holds);
     * shared by the CLI main below and PlanSpec so the pins run under

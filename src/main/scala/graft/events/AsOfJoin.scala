@@ -26,7 +26,23 @@ object AsOfJoin {
     * get nulls (left-outer as-of semantics). Equal timestamps match
     * (<=), consistent with DuckDB ASOF JOIN's `l.t >= r.t`. */
   def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
-           leftTime: String, rightTime: String): DataFrame = {
+           leftTime: String, rightTime: String): DataFrame =
+    joined(left, right, keys, leftTime, rightTime, forward = false)
+
+  /** FORWARD as-of: the EARLIEST right row with rightTime >= leftTime —
+    * "time to next event" lookups (signup → first purchase). Mirror
+    * frame of [[asof]]: currentRow..unboundedFollowing with
+    * first(ignoreNulls). Deterministic at equal instants for the same
+    * reason as backward: at most one right row per (key, t) after the
+    * caller's dedup, and left rows carry a null payload that
+    * first(ignoreNulls) skips regardless of peer order. */
+  def asofForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  leftTime: String, rightTime: String): DataFrame =
+    joined(left, right, keys, leftTime, rightTime, forward = true)
+
+  private def joined(left: DataFrame, right: DataFrame, keys: Seq[String],
+                     leftTime: String, rightTime: String,
+                     forward: Boolean): DataFrame = {
     val rightPayloadCols = right.columns.filterNot(c => keys.contains(c))
     val payload = struct(rightPayloadCols.map(col).toIndexedSeq: _*)
 
@@ -43,14 +59,19 @@ object AsOfJoin {
       lit(null).cast(taggedLeft.schema("__left_row").dataType))
       .unionByName(taggedLeft)
 
-    // RANGE frame to current time value: rows with equal __t are all in
-    // frame regardless of union order → right rows at the same instant
-    // are visible to left rows at that instant (the <= contract).
-    val w = Window.partitionBy(keys.map(col).toIndexedSeq: _*)
-      .orderBy(col("__t"))
-      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = unioned.withColumn("__asof",
-      last(col("__payload"), ignoreNulls = true).over(w))
+    // RANGE frame to/from the current time value: rows with equal __t
+    // are all in frame regardless of union order → right rows at the
+    // same instant are visible to left rows at that instant (the
+    // <= / >= contract in either direction).
+    val w0 = Window.partitionBy(keys.map(col).toIndexedSeq: _*).orderBy(col("__t"))
+    val (w, pick) =
+      if (forward)
+        (w0.rangeBetween(Window.currentRow, Window.unboundedFollowing),
+          first(col("__payload"), ignoreNulls = true))
+      else
+        (w0.rangeBetween(Window.unboundedPreceding, Window.currentRow),
+          last(col("__payload"), ignoreNulls = true))
+    val carried = unioned.withColumn("__asof", pick.over(w))
 
     val leftCols = left.columns.map(c => col("__left_row").getField(c).as(c))
     val rightCols = rightPayloadCols.map(c =>

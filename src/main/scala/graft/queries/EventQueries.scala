@@ -83,6 +83,30 @@ object EventQueries {
            |FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
            |ORDER BY p.event_id""".stripMargin))
 
+  /** FORWARD as-of join: each signup gets the user's FIRST purchase at
+    * or after it — the "time to convert" lookup, aj01's mirror. Oracle
+    * uses DuckDB's native ASOF with the <= direction; the engine's
+    * union + forward-range-frame window must match row-for-row. */
+  val aj02AsOfForward = QueryDef("aj02_asof_forward",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val signups = ev.filter(col("event_type") === "signup")
+        .select("event_id", "user_id", "ts")
+      val purchases = graft.etl.Dedup.firstOccurrenceWins(
+        ev.filter(col("event_type") === "purchase"), Seq("user_id", "ts"), "event_id")
+        .select("user_id", "ts", "value")
+      graft.events.AsOfJoin.asofForward(signups, purchases, Seq("user_id"), "ts", "ts")
+        .orderBy("event_id")
+    },
+    Some("""WITH p AS (
+           |  SELECT user_id, ts, value FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+           |    FROM events WHERE event_type = 'purchase') t WHERE rn = 1),
+           |s AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup')
+           |SELECT s.event_id, s.user_id, s.ts, p.ts AS right_ts, p.value AS right_value
+           |FROM s ASOF LEFT JOIN p ON s.user_id = p.user_id AND s.ts <= p.ts
+           |ORDER BY s.event_id""".stripMargin))
+
   /** Band join: error events from DIFFERENT users within 10 minutes of
     * each other (co-occurring incidents) — a no-equi-key proximity join
     * done via eps-bucketing (graft.events.BandJoin), not a quadratic
@@ -219,5 +243,6 @@ object EventQueries {
            |GROUP BY a.o_orderkey ORDER BY a.o_orderkey""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(s01SessionCounts, s02SessionWindow, s03DailyByType,
-    aj01AsOf, bj01BandJoin, ov01IntervalOverlap, ts01GapFill, fn01Funnel)
+    aj01AsOf, aj02AsOfForward, bj01BandJoin, ov01IntervalOverlap, ts01GapFill,
+    fn01Funnel)
 }

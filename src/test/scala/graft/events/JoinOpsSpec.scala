@@ -57,6 +57,23 @@ class JoinOpsSpec extends SparkSpec {
     assert(got == brute)
   }
 
+  test("asof forward: earliest at-or-after right; earlier rights never match") {
+    val left = Seq(
+      (1L, "u1", ts("2024-01-01 10:00:00")),
+      (2L, "u1", ts("2024-01-01 12:00:00")),
+      (3L, "u2", ts("2024-01-01 10:00:00"))).toDF("id", "k", "t")
+    val right = Seq(
+      ("u1", ts("2024-01-01 09:00:00"), 1.0),  // before both → never matches
+      ("u1", ts("2024-01-01 10:00:00"), 2.0),  // equal instant → matches id 1
+      ("u1", ts("2024-01-01 11:00:00"), 3.0))  // skipped by id 1, too early for id 2
+      .toDF("k", "t", "v")
+    val got = AsOfJoin.asofForward(left, right, Seq("k"), "t", "t")
+      .select("id", "right_v").as[(Long, Option[Double])].collect().toMap
+    assert(got(1L).contains(2.0))   // equal timestamps match (>= semantics)
+    assert(got(2L).isEmpty)         // nothing at or after 12:00
+    assert(got(3L).isEmpty)         // key isolation
+  }
+
   test("interval overlap: brute-force parity, touching endpoints, emit-once") {
     val rnd = new scala.util.Random(7)
     val as = (1 to 80).map(i => (i.toLong, {
