@@ -92,5 +92,39 @@ object GraphQueries {
          |SELECT id, pr FROM r6 ORDER BY pr DESC, id LIMIT 20""".stripMargin
     })
 
-  val all: Seq[QueryDef] = Seq(pr01PageRank)
+  /** TRIANGLE COUNTING over the part co-purchase graph (parts sharing
+    * an order — the market-basket affinity graph; ~1.2M edges on 20k
+    * nodes at sf0.1). Engine side enumerates via DEGREE-ORDERED
+    * orientation ([[graft.graph.Triangles]]): wedge work is bounded by
+    * Σ C(outdeg, 2) with outdeg ≤ O(√m), the structural fix for
+    * heavy-tail hubs. The oracle is deliberately a DIFFERENT
+    * enumeration — the naive u<v<w triple self-join — so parity checks
+    * the triangle SET, not the scheme: per-node participation counts
+    * are identical whichever node each scheme picks as apex. */
+  val tc01Triangles = QueryDef("tc01_triangle_count",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey").as("ok"),
+        col("l_partkey").as("pk"))
+      // co-occurrence within an order: pair fanout is C(items, 2) with
+      // items bounded (≤7 in TPC-H shape) — the self-join is an
+      // equi-join on ok, NOT a cross join; already canonical via <
+      val e = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct()
+      graft.graph.Triangles.perNode(e)
+        .orderBy(col("n_tri").desc, col("id"))
+        .limit(20)
+    },
+    Some("""WITH e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+           |           FROM lineitem x JOIN lineitem y
+           |           ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+           |tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+           |        FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+           |        JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+           |m AS (SELECT u AS id FROM tri UNION ALL SELECT v FROM tri
+           |      UNION ALL SELECT w FROM tri)
+           |SELECT id, COUNT(*) AS n_tri FROM m GROUP BY id
+           |ORDER BY n_tri DESC, id LIMIT 20""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(pr01PageRank, tc01Triangles)
 }
