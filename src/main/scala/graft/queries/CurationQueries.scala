@@ -145,7 +145,38 @@ object CurationQueries {
       .orderBy("pos"),
     sh01GlobalShuffle.oracle)
 
+  /** Per-source TOTAL VARIATION distance from the corpus token
+    * distribution ([[graft.text.DomainDrift]]) — the lexical-drift
+    * health check per dump/source. TV instead of KL keeps the whole
+    * metric in integer arithmetic (½ Σ |c·G − g·N| / (N·G), decimal
+    * products, no libm log) so both engines land the IDENTICAL double.
+    * The zero-count closed form (G − Σ_{t∈s} g_t)·N makes the
+    * missing-token mass a per-group scalar instead of a vocab-wide
+    * outer join. */
+  val mx02DomainTv = QueryDef("mx02_domain_tv",
+    (s, d) => graft.text.DomainDrift.totalVariation(
+      Tables.documents(s, d), "source")
+      .select(col("grp").as("source"), col("n_tokens"), col("tv"))
+      .orderBy("source"),
+    Some("""WITH tok AS (SELECT source,
+           |    unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+           |  FROM documents),
+           |st AS (SELECT source, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+           |gt AS (SELECT t, SUM(c) AS g FROM st GROUP BY 1),
+           |ns AS (SELECT source, SUM(c) AS n FROM st GROUP BY 1),
+           |gg AS (SELECT SUM(n) AS bigg FROM ns),
+           |f AS (SELECT st.source, ns.n, gg.bigg,
+           |        SUM(ABS(CAST(st.c AS HUGEINT) * gg.bigg
+           |                - CAST(gt.g AS HUGEINT) * ns.n)) AS sdev,
+           |        SUM(gt.g) AS gseen
+           |      FROM st JOIN gt USING (t) JOIN ns USING (source)
+           |      CROSS JOIN gg GROUP BY 1, 2, 3)
+           |SELECT source, CAST(n AS BIGINT) AS n_tokens,
+           |  CAST(sdev + CAST(bigg - gseen AS HUGEINT) * n AS DOUBLE)
+           |    / (2.0 * CAST(n AS DOUBLE) * CAST(bigg AS DOUBLE)) AS tv
+           |FROM f ORDER BY source""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(rp01RepetitionStats, qf01QualityStratumFilter,
-    qf02QualityStratumApprox, mx01DomainMix, sh01GlobalShuffle,
+    qf02QualityStratumApprox, mx01DomainMix, mx02DomainTv, sh01GlobalShuffle,
     sh02GlobalShuffleWide)
 }

@@ -794,6 +794,91 @@ object TextQueries {
            |  lang, COUNT(*) AS n
            |FROM documents GROUP BY 1, 2 ORDER BY fold, lang""".stripMargin))
 
+  /** LEAKAGE-SAFE k-fold split: fold membership decided per NEAR-DUP
+    * CLUSTER, not per document — the fix for the classic evaluation
+    * contamination where a training doc's near-duplicate lands in the
+    * test fold and inflates the score. Composition: exact prefix-
+    * filtered Jaccard edges (τ = 4/5, [[graft.text.TextDedup
+    * .prefixJaccardPairs]]) → large-star/small-star connected
+    * components → portable md5 fold hash of the cluster REPRESENTATIVE
+    * (same bucket recipe as sm03), so every member of a cluster lands
+    * in the representative's fold by construction. The oracle rebuilds
+    * the clusters with a recursive-CTE closure over the quadratic
+    * ground-truth edge set and applies the identical md5 — the full
+    * doc→(cluster, fold) mapping matches row-for-row.
+    *
+    * Same doc_id%5 probe scope as fz02, and for the same measured
+    * reason: this corpus's near-dup clusters make any all-pairs edge
+    * set Θ(Σ cluster²). At corpus scale the edge set feeding the
+    * split would come from the star-contraction dedup pass (dd06's
+    * O(cluster) edges), with this exact-join variant as the auditing
+    * tool on probes. */
+  val sm04LeakageSafeSplit = QueryDef("sm04_leakage_safe_split",
+    (s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+      val edges = TextDedup.prefixJaccardPairs(docs, num = 4, den = 5)
+        .select("id1", "id2")
+      val clusters = graft.graph.ConnectedComponents.runStars(
+        docs.select(col("doc_id").as("id")), edges)
+      graft.etl.Sampling.kFold(clusters, "cluster_id", k = 5, portable = true)
+        .select(col("id").as("doc_id"), col("cluster_id"), col("fold"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH RECURSIVE
+           |tok AS (SELECT doc_id,
+           |    unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS t
+           |  FROM documents WHERE doc_id % 5 = 0),
+           |sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+           |i AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
+           |      FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+           |      GROUP BY 1, 2),
+           |p AS (SELECT id1, id2
+           |      FROM i JOIN sz n1 ON id1 = n1.doc_id JOIN sz n2 ON id2 = n2.doc_id
+           |      WHERE 5 * inter >= 4 * (n1.n + n2.n - inter)),
+           |bi(a, b) AS (SELECT id1, id2 FROM p UNION SELECT id2, id1 FROM p),
+           |walk(id, l) AS (SELECT doc_id, doc_id FROM documents
+           |  WHERE doc_id % 5 = 0
+           |  UNION SELECT bi.b, walk.l FROM walk JOIN bi ON bi.a = walk.id),
+           |lbl AS (SELECT id AS doc_id, MIN(l) AS cluster_id FROM walk GROUP BY id)
+           |SELECT doc_id, cluster_id,
+           |  ('0x' || substr(md5('graft' || CAST(cluster_id AS VARCHAR)), 1, 15))::UBIGINT
+           |    % 5 AS fold
+           |FROM lbl ORDER BY doc_id""".stripMargin))
+
+  /** REPEATED-SPAN detection: 8-token windows occurring in ≥2 distinct
+    * documents — the span-level exact-substring signal of Lee et al.
+    * "Deduplicating Training Data Makes Language Models Better"
+    * (memorization comes from repeated SPANS, which doc-level dedup
+    * misses: boilerplate, licenses, templates). Window generation is a
+    * row-local array HOF in the scan projection (no join to build
+    * n-grams); one gram-keyed aggregate does the corpus-wide counting.
+    * At 100 TB the same plan runs over 64-bit rolling-hash grams
+    * (x14/dd07's trick) instead of span strings — strings here keep
+    * the oracle comparison human-readable. */
+  val ds01DupSpans = QueryDef("ds01_dup_spans",
+    (s, d) => {
+      val toks = TextFunctions.tokens(col("text"))
+      val spans = Tables.documents(s, d).select(col("doc_id"),
+        explode(when(size(toks) >= 8,
+          transform(sequence(lit(1), size(toks) - 7),
+            i => concat_ws(" ", slice(toks, i, lit(8)))))
+          .otherwise(array().cast("array<string>"))).as("span"))
+      spans.groupBy("span").agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("n_occ").desc, col("span"))
+        .limit(20)
+    },
+    Some("""WITH t AS (SELECT doc_id,
+           |    regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+           |p AS (SELECT doc_id, toks,
+           |    unnest(range(1, greatest(len(toks) - 6, 1))) AS i FROM t),
+           |g AS (SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS span FROM p)
+           |SELECT span, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
+           |FROM g GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+           |ORDER BY n_docs DESC, n_occ DESC, span LIMIT 20""".stripMargin))
+
   /** Systematic PPS weighted sampling: 5 docs per language, inclusion
     * probability proportional to n_chars ("sample documents by token
     * mass" — the weighted-mixture sampler). Fully deterministic
@@ -957,7 +1042,7 @@ object TextQueries {
   val all: Seq[QueryDef] = Seq(
     x10TokenStats, x11QualityScore, x12LangId, x13Fingerprint, x14RollingHash,
     x15BpeTokens, x16Utf8Bytes, sm01TrainTestSplit, sm02StratifiedSample,
-    sm03KFold, ws01PpsSample,
+    sm03KFold, sm04LeakageSafeSplit, ws01PpsSample, ds01DupSpans,
     cp01CorpusCuration, cp02CurationPipeline,
     dd01ExactGroups, dd02ExactKept, dd03Jaccard, dd04MinHash, dd05SimHash,
     dd07HashedJaccard, dd08MinHashRecall, dc01Decontamination,

@@ -95,6 +95,76 @@ object TextDedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** EXACT token-set Jaccard pairs ≥ num/den via PREFIX FILTERING
+    * (Chaudhuri/Ganti/Kaushik "A Primitive Operator for Similarity
+    * Joins", ICDE'06; Xiao et al. PPJoin) — the sub-quadratic path to
+    * EXACT set-similarity, vs [[jaccardPairs]]'s any-shared-element
+    * candidate join and MinHash's approximate one.
+    *
+    * Principle: order the token universe by (document frequency, token)
+    * — rarest first — and keep only each set's first
+    * n − ⌈τ·n⌉ + 1 tokens as its "prefix". If J(A,B) ≥ τ then
+    * |A∩B| ≥ ⌈τ·max(|A|,|B|)⌉, and the MINIMAL common token under the
+    * global order must sit inside BOTH prefixes (if it sat outside A's
+    * prefix, all common tokens would fit in A's ⌈τ|A|⌉−1-sized suffix —
+    * too few). So joining on prefix tokens alone loses nothing, while
+    * candidate generation is driven by RARE tokens only: the frequent
+    * tokens that make the naive join quadratic never leave the suffix.
+    *
+    * The threshold is a RATIONAL num/den and the prefix length is
+    * computed in integer arithmetic — ⌈(num/den)·n⌉ as
+    * (num·n + den − 1) div den — because double rounding
+    * (0.8·35 = 28.000000000000004 → ceil 29) would silently shorten a
+    * prefix and drop true pairs.
+    *
+    * Plan shape at 100 TB: tokenize + df-count (one agg), per-doc rank
+    * window (partitioned by doc — small partitions), prefix self-join
+    * keyed by RARE tokens (bounded fanout by construction), then exact
+    * verification joins that touch only candidate×doc-size rows. The
+    * final ≥-filter cross-multiplies integers (den·inter ≥ num·union):
+    * no float enters the decision.
+    *
+    * @return (id1, id2, inter, uni, jaccard) with id1 < id2, exact. */
+  def prefixJaccardPairs(docs: DataFrame, num: Int, den: Int,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    require(num > 0 && num <= den, "threshold must be in (0, 1]")
+    // distinct tokens per doc; feeds df-count, prefixes, and both
+    // verification sides — one materialization
+    val tok = docs.select(col(idCol).as("id"),
+        explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfc = tok.groupBy("t").agg(count(lit(1)).as("df"))
+    val ranked = tok.join(dfc, "t")
+      .withColumn("r", row_number().over(
+        Window.partitionBy("id").orderBy(col("df"), col("t"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("id")))
+    // prefix length n − ⌈τn⌉ + 1, integer-exact
+    val prefix = ranked.filter(
+        col("r") <= col("n") - expr(s"($num * n + ${den - 1}) div $den") + lit(1))
+      .select(col("id"), col("t"), col("n"))
+    // candidates: a shared PREFIX token + the length condition
+    // (den·min(n1,n2) ≥ num·max — sizes too far apart can't reach τ)
+    val cand = prefix.as("p1").join(prefix.as("p2"),
+        col("p1.t") === col("p2.t") && col("p1.id") < col("p2.id") &&
+          lit(den) * least(col("p1.n"), col("p2.n")) >=
+            lit(num) * greatest(col("p1.n"), col("p2.n")))
+      .select(col("p1.id").as("id1"), col("p2.id").as("id2"),
+        col("p1.n").as("n1"), col("p2.n").as("n2"))
+      .dropDuplicates("id1", "id2")
+    // exact verification: fan candidates out by id1's tokens, keep the
+    // ones id2 also has — |A∩B| — then the integer threshold test
+    val inter = cand
+      .join(tok.select(col("id").as("id1"), col("t")), Seq("id1"))
+      .join(tok.select(col("id").as("id2"), col("t")), Seq("id2", "t"))
+      .groupBy("id1", "id2", "n1", "n2").agg(count(lit(1)).as("inter"))
+    inter
+      .withColumn("uni", col("n1") + col("n2") - col("inter"))
+      .filter(lit(den) * col("inter") >= lit(num) * col("uni"))
+      .select(col("id1"), col("id2"), col("inter"), col("uni"),
+        (col("inter").cast("double") / col("uni")).as("jaccard"))
+  }
+
   /** MinHash signature array per document: tokens → distinct shingle
     * hashes → signature, all row-local compiled passes with no shingle
     * strings ever materialized (see [[ShingleHashesExpr]] and

@@ -31,6 +31,57 @@ class TextDedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("prefix-filtered jaccard matches brute force on random token sets") {
+    val rnd = new scala.util.Random(23)
+    val vocab = (1 to 60).map(i => s"w$i")
+    // clustered sets: a base set per cluster plus small mutations →
+    // plenty of pairs straddling the 2/3 threshold from both sides
+    val bases = (0 until 10).map(_ =>
+      rnd.shuffle(vocab).take(8 + rnd.nextInt(8)).toSet)
+    val sets = (0 until 40).map { i =>
+      val base = bases(i / 4)
+      val mutated =
+        if (i % 4 == 0) base
+        else base -- rnd.shuffle(base.toSeq).take(rnd.nextInt(3)) ++
+          rnd.shuffle(vocab).take(rnd.nextInt(3))
+      (i.toLong, mutated)
+    }
+    val df = sets.map { case (id, s) => (id, s.mkString(" ")) }.toDF("doc_id", "text")
+    val got = TextDedup.prefixJaccardPairs(df, num = 2, den = 3)
+      .select("id1", "id2", "inter", "uni").as[(Long, Long, Long, Long)]
+      .collect().toSet
+    val brute = (for {
+      (i, a) <- sets; (j, b) <- sets if i < j
+      inter = (a & b).size; uni = (a | b).size
+      if 3 * inter >= 2 * uni
+    } yield (i, j, inter.toLong, uni.toLong)).toSet
+    assert(got == brute)
+    assert(brute.nonEmpty)
+  }
+
+  test("prefix length uses integer ceil — no double-rounding pair loss at exact boundaries") {
+    // B ⊂ A with |A| = 35, |B| = |A∩B| = 28: J = 28/35 = 0.8 exactly —
+    // ON the τ = 4/5 boundary (140 ≥ 140 must keep it). A's 7 private
+    // tokens are df-1 (rarest), so the minimal COMMON token ranks 8th
+    // in A: exact ⌈4·35/5⌉ = 28 gives prefix length 8 and keeps the
+    // pair, while float ceil(0.8*35) = ceil(28.000000000000004) = 29
+    // would give 7 and silently lose it.
+    val shared = (21 to 48).map(i => s"c$i")                  // c21..c48
+    val a = (1 to 7).map(i => s"a$i") ++ shared               // |A| = 35
+    val b = shared                                            // |B| = 28
+    // distractors raise df of c31..c48 above the rest so B's prefix
+    // (length 28−⌈4·28/5⌉+1 = 6) is c21..c26 — containing the minimal
+    // common token c21
+    val noise = (0 until 6).map(i =>
+      (10L + i, (31 to 48).map(j => s"c$j").mkString(" ")))
+    val df = (Seq((1L, a.mkString(" ")), (2L, b.mkString(" "))) ++ noise)
+      .toDF("doc_id", "text")
+    val got = TextDedup.prefixJaccardPairs(df, num = 4, den = 5)
+      .filter(col("id1") === 1L && col("id2") === 2L)
+      .select("inter", "uni").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((28L, 35L)))
+  }
+
   test("minhash AllPairs candidates ⊇ high-jaccard pairs, est within 0.35 of exact") {
     val exact = TextDedup.jaccardPairs(docs, k = 3, threshold = 0.6)
       .select("id1", "id2", "jaccard").as[(Long, Long, Double)].collect()
