@@ -206,6 +206,49 @@ object Plans {
     // is NO join node anywhere in the plan (the point of the shape:
     // one key shuffle, no per-row point-in-time subquery)
     Check("aj02_asof_forward", Seq("Window", "RangeFrame"),
+      wantNone = Seq("Join")),
+    // triangle counting: wedge generation and the closing-edge probe
+    // are all EQUI-joins (degree orientation is a projection) — a
+    // nested-loop/cartesian would mean the theta form leaked through
+    Check("tc01_triangle_count", Seq("TakeOrderedAndProject"),
+      wantNone = Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+    // prefix-filtered jaccard: candidates come from the rare-token
+    // prefix EQUI-join; the exact verify joins are hash joins too —
+    // the quadratic ground truth lives only in the oracle
+    Check("fz02_prefix_jaccard", Seq("Window"),
+      wantNone = Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+    // domain TV: one token-keyed equi-join, group table broadcast back,
+    // the corpus total a broadcast scalar — no window, no sort until
+    // the final 20-row ORDER BY
+    Check("mx02_domain_tv",
+      Seq("BroadcastHashJoin", "BroadcastNestedLoopJoin", "HashAggregate"),
+      wantNone = Seq("Window")),
+    // EWMA: ONE shuffle (the groupBy) and an in-group fold — the
+    // sequential recursion must not become a window or a join
+    Check("ts02_ewma", Seq("ObjectHashAggregate"),
+      wantNone = Seq("Join", "Window")),
+    // repeated spans: window generation is a row-local HOF in the scan
+    // projection (Generate), counting is one gram-keyed aggregate with
+    // a TakeOrdered top-k — no join anywhere
+    Check("ds01_dup_spans",
+      Seq("Generate", "HashAggregate", "TakeOrderedAndProject"),
+      wantNone = Seq("Join")),
+    // tolerance as-of keeps the join-free union+window composition —
+    // the staleness test is a post-projection, not a re-join
+    Check("aj03_asof_tolerance", Seq("Window", "RangeFrame"),
+      wantNone = Seq("Join")),
+    // CDC apply: ONE window shuffle keyed by the merge key collapses
+    // the log; no join anywhere in the apply
+    Check("up02_cdc_apply", Seq("Window"),
+      wantNone = Seq("Join")),
+    // MAD outliers: the tiny per-group stats tables join back by
+    // BROADCAST — corpus rows never shuffle to learn their bounds
+    // (same discipline as f09), and no window appears
+    Check("f10_mad_outliers", Seq("BroadcastHashJoin"),
+      wantNone = Seq("Window")),
+    // point-in-time: SCD-2 build + as-of lookup are both window
+    // compositions — the feature-store join ships with NO join node
+    Check("pt01_pointintime_join", Seq("Window", "RangeFrame"),
       wantNone = Seq("Join")))
 
   /** All failed assertions for a session (empty = every pin holds);

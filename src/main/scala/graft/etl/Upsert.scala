@@ -67,4 +67,30 @@ object Upsert {
     existing.alias("e").join(updates0.alias("u"), expr(cond), "full_outer")
       .select(cols: _*)
   }
+
+  /** CDC log application: collapse an insert/update/delete change log
+    * to current state — LATEST entry per key wins (by `seqCol`, ties
+    * broken by op so replays are deterministic), and a winning delete
+    * is a TOMBSTONE that removes the key entirely. The standard
+    * change-capture materialization (Debezium-style I/U/D streams);
+    * one window shuffle keyed by the merge key. At warehouse scale the
+    * log is the small delta — apply it to the base table with
+    * [[upsert]] (updates = winners, anti-join = tombstones).
+    *
+    * @param opCol column holding 'I' | 'U' | 'D'
+    * @param keepTombstones keep the winning delete rows instead of
+    *   dropping them — required when the result is carried forward as
+    *   STATE (incremental/streaming application): without the
+    *   tombstone, a late-arriving lower-seq entry in a later batch
+    *   would wrongly resurrect the key. Read-side filters op != 'D'. */
+  def applyCdc(log: DataFrame, keys: Seq[String], seqCol: String,
+               opCol: String, keepTombstones: Boolean = false): DataFrame = {
+    require(keys.nonEmpty)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(seqCol).desc, col(opCol).desc)
+    val winners = log.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    if (keepTombstones) winners else winners.filter(col(opCol) =!= "D")
+  }
 }

@@ -79,4 +79,22 @@ object AsOfJoin {
     carried.filter(col("__is_right") === 0)
       .select((leftCols ++ rightCols).toIndexedSeq: _*)
   }
+
+  /** Backward as-of with a TOLERANCE bound (pandas merge_asof's
+    * `tolerance`): the latest right row at-or-before leftTime still
+    * matches only if it is no older than `tolerance`; staler matches
+    * degrade to the no-match (all-null payload) case. A post-projection
+    * over [[asof]] — the window composition is unchanged, so the plan
+    * stays join-free; the timestamp difference compares as an INTERVAL
+    * (exact integer µs arithmetic, no float epoch). */
+  def asofWithin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 leftTime: String, rightTime: String,
+                 tolerance: Column): DataFrame = {
+    val base = asof(left, right, keys, leftTime, rightTime)
+    val rt = s"right_$rightTime"
+    val ok = col(rt).isNotNull && (col(leftTime) - col(rt)) <= tolerance
+    val rightOut = right.columns.filterNot(keys.contains).map(c =>
+      when(ok, col(s"right_$c")).otherwise(lit(null)).as(s"right_$c"))
+    base.select(left.columns.map(col) ++ rightOut: _*)
+  }
 }

@@ -309,9 +309,45 @@ object BreadthQueries {
            |FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
            |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin))
 
+  /** MEDIAN-ABSOLUTE-DEVIATION robust outlier detection per group —
+    * the f09 (winsorize) sibling for DETECTION rather than clipping:
+    * med = median(x), MAD = median(|x − med|), outlier ⟺
+    * |x − med| > 3·MAD. On integer quantities every value in play is a
+    * dyadic rational (medians interpolate as (a+b)/2, deviations step
+    * by 0.5), so the whole pipeline is EXACT double arithmetic in both
+    * engines — no rounding recipe needed, unlike f09's 0.05/0.95
+    * non-binary fractions. Two aggregate passes + broadcast joins of
+    * the 3-row stats tables; corpus rows never shuffle. */
+  val f10MadOutliers = QueryDef("f10_mad_outliers",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("g"), col("l_quantity").as("x"))
+      val med = li.groupBy("g").agg(expr("percentile(x, 0.5)").as("med"))
+      val dev = li.join(broadcast(med), "g")
+        .withColumn("ad", abs(col("x") - col("med")))
+      val mad = dev.groupBy("g", "med")
+        .agg(expr("percentile(ad, 0.5)").as("mad"))
+      dev.select("g", "ad").join(broadcast(mad), "g")
+        .groupBy("g", "med", "mad").agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("ad") > lit(3d) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy("g")
+    },
+    Some("""WITH med AS (SELECT l_returnflag AS g,
+           |    quantile_cont(l_quantity, 0.5) AS med FROM lineitem GROUP BY 1),
+           |d AS (SELECT g, med, ABS(l_quantity - med) AS ad
+           |      FROM lineitem JOIN med ON l_returnflag = g),
+           |m AS (SELECT g, med, quantile_cont(ad, 0.5) AS mad
+           |      FROM d GROUP BY 1, 2)
+           |SELECT d.g, m.med, m.mad, COUNT(*) AS n_rows,
+           |  CAST(SUM(CASE WHEN d.ad > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_outliers
+           |FROM d JOIN m ON d.g = m.g GROUP BY 1, 2, 3 ORDER BY d.g""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     j01LeftOuter, j02FullOuter, f01StringFuncs, f02DateFuncs,
     f03ConditionalAgg, w04RankNtile, f04Quartiles,
     w07RangeFrame, w08ValueWindows, f07ArrayHof, f08UnicodeNormalize,
-    f09WinsorizedStats)
+    f09WinsorizedStats, f10MadOutliers)
 }

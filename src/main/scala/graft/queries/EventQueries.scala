@@ -3,7 +3,7 @@ package graft.queries
 import graft.{QueryDef, Tables}
 import graft.events.Sessions
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Sessionization and event-stream analytics (batch form; the streaming
   * form shares operators via graft.streaming). Gap rule: 30 minutes. */
@@ -107,6 +107,77 @@ object EventQueries {
            |FROM s ASOF LEFT JOIN p ON s.user_id = p.user_id AND s.ts <= p.ts
            |ORDER BY s.event_id""".stripMargin))
 
+  /** As-of join with a TOLERANCE bound (pandas merge_asof
+    * `tolerance`): aj01's attribution lookup, but a signup older than
+    * 1 day no longer claims the purchase — the match degrades to the
+    * null (no-attribution) branch. Same join-free window composition;
+    * the staleness test compares timestamps as INTERVALs (exact µs
+    * integer arithmetic — no float epoch to drift). */
+  val aj03AsOfTolerance = QueryDef("aj03_asof_tolerance",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val signups = graft.etl.Dedup.firstOccurrenceWins(
+        ev.filter(col("event_type") === "signup"), Seq("user_id", "ts"), "event_id")
+        .select("user_id", "ts", "value")
+      graft.events.AsOfJoin.asofWithin(purchases, signups, Seq("user_id"),
+        "ts", "ts", expr("INTERVAL '1' DAY"))
+        .orderBy("event_id")
+    },
+    Some("""WITH s AS (
+           |  SELECT user_id, ts, value FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+           |    FROM events WHERE event_type = 'signup') t WHERE rn = 1),
+           |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+           |SELECT p.event_id, p.user_id, p.ts,
+           |  CASE WHEN p.ts - s.ts <= INTERVAL 1 DAY THEN s.ts END AS right_ts,
+           |  CASE WHEN p.ts - s.ts <= INTERVAL 1 DAY THEN s.value END AS right_value
+           |FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+           |ORDER BY p.event_id""".stripMargin))
+
+  /** POINT-IN-TIME JOIN (the feature-store lookup): each purchase is
+    * joined to the user's state AS OF the purchase instant, where
+    * state is the SCD-2 interval history built from a sparse change
+    * log ([[graft.etl.Upsert.scd2]]). Using the latest valid_from ≤ ts
+    * (the as-of composition, join-free) is point-in-time CORRECT by
+    * the interval construction — valid_to is the next change's
+    * valid_from, so the picked row's interval always covers ts. This
+    * is the leakage-safe alternative to joining "current" state onto
+    * historical facts. The oracle is the INDEPENDENT interval
+    * formulation — an explicit valid_from ≤ ts < valid_to theta join —
+    * so parity proves the as-of shortcut equals interval semantics. */
+  val pt01PointInTime = QueryDef("pt01_pointintime_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val log = graft.etl.Dedup.firstOccurrenceWins(
+        ev.filter(col("event_id") % 7 === 0), Seq("user_id", "ts"), "event_id")
+        .select("user_id", "ts", "event_type")
+      val hist = graft.etl.Upsert.scd2(log, Seq("user_id"), "ts")
+        .select(col("user_id"), col("valid_from"), col("event_type"))
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      graft.events.AsOfJoin.asof(facts, hist, Seq("user_id"),
+        "ts", "valid_from")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("right_event_type").as("state"))
+        .orderBy("event_id")
+    },
+    Some("""WITH log AS (
+           |  SELECT user_id, ts, event_type FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+           |    FROM events WHERE event_id % 7 = 0) t WHERE rn = 1),
+           |h AS (SELECT user_id, event_type, ts AS valid_from,
+           |        LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+           |      FROM log),
+           |p AS (SELECT event_id, user_id, ts FROM events
+           |      WHERE event_type = 'purchase')
+           |SELECT p.event_id, p.user_id, p.ts, h.event_type AS state
+           |FROM p LEFT JOIN h ON p.user_id = h.user_id
+           |  AND h.valid_from <= p.ts
+           |  AND (h.valid_to IS NULL OR p.ts < h.valid_to)
+           |ORDER BY p.event_id""".stripMargin))
+
   /** Band join: error events from DIFFERENT users within 10 minutes of
     * each other (co-occurring incidents) — a no-equi-key proximity join
     * done via eps-bucketing (graft.events.BandJoin), not a quadratic
@@ -159,6 +230,32 @@ object EventQueries {
            |       FROM orders WHERE o_custkey % 500 = 0 GROUP BY 1)
            |SELECT cal.week, COALESCE(wk.n_orders, 0) AS n_orders
            |FROM cal LEFT JOIN wk USING (week) ORDER BY week""".stripMargin))
+
+  /** Integer-quantized EWMA (α = 1/4) of event values per user —
+    * [[graft.events.Ewma]]'s sequential fold, grouped-and-ordered by
+    * (ts, event_id). The oracle replays the identical integer
+    * recursion with DuckDB's list_reduce and `//`: quantization makes
+    * an inherently order-sensitive recursion bit-portable. */
+  val ts02Ewma = QueryDef("ts02_ewma",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"),
+        col("event_id"),
+        floor(col("value") * lit(1e6)).cast(LongType).as("xq"))
+      graft.events.Ewma.quantized(ev, "user_id", Seq("ts", "event_id"),
+        "xq", num = 1, den = 4)
+        .select(col("user_id"), col("n_events"), col("ewma_q"),
+          (col("ewma_q").cast(DoubleType) / lit(1e6)).as("ewma"))
+        .orderBy("user_id")
+    },
+    Some("""WITH q AS (SELECT user_id, ts, event_id,
+           |    CAST(FLOOR(value * 1000000.0) AS BIGINT) AS xq FROM events),
+           |f AS (SELECT user_id, COUNT(*) AS n_events,
+           |    list_reduce(list(xq ORDER BY ts, event_id),
+           |      (acc, x) -> (x * 1 + acc * 3) // 4) AS ewma_q
+           |  FROM q GROUP BY 1)
+           |SELECT user_id, n_events, ewma_q,
+           |  CAST(ewma_q AS DOUBLE) / 1000000.0 AS ewma
+           |FROM f ORDER BY user_id""".stripMargin))
 
   /** Funnel conversion: per user, first signup → first purchase AT OR
     * AFTER it; conversion split by whether it happened within 7 days.
@@ -243,6 +340,6 @@ object EventQueries {
            |GROUP BY a.o_orderkey ORDER BY a.o_orderkey""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(s01SessionCounts, s02SessionWindow, s03DailyByType,
-    aj01AsOf, aj02AsOfForward, bj01BandJoin, ov01IntervalOverlap, ts01GapFill,
-    fn01Funnel)
+    aj01AsOf, aj02AsOfForward, aj03AsOfTolerance, pt01PointInTime,
+    bj01BandJoin, ov01IntervalOverlap, ts01GapFill, ts02Ewma, fn01Funnel)
 }

@@ -121,6 +121,99 @@ object PipelineQueries {
            |WHERE levenshtein(a.s_name, b.s_name) <= 1
            |ORDER BY id1, id2""".stripMargin))
 
+  /** DATA-QUALITY EXPECTATION SUITE (the Deequ/Great-Expectations
+    * shape): N declared constraints verified in ONE scan — every
+    * row-level expectation is a conditional counter in a single
+    * aggregate (no per-check pass over the data), then `stack`
+    * unpivots the counter row into one result row per expectation.
+    * Referential expectations (ship-after-order, FK resolution) add
+    * their joins as separate branches unioned in. At 100 TB the
+    * row-level block is why this is cheap: 4 checks cost exactly one
+    * table scan, and adding a 5th is free. */
+  val qc01Expectations = QueryDef("qc01_expectations",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val ord = Tables.orders(s, d)
+      val rowLevel = li.agg(
+        sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("v1"),
+        sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("v2"),
+        sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L)
+          .otherwise(0L)).as("v3"),
+        sum(when(col("l_extendedprice") <= 0, 1L).otherwise(0L)).as("v4"))
+        .selectExpr("""stack(4,
+          'lineitem_quantity_not_null', v1,
+          'lineitem_quantity_positive', v2,
+          'lineitem_discount_unit_range', v3,
+          'lineitem_price_positive', v4) as (expectation, n_violations)""")
+      val shipLate = li
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .agg(sum(when(col("l_shipdate") < col("o_orderdate"), 1L)
+          .otherwise(0L)).as("n"))
+        .select(lit("lineitem_ship_after_order").as("expectation"),
+          col("n").as("n_violations"))
+      val orphans = li
+        .join(ord, col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+        .select(lit("lineitem_orderkey_resolves").as("expectation"),
+          col("n").as("n_violations"))
+      rowLevel.unionByName(shipLate).unionByName(orphans)
+        .withColumn("pass", col("n_violations") === 0L)
+        .orderBy("expectation")
+    },
+    Some("""WITH r AS (SELECT
+           |    SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS v1,
+           |    SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS v2,
+           |    SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS v3,
+           |    SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS v4
+           |  FROM lineitem),
+           |u AS (
+           |  SELECT 'lineitem_quantity_not_null' AS expectation,
+           |         CAST(v1 AS BIGINT) AS n_violations FROM r
+           |  UNION ALL SELECT 'lineitem_quantity_positive', CAST(v2 AS BIGINT) FROM r
+           |  UNION ALL SELECT 'lineitem_discount_unit_range', CAST(v3 AS BIGINT) FROM r
+           |  UNION ALL SELECT 'lineitem_price_positive', CAST(v4 AS BIGINT) FROM r
+           |  UNION ALL SELECT 'lineitem_ship_after_order',
+           |    CAST((SELECT SUM(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END)
+           |          FROM lineitem JOIN orders ON l_orderkey = o_orderkey) AS BIGINT)
+           |  UNION ALL SELECT 'lineitem_orderkey_resolves',
+           |    CAST((SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN
+           |          (SELECT o_orderkey FROM orders)) AS BIGINT))
+           |SELECT expectation, n_violations, n_violations = 0 AS pass
+           |FROM u ORDER BY expectation""".stripMargin))
+
+  /** PREFIX-FILTERED exact token-set Jaccard join at τ = 4/5: the
+    * sub-quadratic path to EXACT set similarity
+    * ([[graft.text.TextDedup.prefixJaccardPairs]] — candidates only
+    * from rare-token prefixes of length n − ⌈τn⌉ + 1, then integer
+    * cross-multiplied verification). The oracle is again the QUADRATIC
+    * ground truth — a plain any-shared-token join with the same
+    * integer threshold — so a hash match proves the prefix filter
+    * loses no pair, which is its entire correctness claim.
+    *
+    * Runs on the doc_id%5 probe subset (the dd06 convention): this
+    * corpus is engineered near-dup-HEAVY (at sf0.1, 2.97M of 12.5M
+    * doc pairs exceed τ — measured), and an ALL-PAIRS similarity join
+    * is output-bound by Θ(Σ cluster²) no matter the algorithm. The
+    * 100 TB posture: the exact join is a probe/shard tool; corpus-wide
+    * dedup goes through star contraction (dd06/sd01), which is linear
+    * in cluster size. */
+  val fz02PrefixJaccard = QueryDef("fz02_prefix_jaccard",
+    (s, d) => graft.text.TextDedup.prefixJaccardPairs(
+      Tables.documents(s, d).filter(col("doc_id") % 5 === 0), num = 4, den = 5)
+      .orderBy("id1", "id2"),
+    Some("""WITH tok AS (SELECT doc_id,
+           |    unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS t
+           |  FROM documents WHERE doc_id % 5 = 0),
+           |sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+           |i AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
+           |      FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+           |      GROUP BY 1, 2)
+           |SELECT id1, id2, inter, n1.n + n2.n - inter AS uni,
+           |  CAST(inter AS DOUBLE) / (n1.n + n2.n - inter) AS jaccard
+           |FROM i JOIN sz n1 ON id1 = n1.doc_id JOIN sz n2 ON id2 = n2.doc_id
+           |WHERE 5 * inter >= 4 * (n1.n + n2.n - inter)
+           |ORDER BY id1, id2""".stripMargin))
+
   /** Misra-Gries frequent tokens per language. k=64 exceeds the
     * per-lang vocabulary, so the summary runs in its exact-recovery
     * regime (zero decrements) and equals a plain GROUP BY — which is
@@ -289,6 +382,7 @@ object PipelineQueries {
             |ORDER BY bm25_r DESC, doc_id LIMIT 10""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(ck01DocChunks, pk01SequencePacking, vc01VocabTopK,
-    tx01TfIdfTopTerms, tx02Bm25, fz01FuzzyPairs, fq01FreqTokens, fq02CmsTokens,
-    co01TokenPmi)
+    tx01TfIdfTopTerms, tx02Bm25, fz01FuzzyPairs, fz02PrefixJaccard,
+    fq01FreqTokens, fq02CmsTokens,
+    co01TokenPmi, qc01Expectations)
 }

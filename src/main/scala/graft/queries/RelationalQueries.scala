@@ -465,6 +465,42 @@ object RelationalQueries {
            |                ELSE 0 END) AS BIGINT) AS closed_us
            |FROM h GROUP BY user_id ORDER BY user_id""".stripMargin))
 
+  /** CDC LOG APPLICATION ([[graft.etl.Upsert.applyCdc]]): an I/U/D
+    * change log (Debezium shape) collapses to current state — latest
+    * seq per key wins, a winning delete tombstones the key out. The
+    * log here is synthesized from orders (insert all, update every 3rd
+    * key, delete every 7th, rising seq); the oracle is the CLOSED FORM
+    * of those rules (filter + CASE), not a window replay — so the
+    * check is on semantics, not on mirroring the implementation. */
+  val up02CdcApply = QueryDef("up02_cdc_apply",
+    (s, d) => {
+      val base = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val ins = base
+        .withColumn("op", lit("I")).withColumn("seq", lit(1L))
+      val upd = base.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(10d))
+        .withColumn("op", lit("U")).withColumn("seq", lit(2L))
+      val del = base.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("op", lit("D")).withColumn("seq", lit(3L))
+      val cur = graft.etl.Upsert.applyCdc(
+        ins.unionByName(upd).unionByName(del),
+        Seq("o_orderkey"), "seq", "op")
+      cur.groupBy("o_orderstatus").agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(14, 2))).cast(DoubleType)
+          .as("total"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""WITH cur AS (
+           |  SELECT o_orderkey, o_orderstatus,
+           |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10
+           |         ELSE o_totalprice END AS p
+           |  FROM orders WHERE o_orderkey % 7 <> 0)
+           |SELECT o_orderstatus, COUNT(*) AS n,
+           |  CAST(SUM(CAST(p AS DECIMAL(14,2))) AS DOUBLE) AS total
+           |FROM cur GROUP BY 1 ORDER BY 1""".stripMargin))
+
   // =========================================================================
   // U — set operations (SURVEY §2.8)
   // =========================================================================
@@ -726,7 +762,7 @@ object RelationalQueries {
     a08RatioByPriorityWeek, a09AvgByGroup, a10RegionalRevenue,
     t02RecentWeeks, t03TopkCustomers, t04TopBottom,
     u01UnionDistinct, u02Except, u03Intersect, u04UnionAll, up01UpsertMerge,
-    sc01Scd2History,
+    sc01Scd2History, up02CdcApply,
     w01LagDelta, w02TopkPerGroup, w03RollingAvg, w05TopkHeap, w06RollingMedian,
     x01DistinctCount, x02ApproxDistinct, x03ApproxQuartiles,
     x04ApproxDistinctBound, x05ApproxQuartileBound)

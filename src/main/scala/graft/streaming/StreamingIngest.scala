@@ -211,6 +211,36 @@ object StreamingIngest {
         pruneGenerations(sp, stateDir, keepAtOrAbove = batchId - 1)
       }.start()
 
+  /** Streaming CDC MATERIALIZATION: each micro-batch of I/U/D change
+    * rows merges into the generational state table via
+    * [[graft.etl.Upsert.applyCdc]] with keepTombstones = true — the
+    * winning delete rows PERSIST in state so a late-arriving lower-seq
+    * entry in a later batch cannot resurrect a deleted key (the
+    * classic streaming-CDC correctness trap; a batch engine re-reading
+    * the full log gets this for free, incremental state must carry the
+    * tombstone). Same commit protocol as [[maintainAggState]]:
+    * generation-per-batch-id, _SUCCESS-gated reads, replay-idempotent.
+    * Read the live table with [[currentCdcState]] (filters
+    * tombstones). */
+  def maintainCdcState(stream: DataFrame, keys: Seq[String], seqCol: String,
+                       opCol: String, stateDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        import graft.etl.Upsert
+        val sp = b.sparkSession
+        val merged = currentAggState(sp, stateDir, maxExclusive = Some(batchId))
+          .map(_.unionByName(b)).getOrElse(b)
+        Upsert.applyCdc(merged, keys, seqCol, opCol, keepTombstones = true)
+          .write.mode("overwrite").parquet(s"$stateDir/gen-$batchId")
+        pruneGenerations(sp, stateDir, keepAtOrAbove = batchId - 1)
+      }.start()
+
+  /** The live CDC table: latest committed generation minus tombstones. */
+  def currentCdcState(spark: SparkSession, stateDir: String,
+                      opCol: String = "op"): Option[DataFrame] =
+    currentAggState(spark, stateDir).map(_.filter(col(opCol) =!= "D"))
+
   /** The standing state: highest fully-committed generation in
     * `stateDir` (below `maxExclusive` if given); None before the first
     * commit. */

@@ -42,4 +42,26 @@ class UpsertSpec extends SparkSpec {
     val twice = Upsert.upsert(once, updates, Seq("k"))
     assert(once.exceptAll(twice).count() == 0 && twice.exceptAll(once).count() == 0)
   }
+
+  test("cdc apply: latest seq wins, delete tombstones, delete-then-reinsert lives") {
+    val log = Seq(
+      (1L, "I", 1L, "a1"), (1L, "U", 2L, "a2"),                    // update wins
+      (2L, "I", 1L, "b1"), (2L, "D", 2L, "gone"),                  // tombstoned
+      (3L, "I", 1L, "c1"), (3L, "D", 2L, "x"), (3L, "I", 3L, "c2"),// re-inserted
+      (4L, "I", 1L, "d1")                                          // plain insert
+    ).toDF("k", "op", "seq", "v")
+    val got = Upsert.applyCdc(log, Seq("k"), "seq", "op")
+      .select("k", "v").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "a2", 3L -> "c2", 4L -> "d1"))
+  }
+
+  test("cdc apply: same-seq tie breaks deterministically (op order), replay-stable") {
+    // U and I at the same seq: 'U' > 'I' in the op tie-break, so the
+    // update wins on every replay, regardless of input order
+    val a = Seq((1L, "I", 5L, "ins"), (1L, "U", 5L, "upd")).toDF("k", "op", "seq", "v")
+    val b = Seq((1L, "U", 5L, "upd"), (1L, "I", 5L, "ins")).toDF("k", "op", "seq", "v")
+    for (log <- Seq(a, b))
+      assert(Upsert.applyCdc(log, Seq("k"), "seq", "op")
+        .select("v").as[String].collect().toSeq == Seq("upd"))
+  }
 }

@@ -74,6 +74,23 @@ class JoinOpsSpec extends SparkSpec {
     assert(got(3L).isEmpty)         // key isolation
   }
 
+  test("asof tolerance: stale matches degrade to null; fresh and boundary survive") {
+    val left = Seq(
+      (1L, "u1", ts("2024-01-02 10:00:00")),   // 1h after right → fresh
+      (2L, "u1", ts("2024-01-05 10:00:00")),   // 3d1h after → stale
+      (3L, "u2", ts("2024-01-02 09:00:00"))).toDF("id", "k", "t")
+    val right = Seq(
+      ("u1", ts("2024-01-02 09:00:00"), 1.0),
+      ("u2", ts("2024-01-01 09:00:00"), 2.0))  // exactly 24h before id 3
+      .toDF("k", "t", "v")
+    val got = AsOfJoin.asofWithin(left, right, Seq("k"), "t", "t",
+      org.apache.spark.sql.functions.expr("INTERVAL '1' DAY"))
+      .select("id", "right_v").as[(Long, Option[Double])].collect().toMap
+    assert(got(1L).contains(1.0))
+    assert(got(2L).isEmpty)          // matched by asof but outside tolerance
+    assert(got(3L).contains(2.0))    // boundary: exactly the tolerance (<=)
+  }
+
   test("interval overlap: brute-force parity, touching endpoints, emit-once") {
     val rnd = new scala.util.Random(7)
     val as = (1 to 80).map(i => (i.toLong, {

@@ -190,4 +190,35 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() == want.count())
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
+
+  test("streaming CDC state equals batch apply; tombstone blocks late resurrection") {
+    import spark.implicits._
+    val srcDir = s"$stagingDir/cdc_src"
+    val stateDir = s"$stagingDir/cdc_state"
+    // one file per micro-batch, mtime-ordered so the ADVERSARIAL order
+    // is deterministic: the lower-seq re-insert of k2 arrives AFTER
+    // its tombstone — only a persisted tombstone keeps it dead
+    val batches = Seq(
+      Seq((1L, "I", 1L, "a1"), (2L, "I", 1L, "b1")),
+      Seq((1L, "U", 2L, "a2"), (2L, "D", 2L, "x")),
+      Seq((2L, "I", 1L, "bLATE"), (3L, "I", 1L, "c1")))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("k", "op", "seq", "v").coalesce(1)
+        .write.mode("overwrite").parquet(s"$srcDir/f$i")
+      Thread.sleep(1100) // distinct mtimes → FileStreamSource order
+    }
+    val schema = batches.head.toDF("k", "op", "seq", "v").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$srcDir/*")
+    val q = StreamingIngest.maintainCdcState(stream, Seq("k"), "seq", "op", stateDir)
+    q.awaitTermination()
+    val live = StreamingIngest.currentCdcState(spark, stateDir).get
+      .select("k", "v").as[(Long, String)].collect().toMap
+    assert(live == Map(1L -> "a2", 3L -> "c1")) // k2 stays dead
+    // exact parity with the batch apply over the full log
+    val want = graft.etl.Upsert.applyCdc(
+      batches.flatten.toDF("k", "op", "seq", "v"), Seq("k"), "seq", "op")
+    val got = StreamingIngest.currentCdcState(spark, stateDir).get
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
 }
