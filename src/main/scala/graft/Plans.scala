@@ -249,7 +249,13 @@ object Plans {
     // point-in-time: SCD-2 build + as-of lookup are both window
     // compositions — the feature-store join ships with NO join node
     Check("pt01_pointintime_join", Seq("Window", "RangeFrame"),
-      wantNone = Seq("Join")))
+      wantNone = Seq("Join")),
+    // vocab coverage: the top-k vocab is a TakeOrdered broadcast to a
+    // scan-side membership join — token occurrences never shuffle to
+    // learn membership, and no window appears
+    Check("oov01_vocab_coverage",
+      Seq("TakeOrderedAndProject", "BroadcastHashJoin"),
+      wantNone = Seq("Window")))
 
   /** All failed assertions for a session (empty = every pin holds);
     * shared by the CLI main below and PlanSpec so the pins run under

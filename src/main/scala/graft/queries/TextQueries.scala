@@ -879,6 +879,41 @@ object TextQueries {
            |FROM g GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
            |ORDER BY n_docs DESC, n_occ DESC, span LIMIT 20""".stripMargin))
 
+  /** VOCABULARY COVERAGE / OOV RATE per source: share of token
+    * occurrences covered by the corpus-wide top-1000 vocabulary — the
+    * tokenizer-eval metric run before committing a vocab (a source
+    * with low coverage will fragment into byte-fallback). The vocab is
+    * a TakeOrdered top-k (deterministic ties by token) broadcast to a
+    * scan-side membership join; coverage divides two exactly-counted
+    * longs. */
+  val oov01VocabCoverage = QueryDef("oov01_vocab_coverage",
+    (s, d) => {
+      val tok = Tables.documents(s, d).select(col("source"),
+        explode(TextFunctions.tokens(col("text"))).as("t"))
+      val vocab = tok.groupBy("t").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("t")).limit(1000)
+        .select(col("t"), lit(1L).as("__in"))
+      tok.join(broadcast(vocab), Seq("t"), "left")
+        .groupBy("source").agg(
+          count(lit(1)).as("n_tokens"),
+          sum(coalesce(col("__in"), lit(0L))).as("n_covered"))
+        .select(col("source"), col("n_tokens"), col("n_covered"),
+          (col("n_covered").cast(DoubleType) / col("n_tokens")).as("coverage"))
+        .orderBy("source")
+    },
+    Some("""WITH tok AS (SELECT source,
+           |    unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+           |  FROM documents),
+           |v AS (SELECT t FROM (SELECT t, COUNT(*) AS c FROM tok GROUP BY 1
+           |      ORDER BY c DESC, t LIMIT 1000)),
+           |j AS (SELECT tok.source, v.t AS vt FROM tok LEFT JOIN v ON tok.t = v.t)
+           |SELECT source, COUNT(*) AS n_tokens,
+           |  CAST(SUM(CASE WHEN vt IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_covered,
+           |  CAST(SUM(CASE WHEN vt IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / COUNT(*) AS coverage
+           |FROM j GROUP BY source ORDER BY source""".stripMargin))
+
   /** Systematic PPS weighted sampling: 5 docs per language, inclusion
     * probability proportional to n_chars ("sample documents by token
     * mass" — the weighted-mixture sampler). Fully deterministic
@@ -1043,6 +1078,7 @@ object TextQueries {
     x10TokenStats, x11QualityScore, x12LangId, x13Fingerprint, x14RollingHash,
     x15BpeTokens, x16Utf8Bytes, sm01TrainTestSplit, sm02StratifiedSample,
     sm03KFold, sm04LeakageSafeSplit, ws01PpsSample, ds01DupSpans,
+    oov01VocabCoverage,
     cp01CorpusCuration, cp02CurationPipeline,
     dd01ExactGroups, dd02ExactKept, dd03Jaccard, dd04MinHash, dd05SimHash,
     dd07HashedJaccard, dd08MinHashRecall, dc01Decontamination,
