@@ -126,5 +126,31 @@ object GraphQueries {
            |SELECT id, COUNT(*) AS n_tri FROM m GROUP BY id
            |ORDER BY n_tri DESC, id LIMIT 20""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(pr01PageRank, tc01Triangles)
+  /** HIERARCHY FLATTENING ([[graft.graph.Hierarchy]]): the
+    * recursive-CTE workload (BOM explosion, category trees) over a
+    * synthetic forest on part keys — parent(k) = k div 2, keys below
+    * 10 are roots — resolved by pointer doubling in ⌈log₂ depth⌉
+    * join rounds (depth ~11 at sf0.1 → 4 rounds, where naive
+    * level-at-a-time iteration would take 11). The oracle IS a
+    * recursive CTE — DuckDB walks the tree top-down one level per
+    * step — so parity checks the doubling shortcut against the
+    * textbook recursion. */
+  val hi01HierarchyFlatten = QueryDef("hi01_hierarchy_flatten",
+    (s, d) => {
+      val nodes = Tables.part(s, d).select(col("p_partkey").as("id"),
+        when(col("p_partkey") < 10, lit(null).cast("long"))
+          .otherwise(expr("p_partkey div 2")).as("parent"))
+      graft.graph.Hierarchy.flatten(nodes).orderBy("id")
+    },
+    Some("""WITH RECURSIVE walk(id, root, depth) AS (
+           |  SELECT p_partkey, p_partkey, CAST(0 AS BIGINT) FROM part
+           |  WHERE p_partkey < 10
+           |  UNION ALL
+           |  SELECT p.p_partkey, w.root, w.depth + 1
+           |  FROM part p JOIN walk w ON p.p_partkey // 2 = w.id
+           |  WHERE p.p_partkey >= 10)
+           |SELECT id, root, depth FROM walk ORDER BY id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(pr01PageRank, tc01Triangles,
+    hi01HierarchyFlatten)
 }

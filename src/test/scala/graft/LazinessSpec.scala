@@ -35,7 +35,8 @@ class LazinessSpec extends SparkSpec {
     Set("dd06_dup_clusters", "sd01_semantic_dedup", "nn04_ivf_topk",
       "nn06_ivf_allprobe", "j03_bucketed_join", "j04_clustered_range",
       "zo01_zorder_range",
-      "sm04_leakage_safe_split") // runStars CC fixpoint, like dd06/sd01
+      "sm04_leakage_safe_split", // runStars CC fixpoint, like dd06/sd01
+      "hi01_hierarchy_flatten")  // pointer-doubling fixpoint loop
 
   test("every registered query builds and optimizes with zero jobs") {
     // warm the table cache first so file-listing jobs (a read-time cost,
