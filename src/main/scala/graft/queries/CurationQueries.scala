@@ -176,7 +176,39 @@ object CurationQueries {
            |    / (2.0 * CAST(n AS DOUBLE) * CAST(bigg AS DOUBLE)) AS tv
            |FROM f ORDER BY source""".stripMargin))
 
+  /** PER-DOMAIN DOCUMENT CAP (the Common-Crawl host-cap rule: no
+    * source may contribute more than K documents): deterministic
+    * md5-ranked row_number per source, keep rank ≤ K. Differs from
+    * mx01 (proportional targets) in being an absolute ceiling — hot
+    * domains truncate, small domains pass untouched — and from qf01 in
+    * ranking by a seeded hash, not a quality score, so the survivors
+    * are an unbiased sample of the domain. The md5 rank makes
+    * membership portable: the oracle replays it exactly.
+    *
+    * 100 TB: one shuffle by source; the per-stratum window is the qf01
+    * shape. A pathologically hot domain serializes its partition — the
+    * escape hatch at that scale is the qf02 trick (approx threshold on
+    * the hash instead of row_number), which this query's seeded-hash
+    * ordering makes directly applicable. */
+  val mx03DomainCap = QueryDef("mx03_domain_cap",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source")
+        .orderBy(md5(concat(lit("cap:"), col("doc_id").cast("string"))),
+          col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 10)
+        .select(col("source"), col("doc_id"), col("rk"))
+        .orderBy("source", "doc_id")
+    },
+    Some("""SELECT source, doc_id, CAST(rk AS BIGINT) AS rk FROM (
+           |  SELECT source, doc_id, ROW_NUMBER() OVER (PARTITION BY source
+           |      ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+           |  FROM documents)
+           |WHERE rk <= 10 ORDER BY source, doc_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(rp01RepetitionStats, qf01QualityStratumFilter,
-    qf02QualityStratumApprox, mx01DomainMix, mx02DomainTv, sh01GlobalShuffle,
-    sh02GlobalShuffleWide)
+    qf02QualityStratumApprox, mx01DomainMix, mx02DomainTv, mx03DomainCap,
+    sh01GlobalShuffle, sh02GlobalShuffleWide)
 }

@@ -339,7 +339,58 @@ object EventQueries {
            |FROM a JOIN b ON a.lo <= b.hi AND b.lo <= a.hi
            |GROUP BY a.o_orderkey ORDER BY a.o_orderkey""".stripMargin))
 
+  /** EXACT-INTEGER STREAMING-STYLE ANOMALY DETECTION: flag events whose
+    * value deviates > 3σ from the TRAILING window of the user's 10
+    * preceding events (self-exclusive frame — the score never sees the
+    * candidate, so one outlier cannot mask itself). The z-test is
+    * cross-multiplied into integers — value quantized to exact cents
+    * via DECIMAL, then (n·v − S)² > 9·(n·ΣV² − S²) — so no sqrt, no
+    * float variance, and both engines evaluate identical integer
+    * arithmetic (the f10 MAD query is the batch/global sibling; this is
+    * the sequential/trailing form).
+    *
+    * 100 TB: one shuffle by user_id, one sort per partition, frame
+    * bounded at 10 rows — state is O(frame), the same shape Structured
+    * Streaming keeps per key, which is why the trailing (not centered)
+    * frame is the production choice. */
+  val ts03Anomaly = QueryDef("ts03_anomaly",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-10, -1)
+      Tables.events(s, d)
+        .withColumn("v_cents",
+          (col("value").cast(DecimalType(12, 2)) * 100).cast(LongType))
+        .withColumn("n_win", count(lit(1)).over(w))
+        .withColumn("s_win", sum(col("v_cents")).over(w))
+        .withColumn("ss_win", sum(col("v_cents") * col("v_cents")).over(w))
+        .filter(col("n_win") >= 5 &&
+          (col("n_win") * col("v_cents") - col("s_win")) *
+            (col("n_win") * col("v_cents") - col("s_win")) >
+            lit(9L) * (col("n_win") * col("ss_win") - col("s_win") * col("s_win")))
+        .select(col("user_id"), col("event_id"), col("v_cents"),
+          col("n_win"), col("s_win"), col("ss_win"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""WITH e AS (
+           |  SELECT user_id, event_id,
+           |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v_cents,
+           |    COUNT(*) OVER w AS n_win,
+           |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) OVER w AS BIGINT) AS s_win,
+           |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+           |             * CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) OVER w AS BIGINT) AS ss_win
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+           |               ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+           |SELECT user_id, event_id, v_cents, n_win, s_win, ss_win
+           |FROM e
+           |WHERE n_win >= 5
+           |  AND (n_win * v_cents - s_win) * (n_win * v_cents - s_win)
+           |      > 9 * (n_win * ss_win - s_win * s_win)
+           |ORDER BY user_id, event_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(s01SessionCounts, s02SessionWindow, s03DailyByType,
     aj01AsOf, aj02AsOfForward, aj03AsOfTolerance, pt01PointInTime,
-    bj01BandJoin, ov01IntervalOverlap, ts01GapFill, ts02Ewma, fn01Funnel)
+    bj01BandJoin, ov01IntervalOverlap, ts01GapFill, ts02Ewma, ts03Anomaly,
+    fn01Funnel)
 }

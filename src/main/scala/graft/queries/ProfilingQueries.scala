@@ -1,0 +1,205 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** Dataset profiling: the "what is in this table" pass every ingest
+  * runs before modeling (the Deequ `ColumnProfiler` / pandas-profiling
+  * shape, re-expressed as single-scan aggregates). Reference analogue:
+  * the notebook's ad-hoc `df.describe()`-style inspection before the
+  * cleaning rules were chosen (Health+Data... ipynb cells 3-5). */
+object ProfilingQueries {
+
+  /** PER-COLUMN PROFILE of orders in ONE scan: row count, null count,
+    * exact distinct count, min/max — one result row per column via
+    * `stack` (the qc01 unpivot pattern). Values render as strings so
+    * heterogeneous column types share one schema; numeric columns go
+    * through DECIMAL and temporals through DATE so both engines print
+    * identically (double→string formatting differs across engines;
+    * decimal→string does not).
+    *
+    * 100 TB: the scan is the cost — all 18 aggregates ride one pass
+    * with partial (map-side) aggregation, and adding a column adds
+    * three expressions, not a pass. The deliberate scale caveat is
+    * `countDistinct`: exact distinct on a high-cardinality key
+    * shuffles that column's values; at 100 TB swap those entries for
+    * `approx_count_distinct` (the x02 HLL path) — the profile contract
+    * (one scan, stacked rows) is unchanged. */
+  val dp01Profile = QueryDef("dp01_profile",
+    (s, d) => {
+      val price = col("o_totalprice").cast(DecimalType(12, 2))
+      val day = col("o_orderdate").cast("date")
+      Tables.orders(s, d).agg(
+        count(lit(1)).as("n"),
+        // o_orderkey
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("nn1"),
+        countDistinct(col("o_orderkey")).as("nd1"),
+        min(col("o_orderkey")).cast("string").as("mn1"),
+        max(col("o_orderkey")).cast("string").as("mx1"),
+        // o_custkey
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("nn2"),
+        countDistinct(col("o_custkey")).as("nd2"),
+        min(col("o_custkey")).cast("string").as("mn2"),
+        max(col("o_custkey")).cast("string").as("mx2"),
+        // o_orderstatus
+        sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L)).as("nn3"),
+        countDistinct(col("o_orderstatus")).as("nd3"),
+        min(col("o_orderstatus")).as("mn3"),
+        max(col("o_orderstatus")).as("mx3"),
+        // o_totalprice (as decimal for stable rendering)
+        sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("nn4"),
+        countDistinct(price).as("nd4"),
+        min(price).cast("string").as("mn4"),
+        max(price).cast("string").as("mx4"),
+        // o_orderdate (as date)
+        sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("nn5"),
+        countDistinct(day).as("nd5"),
+        min(day).cast("string").as("mn5"),
+        max(day).cast("string").as("mx5"),
+        // o_orderpriority
+        sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L)).as("nn6"),
+        countDistinct(col("o_orderpriority")).as("nd6"),
+        min(col("o_orderpriority")).as("mn6"),
+        max(col("o_orderpriority")).as("mx6"))
+        .selectExpr("n", """stack(6,
+          'o_orderkey',      nn1, nd1, mn1, mx1,
+          'o_custkey',       nn2, nd2, mn2, mx2,
+          'o_orderstatus',   nn3, nd3, mn3, mx3,
+          'o_totalprice',    nn4, nd4, mn4, mx4,
+          'o_orderdate',     nn5, nd5, mn5, mx5,
+          'o_orderpriority', nn6, nd6, mn6, mx6)
+          as (col_name, n_null, n_distinct, min_s, max_s)""")
+        .select(col("col_name"), col("n"), col("n_null"), col("n_distinct"),
+          col("min_s"), col("max_s"))
+        .orderBy("col_name")
+    },
+    Some("""WITH a AS (SELECT COUNT(*) AS n,
+           |  SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nn1,
+           |  COUNT(DISTINCT o_orderkey) AS nd1,
+           |  CAST(MIN(o_orderkey) AS VARCHAR) AS mn1, CAST(MAX(o_orderkey) AS VARCHAR) AS mx1,
+           |  SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nn2,
+           |  COUNT(DISTINCT o_custkey) AS nd2,
+           |  CAST(MIN(o_custkey) AS VARCHAR) AS mn2, CAST(MAX(o_custkey) AS VARCHAR) AS mx2,
+           |  SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nn3,
+           |  COUNT(DISTINCT o_orderstatus) AS nd3,
+           |  MIN(o_orderstatus) AS mn3, MAX(o_orderstatus) AS mx3,
+           |  SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS nn4,
+           |  COUNT(DISTINCT CAST(o_totalprice AS DECIMAL(12,2))) AS nd4,
+           |  CAST(MIN(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS mn4,
+           |  CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS mx4,
+           |  SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS nn5,
+           |  COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS nd5,
+           |  CAST(MIN(CAST(o_orderdate AS DATE)) AS VARCHAR) AS mn5,
+           |  CAST(MAX(CAST(o_orderdate AS DATE)) AS VARCHAR) AS mx5,
+           |  SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS nn6,
+           |  COUNT(DISTINCT o_orderpriority) AS nd6,
+           |  MIN(o_orderpriority) AS mn6, MAX(o_orderpriority) AS mx6
+           |  FROM orders)
+           |SELECT col_name, CAST(n AS BIGINT) AS n, CAST(n_null AS BIGINT) AS n_null,
+           |  CAST(n_distinct AS BIGINT) AS n_distinct, min_s, max_s
+           |FROM (
+           |  SELECT n, 'o_orderkey' AS col_name, nn1 AS n_null, nd1 AS n_distinct, mn1 AS min_s, mx1 AS max_s FROM a
+           |  UNION ALL SELECT n, 'o_custkey', nn2, nd2, mn2, mx2 FROM a
+           |  UNION ALL SELECT n, 'o_orderstatus', nn3, nd3, mn3, mx3 FROM a
+           |  UNION ALL SELECT n, 'o_totalprice', nn4, nd4, mn4, mx4 FROM a
+           |  UNION ALL SELECT n, 'o_orderdate', nn5, nd5, mn5, mx5 FROM a
+           |  UNION ALL SELECT n, 'o_orderpriority', nn6, nd6, mn6, mx6 FROM a)
+           |ORDER BY col_name""".stripMargin))
+
+  /** PAIRWISE COVARIANCE MATRIX of lineitem's four numeric measures in
+    * ONE scan: every Σx and Σxy accumulates in DECIMAL (exact,
+    * order-independent — the QueryDef parity discipline), and the
+    * covariance (n·Σxy − Σx·Σy)/n² is assembled AFTER aggregation from
+    * exactly-determined doubles, so both engines execute the identical
+    * IEEE-754 sequence. 10 cells (4 variances + 6 covariances) unpivot
+    * from one aggregate row via `stack` — profiling a wider table adds
+    * expressions, never passes.
+    *
+    * 100 TB: one pruned 4-column scan with map-side partial sums; no
+    * shuffle wider than one row. This is the exact-arithmetic sibling
+    * of `covar_pop`: the built-in accumulates doubles (partial-order-
+    * dependent), which can differ in the last ulp across engines and
+    * partitionings — the decimal-sum form cannot. */
+  val cv01CovarianceMatrix = QueryDef("cv01_covariance_matrix",
+    (s, d) => {
+      val q = col("l_quantity").cast(DecimalType(12, 2))
+      val p = col("l_extendedprice").cast(DecimalType(12, 2))
+      val dc = col("l_discount").cast(DecimalType(12, 2))
+      val t = col("l_tax").cast(DecimalType(12, 2))
+      val agg = Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n"),
+        sum(q).cast(DoubleType).as("sq"), sum(p).cast(DoubleType).as("sp"),
+        sum(dc).cast(DoubleType).as("sd"), sum(t).cast(DoubleType).as("st"),
+        sum(q * q).cast(DoubleType).as("sqq"), sum(q * p).cast(DoubleType).as("sqp"),
+        sum(q * dc).cast(DoubleType).as("sqd"), sum(q * t).cast(DoubleType).as("sqt"),
+        sum(p * p).cast(DoubleType).as("spp"), sum(p * dc).cast(DoubleType).as("spd"),
+        sum(p * t).cast(DoubleType).as("spt"), sum(dc * dc).cast(DoubleType).as("sdd"),
+        sum(dc * t).cast(DoubleType).as("sdt"), sum(t * t).cast(DoubleType).as("stt"))
+      val nD = col("n").cast(DoubleType)
+      def cov(sxy: String, sx: String, sy: String) =
+        round((nD * col(sxy) - col(sx) * col(sy)) / nD / nD, 6)
+      agg.select(col("n"),
+          cov("sqq", "sq", "sq").as("c11"), cov("sqp", "sq", "sp").as("c12"),
+          cov("sqd", "sq", "sd").as("c13"), cov("sqt", "sq", "st").as("c14"),
+          cov("spp", "sp", "sp").as("c22"), cov("spd", "sp", "sd").as("c23"),
+          cov("spt", "sp", "st").as("c24"), cov("sdd", "sd", "sd").as("c33"),
+          cov("sdt", "sd", "st").as("c34"), cov("stt", "st", "st").as("c44"))
+        .selectExpr("n", """stack(10,
+          'l_quantity',      'l_quantity',      c11,
+          'l_quantity',      'l_extendedprice', c12,
+          'l_quantity',      'l_discount',      c13,
+          'l_quantity',      'l_tax',           c14,
+          'l_extendedprice', 'l_extendedprice', c22,
+          'l_extendedprice', 'l_discount',      c23,
+          'l_extendedprice', 'l_tax',           c24,
+          'l_discount',      'l_discount',      c33,
+          'l_discount',      'l_tax',           c34,
+          'l_tax',           'l_tax',           c44)
+          as (x_col, y_col, cov)""")
+        .select(col("x_col"), col("y_col"), col("n"), col("cov"))
+        .orderBy("x_col", "y_col")
+    },
+    Some("""WITH a AS (SELECT COUNT(*) AS n,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sq,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sp,
+           |  CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sd,
+           |  CAST(SUM(CAST(l_tax AS DECIMAL(12,2))) AS DOUBLE) AS st,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sqq,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sqp,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sqd,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_tax AS DECIMAL(12,2))) AS DOUBLE) AS sqt,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS spp,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS spd,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_tax AS DECIMAL(12,2))) AS DOUBLE) AS spt,
+           |  CAST(SUM(CAST(l_discount AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sdd,
+           |  CAST(SUM(CAST(l_discount AS DECIMAL(12,2)) * CAST(l_tax AS DECIMAL(12,2))) AS DOUBLE) AS sdt,
+           |  CAST(SUM(CAST(l_tax AS DECIMAL(12,2)) * CAST(l_tax AS DECIMAL(12,2))) AS DOUBLE) AS stt
+           |  FROM lineitem),
+           |c AS (SELECT n,
+           |  ROUND((n * sqq - sq * sq) / n / n, 6) AS c11,
+           |  ROUND((n * sqp - sq * sp) / n / n, 6) AS c12,
+           |  ROUND((n * sqd - sq * sd) / n / n, 6) AS c13,
+           |  ROUND((n * sqt - sq * st) / n / n, 6) AS c14,
+           |  ROUND((n * spp - sp * sp) / n / n, 6) AS c22,
+           |  ROUND((n * spd - sp * sd) / n / n, 6) AS c23,
+           |  ROUND((n * spt - sp * st) / n / n, 6) AS c24,
+           |  ROUND((n * sdd - sd * sd) / n / n, 6) AS c33,
+           |  ROUND((n * sdt - sd * st) / n / n, 6) AS c34,
+           |  ROUND((n * stt - st * st) / n / n, 6) AS c44
+           |  FROM a)
+           |SELECT x_col, y_col, CAST(n AS BIGINT) AS n, cov FROM (
+           |  SELECT n, 'l_quantity' AS x_col, 'l_quantity' AS y_col, c11 AS cov FROM c
+           |  UNION ALL SELECT n, 'l_quantity', 'l_extendedprice', c12 FROM c
+           |  UNION ALL SELECT n, 'l_quantity', 'l_discount', c13 FROM c
+           |  UNION ALL SELECT n, 'l_quantity', 'l_tax', c14 FROM c
+           |  UNION ALL SELECT n, 'l_extendedprice', 'l_extendedprice', c22 FROM c
+           |  UNION ALL SELECT n, 'l_extendedprice', 'l_discount', c23 FROM c
+           |  UNION ALL SELECT n, 'l_extendedprice', 'l_tax', c24 FROM c
+           |  UNION ALL SELECT n, 'l_discount', 'l_discount', c33 FROM c
+           |  UNION ALL SELECT n, 'l_discount', 'l_tax', c34 FROM c
+           |  UNION ALL SELECT n, 'l_tax', 'l_tax', c44 FROM c)
+           |ORDER BY x_col, y_col""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(dp01Profile, cv01CovarianceMatrix)
+}

@@ -11,5 +11,6 @@ object Registry {
       SemiStructuredQueries.all ++ PivotSubqueryQueries.all ++
       TextQueries.all ++ VectorQueries.all ++ EventQueries.all ++
       MultimodalQueries.all ++ PipelineQueries.all ++ ScaleQueries.all ++
-      CurationQueries.all ++ GraphQueries.all
+      CurationQueries.all ++ GraphQueries.all ++ ProfilingQueries.all ++
+      IndexQueries.all
 }

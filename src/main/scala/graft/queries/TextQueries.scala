@@ -747,6 +747,70 @@ object TextQueries {
            |SELECT id1, id2, est_jaccard FROM est
            |WHERE est_jaccard >= 0.5 ORDER BY id1, id2""".stripMargin))
 
+  /** FUZZY decontamination — the third member of the family: dc01
+    * catches exact n-gram contamination, dc02 the same with a Bloom
+    * pre-filter, dc03 catches PARAPHRASED/perturbed contamination via
+    * cross-corpus MinHash ([[graft.text.TextDedup
+    * .portableMinHashCrossCandidates]]). The benchmark here is a
+    * perturbed sample of the corpus itself (every 97th doc + a junk
+    * token — simulating an eval set that leaked into training with
+    * edits), so true matches have est < 1.0 and exact-gram methods
+    * would under-report them. Cross-only pair generation is the scale
+    * point: corpus-side near-dup families never pair among themselves
+    * (fz02's Θ(cluster²) lesson), the fan-out is bucket × small
+    * benchmark. Corpus scoped doc_id%4 like dd11 (md5 portability
+    * costs ~10× the production xxhash64 path it verifies). */
+  val dc03FuzzyDecontamination = QueryDef("dc03_fuzzy_decontamination",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 4 === 0)
+        .select("doc_id", "text")
+      val bench = docs.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" zzqx")).as("text"))
+      TextDedup.portableMinHashCrossCandidates(corpus, bench,
+        k = 2, nHashes = 16, bands = 4, minEstJaccard = 0.5)
+        .select(col("id1").as("doc_id"), col("id2").as("bench_id"),
+          col("est_jaccard"))
+        .orderBy("doc_id", "bench_id")
+    },
+    Some("""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+           |bench AS (SELECT doc_id, text || ' zzqx' AS text FROM documents
+           |          WHERE doc_id % 20 = 0),
+           |ctok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+           |        generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS i FROM corpus),
+           |btok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+           |        generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS i FROM bench),
+           |csh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w AS s
+           |        FROM ctok a JOIN ctok b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+           |bsh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w AS s
+           |        FROM btok a JOIN btok b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+           |chs AS (SELECT doc_id, i,
+           |          MIN(CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || s), 1, 15)) AS UBIGINT)) AS mh
+           |        FROM csh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) ii
+           |        GROUP BY doc_id, i),
+           |bhs AS (SELECT doc_id, i,
+           |          MIN(CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || s), 1, 15)) AS UBIGINT)) AS mh
+           |        FROM bsh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) ii
+           |        GROUP BY doc_id, i),
+           |cbands AS (SELECT doc_id, i // 4 AS band_id,
+           |             md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS band_sig
+           |           FROM chs GROUP BY doc_id, i // 4),
+           |bbands AS (SELECT doc_id, i // 4 AS band_id,
+           |             md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS band_sig
+           |           FROM bhs GROUP BY doc_id, i // 4),
+           |pairs AS (SELECT DISTINCT l.doc_id AS doc_id, r.doc_id AS bench_id
+           |          FROM cbands l JOIN bbands r
+           |            ON l.band_id = r.band_id AND l.band_sig = r.band_sig),
+           |est AS (SELECT p.doc_id, p.bench_id,
+           |          round(CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS DOUBLE) / 16, 6)
+           |            AS est_jaccard
+           |        FROM pairs p
+           |        JOIN chs a ON a.doc_id = p.doc_id
+           |        JOIN bhs b ON b.doc_id = p.bench_id AND b.i = a.i
+           |        GROUP BY 1, 2)
+           |SELECT doc_id, bench_id, est_jaccard FROM est
+           |WHERE est_jaccard >= 0.5 ORDER BY doc_id, bench_id""".stripMargin))
+
   /** Deterministic key-stable train/test split counts per language,
     * using the PORTABLE (md5-prefix) bucket so the oracle reproduces
     * membership exactly: any engine with md5 computes the same split —
@@ -1082,7 +1146,8 @@ object TextQueries {
     cp01CorpusCuration, cp02CurationPipeline,
     dd01ExactGroups, dd02ExactKept, dd03Jaccard, dd04MinHash, dd05SimHash,
     dd07HashedJaccard, dd08MinHashRecall, dc01Decontamination,
-    dc02BloomDecontamination, is01ImportanceScore, pii01Redaction,
+    dc02BloomDecontamination, dc03FuzzyDecontamination,
+    is01ImportanceScore, pii01Redaction,
     cb01TokenBudget, pd01ParagraphDedup, bp01BoilerplateStrip, dd09SimHashPortable,
     dd10HammingPairs, dd11MinHashPortable, bt01BpeTrain)
 }

@@ -273,26 +273,44 @@ object TextDedup {
     * strings); this variant is the cross-engine verification harness,
     * same algebra at ~md5 cost. AllPairs pairing: exhaustive within
     * buckets, the form an oracle replays directly. */
-  def portableMinHashCandidates(docs: DataFrame, k: Int = 2, nHashes: Int = 16,
-                                bands: Int = 4, minEstJaccard: Double = 0.5,
-                                idCol: String = "doc_id",
-                                textCol: String = "text"): DataFrame = {
-    require(nHashes % bands == 0)
-    val rowsPerBand = nHashes / bands
-    val sigs = docs
+  /** (id, sig) portable md5-permutation signatures — shared by the
+    * self-join and cross-corpus portable candidate generators. */
+  private def portableSigs(docs: DataFrame, k: Int, nHashes: Int,
+                           idCol: String, textCol: String): DataFrame =
+    docs
       .select(col(idCol).as("id"), TextFunctions.shingles(col(textCol), k).as("__sh"))
       .filter(size(col("__sh")) > 0)
       .select(col("id"), array((0 until nHashes).map(i =>
         array_min(transform(col("__sh"), s =>
           conv(substring(md5(concat(lit(s"$i:"), s)), 1, 15), 16, 10)
             .cast(LongType)))): _*).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sigs.withColumn("band", explode(array((0 until bands).map(b =>
+
+  /** (id, band_id, band_sig) banded form of [[portableSigs]] output. */
+  private def portableBands(sigs: DataFrame, nHashes: Int,
+                            bands: Int): DataFrame = {
+    val rowsPerBand = nHashes / bands
+    sigs.withColumn("band", explode(array((0 until bands).map(b =>
       struct(lit(b).as("band_id"),
         md5(concat_ws(",", (0 until rowsPerBand).map(r =>
           element_at(col("sig"), b * rowsPerBand + r + 1).cast("string")): _*))
           .as("band_sig"))): _*)))
       .select(col("id"), col("band.band_id"), col("band.band_sig"))
+  }
+
+  /** Per-pair estimated Jaccard = fraction of agreeing minhashes. */
+  private def estJaccard(nHashes: Int): Column = round(
+    aggregate(zip_with(col("sig1"), col("sig2"),
+      (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, e) => acc + e).cast("double") / nHashes, 6)
+
+  def portableMinHashCandidates(docs: DataFrame, k: Int = 2, nHashes: Int = 16,
+                                bands: Int = 4, minEstJaccard: Double = 0.5,
+                                idCol: String = "doc_id",
+                                textCol: String = "text"): DataFrame = {
+    require(nHashes % bands == 0)
+    val sigs = portableSigs(docs, k, nHashes, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = portableBands(sigs, nHashes, bands)
     val pairs = banded.select(col("id").as("id1"), col("band_id"), col("band_sig"))
       .join(banded.select(col("id").as("id2"), col("band_id"), col("band_sig")),
         Seq("band_id", "band_sig"))
@@ -301,10 +319,41 @@ object TextDedup {
     pairs
       .join(sigs.select(col("id").as("id1"), col("sig").as("sig1")), Seq("id1"))
       .join(sigs.select(col("id").as("id2"), col("sig").as("sig2")), Seq("id2"))
-      .withColumn("est_jaccard", round(
-        aggregate(zip_with(col("sig1"), col("sig2"),
-          (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, e) => acc + e).cast("double") / nHashes, 6))
+      .withColumn("est_jaccard", estJaccard(nHashes))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select("id1", "id2", "est_jaccard")
+  }
+
+  /** CROSS-corpus portable MinHash candidates: left (corpus) × right
+    * (benchmark) pairs sharing a band — the FUZZY decontamination
+    * primitive (catches paraphrased/perturbed eval contamination that
+    * exact-gram dc01/dc02 miss). Generating only CROSS pairs is the
+    * scale point: bucket fan-out is corpus_bucket × bench_bucket with
+    * the benchmark side small, so duplicate-heavy corpus buckets never
+    * pair among THEMSELVES (the Θ(cluster²) trap of a tagged-union
+    * self-join). Same md5 recipe as [[portableMinHashCandidates]] —
+    * every stage SQL-replayable. */
+  def portableMinHashCrossCandidates(left: DataFrame, right: DataFrame,
+                                     k: Int = 2, nHashes: Int = 16,
+                                     bands: Int = 4,
+                                     minEstJaccard: Double = 0.5,
+                                     idCol: String = "doc_id",
+                                     textCol: String = "text"): DataFrame = {
+    require(nHashes % bands == 0)
+    val ls = portableSigs(left, k, nHashes, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rs = portableSigs(right, k, nHashes, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = portableBands(ls, nHashes, bands)
+      .select(col("id").as("id1"), col("band_id"), col("band_sig"))
+      .join(portableBands(rs, nHashes, bands)
+        .select(col("id").as("id2"), col("band_id"), col("band_sig")),
+        Seq("band_id", "band_sig"))
+      .select("id1", "id2").dropDuplicates("id1", "id2")
+    pairs
+      .join(ls.select(col("id").as("id1"), col("sig").as("sig1")), Seq("id1"))
+      .join(rs.select(col("id").as("id2"), col("sig").as("sig2")), Seq("id2"))
+      .withColumn("est_jaccard", estJaccard(nHashes))
       .filter(col("est_jaccard") >= minEstJaccard)
       .select("id1", "id2", "est_jaccard")
   }

@@ -119,4 +119,16 @@ object TextFunctions {
         transform(sequence(lit(0), size(toks) - k),
           i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
   }
+
+  /** MULTISET form of [[shingles]] (every occurrence, in order) — for
+    * n-gram COUNTING (lm01's bigram table), where repeated shingles
+    * carry the signal that set semantics would erase. Same row-local
+    * construction: no join builds n-grams (the ds01 lesson). */
+  def shinglesAll(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < k, array().cast(ArrayType(StringType)))
+      .otherwise(
+        transform(sequence(lit(0), size(toks) - k),
+          i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+  }
 }
