@@ -389,8 +389,153 @@ object EventQueries {
            |      > 9 * (n_win * ss_win - s_win * s_win)
            |ORDER BY user_id, event_id""".stripMargin))
 
+  /** COHORT RETENTION MATRIX: users are grouped by the DAY of their
+    * first event (the cohort); each (cohort, day-offset) cell counts
+    * distinct users active that many days later, with the cohort size
+    * and the retention rate. The product-analytics staple (and, for a
+    * training pipeline, the "does this source keep contributing docs
+    * over time" view when applied to source×ingest-date). Day
+    * arithmetic is integer date subtraction — exact in both engines;
+    * the rate divides two exactly-determined doubles.
+    *
+    * 100 TB: first-event is a mergeable min per user (partial agg);
+    * the activity join is user-keyed (co-partitioned with the min's
+    * shuffle under AQE); the matrix itself is cohorts × horizon rows
+    * — tiny. No window over raw events anywhere. */
+  val co02CohortRetention = QueryDef("co02_cohort_retention",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val first = ev.groupBy("user_id")
+        .agg(to_date(min(col("ts"))).as("cohort_day"))
+      val size = first.groupBy("cohort_day")
+        .agg(countDistinct(col("user_id")).as("cohort_n"))
+      ev.join(first, Seq("user_id"))
+        .select(col("user_id"), col("cohort_day"),
+          datediff(to_date(col("ts")), col("cohort_day")).cast(LongType).as("day_offset"))
+        .groupBy("cohort_day", "day_offset")
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .join(size, Seq("cohort_day"))
+        .select(col("cohort_day"), col("day_offset"), col("cohort_n"), col("n_active"),
+          round(col("n_active").cast(DoubleType) / col("cohort_n").cast(DoubleType), 6)
+            .as("retention"))
+        .orderBy("cohort_day", "day_offset")
+    },
+    Some("""WITH f AS (SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day
+           |          FROM events GROUP BY user_id),
+           |sz AS (SELECT cohort_day, COUNT(DISTINCT user_id) AS cohort_n
+           |       FROM f GROUP BY cohort_day),
+           |act AS (SELECT f.cohort_day,
+           |          CAST(datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS BIGINT) AS day_offset,
+           |          COUNT(DISTINCT e.user_id) AS n_active
+           |        FROM events e JOIN f USING (user_id) GROUP BY 1, 2)
+           |SELECT a.cohort_day, a.day_offset, s.cohort_n, a.n_active,
+           |  ROUND(CAST(a.n_active AS DOUBLE) / CAST(s.cohort_n AS DOUBLE), 6) AS retention
+           |FROM act a JOIN sz s USING (cohort_day)
+           |ORDER BY cohort_day, day_offset""".stripMargin))
+
+  /** EVENT-TYPE TRANSITION MATRIX (first-order Markov chain): per-user
+    * event streams ordered by (ts, event_id) yield (from→to) counts
+    * and the row-normalized transition probability — the session-path
+    * model behind next-action prediction and behavioral anomaly
+    * scoring. Counts are exact; the probability divides two
+    * exactly-determined doubles (the s01 discipline).
+    *
+    * 100 TB: the lead() window partitions BY USER — thousands of rows
+    * per partition, never a global sort; the transition table itself
+    * is |types|² rows. The from-type totals ride a broadcast-size
+    * second aggregate, not a window over the pair table. */
+  val mk01MarkovTransitions = QueryDef("mk01_markov_transitions",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.events(s, d)
+        .select(col("user_id"), col("event_type").as("from_type"),
+          lead(col("event_type"), 1).over(w).as("to_type"))
+        .filter(col("to_type").isNotNull)
+        .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      val totals = pairs.groupBy("from_type").agg(sum(col("n")).as("tot"))
+      pairs.join(broadcast(totals), Seq("from_type"))
+        .select(col("from_type"), col("to_type"), col("n"),
+          round(col("n").cast(DoubleType) / col("tot").cast(DoubleType), 6).as("p"))
+        .orderBy("from_type", "to_type")
+    },
+    Some("""WITH o AS (SELECT user_id, event_type AS from_type,
+           |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+           |  FROM events),
+           |p AS (SELECT from_type, to_type, COUNT(*) AS n FROM o
+           |      WHERE to_type IS NOT NULL GROUP BY 1, 2),
+           |t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot FROM p GROUP BY 1)
+           |SELECT p.from_type, p.to_type, p.n,
+           |  ROUND(CAST(p.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS p
+           |FROM p JOIN t USING (from_type)
+           |ORDER BY from_type, to_type""".stripMargin))
+
+  /** TWO-PROPORTION A/B TEST: users split by id parity; conversion =
+    * "purchased within 24h of first event" (activation, not lifetime
+    * purchase — on a month of dense events every user eventually
+    * buys, so the lifetime rate is degenerate 100%). Emits both arms'
+    * exact counts, the rates, and the pooled two-proportion z
+    * statistic. Float discipline: every input to the z formula is an
+    * exactly-determined double (integer counts), the expression tree
+    * is written IDENTICALLY in both engines (same parenthesization →
+    * same IEEE-754 op sequence), and sqrt is correctly rounded by
+    * standard — so even the z statistic hash-matches.
+    *
+    * 100 TB: one min-per-user partial agg, one user-keyed join, one
+    * conditional-count agg — all mergeable; the final row is scalar. */
+  val ab01AbTest = QueryDef("ab01_ab_test",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val first = ev.groupBy("user_id").agg(min(col("ts")).as("ft"))
+      val conv = ev.join(first, Seq("user_id"))
+        .groupBy(col("user_id"), (col("user_id") % 2).as("variant"))
+        .agg(max(when(col("event_type") === "purchase" &&
+          unix_micros(col("ts")) - unix_micros(col("ft")) <= 86400000000L, 1L)
+          .otherwise(0L)).as("conv"))
+      val arms = conv.groupBy("variant")
+        .agg(count(lit(1)).as("n"), sum(col("conv")).as("k"))
+      val wide = arms.agg(
+        sum(when(col("variant") === 0, col("n")).otherwise(0L)).as("n0"),
+        sum(when(col("variant") === 0, col("k")).otherwise(0L)).as("k0"),
+        sum(when(col("variant") === 1, col("n")).otherwise(0L)).as("n1"),
+        sum(when(col("variant") === 1, col("k")).otherwise(0L)).as("k1"))
+      wide.select(col("n0"), col("k0"), col("n1"), col("k1"),
+          round(col("k0").cast(DoubleType) / col("n0").cast(DoubleType), 6).as("p0"),
+          round(col("k1").cast(DoubleType) / col("n1").cast(DoubleType), 6).as("p1"),
+          round((col("k0").cast(DoubleType) / col("n0").cast(DoubleType) -
+                 col("k1").cast(DoubleType) / col("n1").cast(DoubleType)) /
+            sqrt(((col("k0") + col("k1")).cast(DoubleType) /
+                  (col("n0") + col("n1")).cast(DoubleType)) *
+              (lit(1.0) - (col("k0") + col("k1")).cast(DoubleType) /
+                          (col("n0") + col("n1")).cast(DoubleType)) *
+              (lit(1.0) / col("n0").cast(DoubleType) +
+               lit(1.0) / col("n1").cast(DoubleType))), 6).as("z"))
+    },
+    Some("""WITH f AS (SELECT user_id, MIN(ts) AS ft FROM events GROUP BY user_id),
+           |c AS (SELECT e.user_id, e.user_id % 2 AS variant,
+           |        MAX(CASE WHEN e.event_type = 'purchase'
+           |              AND epoch_us(e.ts) - epoch_us(f.ft) <= 86400000000
+           |            THEN 1 ELSE 0 END) AS conv
+           |      FROM events e JOIN f USING (user_id) GROUP BY 1, 2),
+           |a AS (SELECT variant, COUNT(*) AS n, SUM(conv) AS k FROM c GROUP BY 1),
+           |w AS (SELECT
+           |  CAST(SUM(CASE WHEN variant = 0 THEN n ELSE 0 END) AS BIGINT) AS n0,
+           |  CAST(SUM(CASE WHEN variant = 0 THEN k ELSE 0 END) AS BIGINT) AS k0,
+           |  CAST(SUM(CASE WHEN variant = 1 THEN n ELSE 0 END) AS BIGINT) AS n1,
+           |  CAST(SUM(CASE WHEN variant = 1 THEN k ELSE 0 END) AS BIGINT) AS k1
+           |  FROM a)
+           |SELECT n0, k0, n1, k1,
+           |  ROUND(CAST(k0 AS DOUBLE) / CAST(n0 AS DOUBLE), 6) AS p0,
+           |  ROUND(CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS p1,
+           |  ROUND((CAST(k0 AS DOUBLE) / CAST(n0 AS DOUBLE) -
+           |         CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)) /
+           |    sqrt((CAST(k0 + k1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)) *
+           |      (1.0 - CAST(k0 + k1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)) *
+           |      (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))), 6) AS z
+           |FROM w""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(s01SessionCounts, s02SessionWindow, s03DailyByType,
     aj01AsOf, aj02AsOfForward, aj03AsOfTolerance, pt01PointInTime,
     bj01BandJoin, ov01IntervalOverlap, ts01GapFill, ts02Ewma, ts03Anomaly,
-    fn01Funnel)
+    fn01Funnel, co02CohortRetention, mk01MarkovTransitions, ab01AbTest)
 }

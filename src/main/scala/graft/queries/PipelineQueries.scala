@@ -381,8 +381,44 @@ object PipelineQueries {
             |FROM scored GROUP BY doc_id
             |ORDER BY bm25_r DESC, doc_id LIMIT 10""".stripMargin))
 
+  /** K-ANONYMITY / L-DIVERSITY AUDIT — the privacy pre-release gate:
+    * every (nation, market-segment) quasi-identifier class reports its
+    * size n (k-anonymity: a row in a class of n < k is re-identifiable
+    * by joining public attributes) and the number of distinct
+    * sensitive-attribute values l (l-diversity: even a large class
+    * leaks the sensitive value when all members share it — the
+    * homogeneity attack). Sensitive attribute = account-balance band
+    * (floor(bal/2000), integer-exact). Violations are flagged as
+    * 0/1 INTs, not booleans — boolean→string renders differ across
+    * engines, int64 does not. Thresholds k=10, l=4 sit inside this
+    * data's class-size band (5..21) and diversity band (3..6), so
+    * both flags fire on real rows.
+    *
+    * 100 TB: one groupBy on the QI columns — a single partial-agg
+    * shuffle; countDistinct of the small-cardinality band rides the
+    * same aggregate. The audit emits per-CLASS rows (bounded by the
+    * QI domain), never per-record output. */
+  val qc02KAnonymity = QueryDef("qc02_k_anonymity",
+    (s, d) => Tables.customer(s, d)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 2000).cast(LongType).as("bal_band"))
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("n"), countDistinct(col("bal_band")).as("l"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("n"), col("l"),
+        when(col("n") < 10, 1L).otherwise(0L).as("k_violation"),
+        when(col("l") < 4, 1L).otherwise(0L).as("l_violation"))
+      .orderBy("c_nationkey", "c_mktsegment"),
+    Some("""SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+           |  COUNT(DISTINCT CAST(floor(c_acctbal / 2000) AS BIGINT)) AS l,
+           |  CAST(CASE WHEN COUNT(*) < 10 THEN 1 ELSE 0 END AS BIGINT) AS k_violation,
+           |  CAST(CASE WHEN COUNT(DISTINCT CAST(floor(c_acctbal / 2000) AS BIGINT)) < 4
+           |       THEN 1 ELSE 0 END AS BIGINT) AS l_violation
+           |FROM customer
+           |GROUP BY c_nationkey, c_mktsegment
+           |ORDER BY c_nationkey, c_mktsegment""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(ck01DocChunks, pk01SequencePacking, vc01VocabTopK,
     tx01TfIdfTopTerms, tx02Bm25, fz01FuzzyPairs, fz02PrefixJaccard,
     fq01FreqTokens, fq02CmsTokens,
-    co01TokenPmi, qc01Expectations)
+    co01TokenPmi, qc01Expectations, qc02KAnonymity)
 }

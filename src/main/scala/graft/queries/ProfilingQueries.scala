@@ -201,5 +201,102 @@ object ProfilingQueries {
            |  UNION ALL SELECT n, 'l_tax', 'l_tax', c44 FROM c)
            |ORDER BY x_col, y_col""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(dp01Profile, cv01CovarianceMatrix)
+  /** GINI CONCENTRATION of the corpus' bigram frequency distribution —
+    * the mixture-balance signal ("is this corpus dominated by a few
+    * phrases?") a training-data pipeline reads before weighting
+    * sources. The Gini coefficient is computed from the closed form
+    * over ascending-ranked counts, G = (2·Σi·cᵢ − (n+1)·Σcᵢ)/(n·Σcᵢ),
+    * entirely in BIGINT (rank × count products) — no sorting of
+    * floats, no libm (the mx02 TV rationale); the only float op is
+    * the final division of two exactly-determined integers-as-doubles.
+    * Rank ties break by term, so both engines rank identically. Also
+    * reports the top-10 share (head concentration) the same way.
+    *
+    * 100 TB: counts come from one explode + one partial-agg shuffle;
+    * the ranked pass runs over the AGGREGATED term table (vocab-sized,
+    * millions not trillions — a single-partition window is fine; for
+    * a billion-term vocab swap in the sh01 bucketed-rank shape). The
+    * BIGINT Σi·cᵢ overflows only past ~10¹⁸ — at that scale move the
+    * two sums to DECIMAL(38,0); the closed form is unchanged. */
+  val gn01GiniConcentration = QueryDef("gn01_gini_concentration",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.documents(s, d)
+        .select(explode(graft.text.TextFunctions.shinglesAll(col("text"), 2)).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("c"))
+      // Descending rank j relates to the ascending Gini rank i by
+      // i = n − j + 1, so Σi·c = (n+1)·Σc − Σj·c and one window pass
+      // serves both the Gini sum and the top-10 head share.
+      val ranked = counts.withColumn("j",
+        row_number().over(Window.orderBy(col("c").desc, col("term").desc))
+          .cast(LongType))
+      ranked.agg(
+          count(lit(1)).as("n_terms"),
+          sum(col("c")).as("total"),
+          sum(col("j") * col("c")).as("sjc"),
+          sum(when(col("j") <= 10, col("c")).otherwise(0L)).as("top10"))
+        .select(col("n_terms"), col("total"),
+          round(((col("n_terms") + 1) * col("total") - lit(2) * col("sjc"))
+            .cast(DoubleType) / (col("n_terms") * col("total")).cast(DoubleType), 6)
+            .as("gini"),
+          round(col("top10").cast(DoubleType) / col("total").cast(DoubleType), 6)
+            .as("top10_share"))
+    },
+    Some("""WITH tok AS (SELECT doc_id,
+           |    unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+           |    generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS i
+           |  FROM documents),
+           |bg AS (SELECT a.w || ' ' || b.w AS term
+           |       FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+           |c AS (SELECT term, COUNT(*) AS c FROM bg GROUP BY term),
+           |r AS (SELECT c, term,
+           |             ROW_NUMBER() OVER (ORDER BY c DESC, term DESC) AS j FROM c)
+           |SELECT COUNT(*) AS n_terms, CAST(SUM(c) AS BIGINT) AS total,
+           |  ROUND(CAST((COUNT(*) + 1) * SUM(c) - 2 * SUM(j * c) AS DOUBLE)
+           |        / CAST(COUNT(*) * SUM(c) AS DOUBLE), 6) AS gini,
+           |  ROUND(CAST(SUM(CASE WHEN j <= 10 THEN c ELSE 0 END) AS DOUBLE)
+           |        / CAST(SUM(c) AS DOUBLE), 6) AS top10_share
+           |FROM r""".stripMargin))
+
+  /** VOCABULARY GROWTH (Heaps' law, measured): docs in id-order are
+    * bucketed into batches of 50; a bigram "arrives" in the batch of
+    * the minimum doc_id containing it. Reports new terms per batch and
+    * the running vocabulary size — the curve that says whether a
+    * corpus is still contributing novel phrasing or has saturated
+    * (the data-valuation signal for "should we ingest more of this
+    * source"). All exact integers: min-agg per term, count per batch,
+    * cumulative window over the tiny per-batch frame.
+    *
+    * 100 TB: explode + one term-keyed partial-agg shuffle (min is
+    * mergeable); the cumulative pass runs over n_batches rows. Batch
+    * id from integer `div` — no float division anywhere. */
+  val vg01VocabGrowth = QueryDef("vg01_vocab_growth",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val firstSeen = Tables.documents(s, d)
+        .select(expr("doc_id div 50").as("batch"),
+          explode(graft.text.TextFunctions.shinglesAll(col("text"), 2)).as("term"))
+        .groupBy("term").agg(min(col("batch")).as("fb"))
+      firstSeen.groupBy(col("fb").as("batch"))
+        .agg(count(lit(1)).as("new_terms"))
+        .withColumn("cum_vocab",
+          sum(col("new_terms")).over(
+            Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, 0)))
+        .orderBy("batch")
+    },
+    Some("""WITH tok AS (SELECT doc_id,
+           |    unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+           |    generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS i
+           |  FROM documents),
+           |bg AS (SELECT a.doc_id // 50 AS batch, a.w || ' ' || b.w AS term
+           |       FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+           |fs AS (SELECT term, MIN(batch) AS fb FROM bg GROUP BY term),
+           |nb AS (SELECT fb AS batch, COUNT(*) AS new_terms FROM fs GROUP BY fb)
+           |SELECT batch, new_terms,
+           |  CAST(SUM(new_terms) OVER (ORDER BY batch
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
+           |FROM nb ORDER BY batch""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(dp01Profile, cv01CovarianceMatrix,
+    gn01GiniConcentration, vg01VocabGrowth)
 }

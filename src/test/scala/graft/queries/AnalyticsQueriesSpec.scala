@@ -1,0 +1,119 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.text.TextFunctions
+import org.apache.spark.sql.functions._
+
+/** Independent-reimplementation checks for the analytics batch
+  * (gn01/vg01/co02/mk01/ab01/qc02). The DuckDB oracle proves
+  * cross-engine parity; these specs re-derive the same numbers a
+  * DIFFERENT way (driver-side brute force, definitional identities),
+  * so a shared mistake in both SQL formulations would still be
+  * caught. Assertions are identities, not distributional bands —
+  * the SamplingSpec lesson. */
+class AnalyticsQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gn01: closed-form Gini equals the brute-force ascending-rank computation") {
+    val row = ProfilingQueries.gn01GiniConcentration.fn(spark, sfDir).collect().head
+    val (nTerms, total, gini, top10) =
+      (row.getLong(0), row.getLong(1), row.getDouble(2), row.getDouble(3))
+
+    // Brute force: collect every bigram count, sort ascending, apply
+    // the textbook definition with explicit ranks.
+    val counts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(explode(TextFunctions.shinglesAll(col("text"), 2)).as("t"))
+      .groupBy("t").count().as[(String, Long)].collect()
+    val asc = counts.sortBy { case (t, c) => (c, t) }.map(_._2)
+    val n = asc.length.toLong
+    val tot = asc.sum
+    val ric = asc.zipWithIndex.map { case (c, i) => (i + 1) * c }.sum
+    val expGini = (2.0 * ric - (n + 1) * tot) / (n.toDouble * tot)
+    val expTop10 = asc.takeRight(10).sum.toDouble / tot
+
+    assert(nTerms == n && total == tot)
+    assert(math.abs(gini - expGini) < 1e-6, s"gini $gini vs brute $expGini")
+    assert(math.abs(top10 - expTop10) < 1e-6, s"top10 $top10 vs brute $expTop10")
+    assert(gini > 0.0 && gini < 1.0)
+  }
+
+  test("vg01: batches partition the vocabulary; cumulative ends at the distinct-bigram total") {
+    val rows = ProfilingQueries.vg01VocabGrowth.fn(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // cum_vocab is the running sum of new_terms (definitional)
+    val runningSum = rows.map(_._2).scanLeft(0L)(_ + _).drop(1)
+    assert(rows.map(_._3).toSeq == runningSum.toSeq)
+    // and the final cumulative equals the corpus' distinct bigram count
+    val vocab = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(explode(TextFunctions.shinglesAll(col("text"), 2)).as("t"))
+      .distinct().count()
+    assert(rows.last._3 == vocab, s"cum ${rows.last._3} != vocab $vocab")
+    // batch 0 dominates on a saturating corpus: monotone non-increasing
+    // is NOT asserted (not definitional); first-batch > 0 is.
+    assert(rows.head._2 > 0)
+  }
+
+  test("co02: day-0 retention is exactly 1.0 for every cohort (definitional)") {
+    val rows = co02Rows()
+    val day0 = rows.filter(_._2 == 0L)
+    assert(day0.nonEmpty)
+    // every user is active on the day of their first event
+    assert(day0.forall { case (_, _, n, active, r) => active == n && r == 1.0 },
+      s"day-0 rows must have n_active == cohort_n: $day0")
+    // n_active never exceeds the cohort size on any offset
+    assert(rows.forall { case (_, _, n, active, _) => active <= n })
+    // cohort sizes sum to the distinct-user total
+    val users = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("user_id").distinct().count()
+    assert(day0.map(_._3).sum == users)
+  }
+
+  private def co02Rows(): Seq[(java.sql.Date, Long, Long, Long, Double)] =
+    EventQueries.co02CohortRetention.fn(spark, sfDir)
+      .as[(java.sql.Date, Long, Long, Long, Double)].collect().toSeq
+
+  test("mk01: per-from transition counts sum to the lead-pair total; p row-normalizes") {
+    val rows = EventQueries.mk01MarkovTransitions.fn(spark, sfDir)
+      .as[(String, String, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    // total transitions = total events − distinct users (each user's
+    // stream of length m yields m−1 lead pairs) — definitional
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(rows.map(_._3).sum == expected)
+    // probabilities row-normalize to 1 within rounding (25 terms × 5e-7)
+    rows.groupBy(_._1).foreach { case (from, rs) =>
+      val s = rs.map(_._4).sum
+      assert(math.abs(s - 1.0) < 1e-5, s"$from row sums to $s")
+    }
+    assert(rows.forall(r => r._4 > 0.0 && r._4 <= 1.0))
+  }
+
+  test("ab01: z statistic recomputes from the emitted counts") {
+    val row = EventQueries.ab01AbTest.fn(spark, sfDir).collect().head
+    val (n0, k0, n1, k1) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    val (p0, p1, z) = (row.getDouble(4), row.getDouble(5), row.getDouble(6))
+    assert(n0 > 0 && n1 > 0 && k0 <= n0 && k1 <= n1)
+    val pool = (k0 + k1).toDouble / (n0 + n1).toDouble
+    val expZ = (k0.toDouble / n0 - k1.toDouble / n1) /
+      math.sqrt(pool * (1.0 - pool) * (1.0 / n0 + 1.0 / n1))
+    assert(math.abs(z - expZ) < 1e-6, s"z $z vs recomputed $expZ")
+    assert(math.abs(p0 - k0.toDouble / n0) < 1e-6)
+    assert(math.abs(p1 - k1.toDouble / n1) < 1e-6)
+  }
+
+  test("qc02: flags restate their defining inequalities; classes partition the table") {
+    val rows = PipelineQueries.qc02KAnonymity.fn(spark, sfDir)
+      .as[(Int, String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, n, l, kv, lv) =>
+      assert(kv == (if (n < 10) 1L else 0L))
+      assert(lv == (if (l < 4) 1L else 0L))
+      assert(l >= 1 && l <= n)
+    }
+    val total = spark.read.parquet(s"$sfDir/customer.parquet").count()
+    assert(rows.map(_._3).sum == total, "QI classes must partition the table")
+  }
+}
