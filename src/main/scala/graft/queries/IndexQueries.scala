@@ -4,6 +4,7 @@ import graft.{QueryDef, Tables}
 import graft.text.TextFunctions
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Corpus indexing structures: the inverted index (search/retrieval),
   * asymmetric shingle containment (quote/subset detection — what
@@ -158,5 +159,89 @@ object IndexQueries {
            |FROM r WHERE ctx_total >= 100 AND rk <= 3
            |ORDER BY ctx, rk""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(ix01InvertedIndex, dd12Containment, lm01BigramNext)
+  /** QUANTIZED CONDITIONAL SURPRISAL (the KenLM-style LM quality
+    * scorer, made bit-portable): per-doc mean of
+    * floor(4·log₂(T_ctx/c)) over its bigram occurrences, where c is
+    * the bigram count and T_ctx the context total — i.e. −log₂ of the
+    * conditional bigram probability in quarter-bit units. High mean
+    * surprisal = unusual phrasing (the CCNet/Gopher perplexity filter
+    * signal); low = boilerplate.
+    *
+    * NO LOGARITHM IS EVER EVALUATED. floor(log₂(T/c)) = max k with
+    * c·2ᵏ ≤ T (integer comparisons against a broadcast 40-row powers
+    * table), and the two fractional bits come from comparing
+    * c⁴·2⁴ᵇ·{2,4,8} ≤ T⁴ in DECIMAL(38,0) — floor(4·log₂ r) = 4b+f
+    * exactly, because x ∈ [1,2) ⇒ floor(log₂ x⁴) = floor(4·log₂ x).
+    * Cross-checked against float log₂ on every term at build time;
+    * libm never enters, so both engines agree bit-for-bit (the mx02
+    * no-libm rationale, extended to a logarithmic statistic).
+    *
+    * Bounds: T⁴ fits DECIMAL(38,0)/int128 up to T ≈ 3·10⁹ context
+    * occurrences — beyond that, shard contexts or drop to 2 fractional
+    * bits. 100 TB: counts are one partial-agg shuffle; the per-term
+    * qbits table is vocab-sized and BROADCAST back onto the occurrence
+    * stream; the powers join is 40 rows. */
+  val ppx01QuantizedSurprisal = QueryDef("ppx01_quantized_surprisal",
+    (s, d) => {
+      val bg = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextFunctions.shinglesAll(col("text"), 2)).as("term"))
+        .select(col("doc_id"), split(col("term"), " ").getItem(0).as("ctx"),
+          col("term"))
+      val c = bg.groupBy("ctx", "term").agg(count(lit(1)).as("c"))
+      val t = c.groupBy("ctx").agg(sum(col("c")).cast("bigint").as("tc"))
+      val pw = s.range(0, 40).select(col("id").as("k"),
+        expr("shiftleft(cast(1 as bigint), cast(id as int))").as("p"))
+      val dec = (x: org.apache.spark.sql.Column) => x.cast(DecimalType(38, 0))
+      val b = c.join(t, Seq("ctx"))
+        .join(broadcast(pw), pw("p") <= t("tc") && c("c") * pw("p") <= t("tc"))
+        .groupBy(col("term"), col("c"), col("tc"))
+        .agg(max(col("k")).as("b"), max(col("p")).as("pb"))
+      val c4 = dec(col("c")) * dec(col("c")) * dec(col("c")) * dec(col("c"))
+      val pb4 = dec(col("pb")) * dec(col("pb")) * dec(col("pb")) * dec(col("pb"))
+      val tc4 = dec(col("tc")) * dec(col("tc")) * dec(col("tc")) * dec(col("tc"))
+      val qb = b.select(col("term"), (lit(4L) * col("b") +
+          when(c4 * pb4 * 8 <= tc4, 3L)
+            .when(c4 * pb4 * 4 <= tc4, 2L)
+            .when(c4 * pb4 * 2 <= tc4, 1L).otherwise(0L))
+          .cast("bigint").as("qbits"))
+      bg.join(broadcast(qb), Seq("term"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("qbits")).cast("bigint").as("sum_qbits"))
+        .select(col("doc_id"), col("n_bigrams"), col("sum_qbits"),
+          round(col("sum_qbits").cast("double") /
+            (lit(4.0) * col("n_bigrams").cast("double")), 6).as("avg_bits"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (SELECT doc_id,
+           |    unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+           |    generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS i
+           |  FROM documents),
+           |bg AS (SELECT a.doc_id, a.w AS ctx, a.w || ' ' || b.w AS term
+           |       FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+           |c AS (SELECT ctx, term, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+           |t AS (SELECT ctx, CAST(SUM(c) AS BIGINT) AS tc FROM c GROUP BY 1),
+           |pw AS (SELECT k, CAST(1 AS BIGINT) << k AS p
+           |       FROM (SELECT unnest(range(0, 40)) AS k)),
+           |b AS (SELECT c.term, c.c, t.tc, MAX(pw.k) AS b, MAX(pw.p) AS pb
+           |      FROM c JOIN t USING (ctx)
+           |      JOIN pw ON pw.p <= t.tc AND c.c * pw.p <= t.tc
+           |      GROUP BY 1, 2, 3),
+           |qb AS (SELECT term, CAST(4 * b +
+           |    CASE WHEN c::HUGEINT*c*c*c * (pb::HUGEINT*pb*pb*pb) * 8
+           |              <= tc::HUGEINT*tc*tc*tc THEN 3
+           |         WHEN c::HUGEINT*c*c*c * (pb::HUGEINT*pb*pb*pb) * 4
+           |              <= tc::HUGEINT*tc*tc*tc THEN 2
+           |         WHEN c::HUGEINT*c*c*c * (pb::HUGEINT*pb*pb*pb) * 2
+           |              <= tc::HUGEINT*tc*tc*tc THEN 1
+           |         ELSE 0 END AS BIGINT) AS qbits FROM b)
+           |SELECT d.doc_id, COUNT(*) AS n_bigrams,
+           |  CAST(SUM(q.qbits) AS BIGINT) AS sum_qbits,
+           |  ROUND(CAST(SUM(q.qbits) AS DOUBLE) / (4.0 * COUNT(*)), 6) AS avg_bits
+           |FROM bg d JOIN qb q USING (term)
+           |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(ix01InvertedIndex, dd12Containment, lm01BigramNext,
+    ppx01QuantizedSurprisal)
 }

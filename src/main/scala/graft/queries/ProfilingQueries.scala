@@ -297,6 +297,75 @@ object ProfilingQueries {
            |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
            |FROM nb ORDER BY batch""".stripMargin))
 
+  /** ORDER-INDEPENDENT TABLE CHECKSUM (fixity audit): every row is
+    * serialized to a canonical string (ints/strings verbatim, doubles
+    * through DECIMAL, timestamps as epoch-µs ints, NULLs as a sentinel
+    * — the dp01 rendering discipline, since double→string and
+    * ts→string formats differ across engines), hashed to a 60-bit int
+    * (md5 prefix), and SUMMED in unbounded-precision integers. The sum
+    * is commutative, so the checksum is independent of row order,
+    * partitioning, and engine — two replicas disagree iff their row
+    * multisets differ (modulo 2⁶⁰-space collisions). This is the
+    * replica-drift / migration-fidelity audit: run on both sides,
+    * compare three numbers, no row shipping.
+    *
+    * 100 TB: one scan per table, hash computed scan-side, the sum is
+    * a mergeable partial aggregate; output is O(tables), not O(rows). */
+  val cs01TableChecksum = QueryDef("cs01_table_checksum",
+    (s, d) => {
+      def row(parts: org.apache.spark.sql.Column*) =
+        concat_ws("|", parts.map(p => coalesce(p.cast("string"), lit("∅"))): _*)
+      def h(c: org.apache.spark.sql.Column) =
+        conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+      def sum38(c: org.apache.spark.sql.Column) =
+        sum(c.cast(DecimalType(38, 0))).cast(DecimalType(38, 0)).cast("string")
+      val nat = Tables.nation(s, d).select(h(row(col("n_nationkey"),
+        col("n_name"), col("n_regionkey"))).as("rh"))
+        .agg(count(lit(1)).as("n_rows"), sum38(col("rh")).as("checksum"))
+        .select(lit("nation").as("table_name"), col("n_rows"), col("checksum"))
+      val cust = Tables.customer(s, d).select(h(row(col("c_custkey"),
+        col("c_name"), col("c_nationkey"),
+        col("c_acctbal").cast(DecimalType(12, 2)), col("c_mktsegment"))).as("rh"))
+        .agg(count(lit(1)).as("n_rows"), sum38(col("rh")).as("checksum"))
+        .select(lit("customer").as("table_name"), col("n_rows"), col("checksum"))
+      val ord = Tables.orders(s, d).select(h(row(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(DecimalType(12, 2)),
+        unix_micros(col("o_orderdate").cast("timestamp")),
+        col("o_orderpriority"))).as("rh"))
+        .agg(count(lit(1)).as("n_rows"), sum38(col("rh")).as("checksum"))
+        .select(lit("orders").as("table_name"), col("n_rows"), col("checksum"))
+      nat.unionAll(cust).unionAll(ord).orderBy("table_name")
+    },
+    Some("""WITH n AS (SELECT CAST(('0x' || substr(md5(
+           |    concat_ws('|', COALESCE(CAST(n_nationkey AS VARCHAR), '∅'),
+           |      COALESCE(n_name, '∅'),
+           |      COALESCE(CAST(n_regionkey AS VARCHAR), '∅'))), 1, 15)) AS UBIGINT) AS rh
+           |  FROM nation),
+           |c AS (SELECT CAST(('0x' || substr(md5(
+           |    concat_ws('|', COALESCE(CAST(c_custkey AS VARCHAR), '∅'),
+           |      COALESCE(c_name, '∅'),
+           |      COALESCE(CAST(c_nationkey AS VARCHAR), '∅'),
+           |      COALESCE(CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR), '∅'),
+           |      COALESCE(c_mktsegment, '∅'))), 1, 15)) AS UBIGINT) AS rh
+           |  FROM customer),
+           |o AS (SELECT CAST(('0x' || substr(md5(
+           |    concat_ws('|', COALESCE(CAST(o_orderkey AS VARCHAR), '∅'),
+           |      COALESCE(CAST(o_custkey AS VARCHAR), '∅'),
+           |      COALESCE(o_orderstatus, '∅'),
+           |      COALESCE(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), '∅'),
+           |      COALESCE(CAST(epoch_us(o_orderdate) AS VARCHAR), '∅'),
+           |      COALESCE(o_orderpriority, '∅'))), 1, 15)) AS UBIGINT) AS rh
+           |  FROM orders)
+           |SELECT table_name, n_rows, checksum FROM (
+           |  SELECT 'nation' AS table_name, COUNT(*) AS n_rows,
+           |    CAST(SUM(CAST(rh AS HUGEINT)) AS VARCHAR) AS checksum FROM n
+           |  UNION ALL SELECT 'customer', COUNT(*),
+           |    CAST(SUM(CAST(rh AS HUGEINT)) AS VARCHAR) FROM c
+           |  UNION ALL SELECT 'orders', COUNT(*),
+           |    CAST(SUM(CAST(rh AS HUGEINT)) AS VARCHAR) FROM o)
+           |ORDER BY table_name""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(dp01Profile, cv01CovarianceMatrix,
-    gn01GiniConcentration, vg01VocabGrowth)
+    gn01GiniConcentration, vg01VocabGrowth, cs01TableChecksum)
 }

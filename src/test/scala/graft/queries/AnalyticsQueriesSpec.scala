@@ -104,6 +104,69 @@ class AnalyticsQueriesSpec extends SparkSpec {
     assert(math.abs(p1 - k1.toDouble / n1) < 1e-6)
   }
 
+  test("ppx01: integer quarter-bit surprisal equals floor(4·log2) on every term") {
+    // Re-derive per-term quarter-bits with FLOATING-POINT log2 and
+    // compare against the engine's all-integer computation — the two
+    // must agree exactly (the integer form IS floor(4·log2(tc/c))).
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val terms = docs
+      .select(explode(TextFunctions.shinglesAll(col("text"), 2)).as("t"))
+      .select(split(col("t"), " ").getItem(0).as("ctx"), col("t"))
+      .groupBy("ctx", "t").count()
+      .as[(String, String, Long)].collect()
+    val ctxTotal = terms.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    def intQbits(c: Long, tc: Long): Long = {
+      var b = 0L
+      while ((1L << (b + 1)) <= tc && c * (1L << (b + 1)) <= tc) b += 1
+      val (c4, p4, t4) = (BigInt(c).pow(4), BigInt(1L << b).pow(4), BigInt(tc).pow(4))
+      val f = if (c4 * p4 * 8 <= t4) 3 else if (c4 * p4 * 4 <= t4) 2
+              else if (c4 * p4 * 2 <= t4) 1 else 0
+      4 * b + f
+    }
+    terms.foreach { case (ctx, t, c) =>
+      val tc = ctxTotal(ctx)
+      val viaLog = math.floor(4.0 * (math.log(tc.toDouble / c) / math.log(2.0)) + 1e-9).toLong
+      assert(intQbits(c, tc) == viaLog, s"term $t c=$c tc=$tc")
+    }
+    // and the query's per-doc average reproduces from the term table
+    val out = IndexQueries.ppx01QuantizedSurprisal.fn(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (_, n, sum, avg) =>
+      assert(math.abs(avg - sum.toDouble / (4.0 * n)) < 1e-6)
+      assert(n > 0 && sum >= 0)
+    }
+  }
+
+  test("cs01: checksum recomputes from a driver-side Java MD5 reimplementation") {
+    val got = ProfilingQueries.cs01TableChecksum.fn(spark, sfDir)
+      .as[(String, Long, String)].collect()
+    // independent recomputation for the customer table
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      .as[(Long, String, Int, Double, String)].collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String): BigInt = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      BigInt(hex.substring(0, 15), 16)
+    }
+    val expected = cust.map { case (k, n, nk, bal, seg) =>
+      val balS = new java.math.BigDecimal(bal)
+        .setScale(2, java.math.RoundingMode.HALF_UP).toPlainString
+      h(s"$k|$n|$nk|$balS|$seg")
+    }.sum
+    val custRow = got.find(_._1 == "customer").get
+    assert(custRow._2 == cust.length.toLong)
+    assert(custRow._3 == expected.toString,
+      s"checksum ${custRow._3} != independent ${expected}")
+    // order independence is structural (commutative sum) — assert the
+    // same over a reversed recomputation to catch accidental ordering
+    assert(cust.reverse.map { case (k, n, nk, bal, seg) =>
+      val balS = new java.math.BigDecimal(bal)
+        .setScale(2, java.math.RoundingMode.HALF_UP).toPlainString
+      h(s"$k|$n|$nk|$balS|$seg")
+    }.sum.toString == custRow._3)
+  }
+
   test("qc02: flags restate their defining inequalities; classes partition the table") {
     val rows = PipelineQueries.qc02KAnonymity.fn(spark, sfDir)
       .as[(Int, String, Long, Long, Long, Long)].collect()
