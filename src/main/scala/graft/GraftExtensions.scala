@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.graftbridge.GraftSqlBridge
-import graft.text.{MinHashesExpr, NormalizeExpr, ShingleHashesExpr, SimHashExpr}
+import graft.text.{JaroWinklerExpr, MinHashesExpr, NormalizeExpr, ShingleHashesExpr, SimHashExpr}
 import graft.vector.DotProductExpr
 
 /** SparkSessionExtensions entry point: registers the engine's native
@@ -72,7 +72,13 @@ object GraftExtensions {
       simhashBuilder _),
     (FunctionIdentifier("unicode_normalize"),
       new ExpressionInfo(classOf[NormalizeExpr].getName, "unicode_normalize"),
-      normalizeBuilder _))
+      normalizeBuilder _),
+    (FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerExpr].getName, "jaro_winkler"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 2, "jaro_winkler(str, str)")
+        JaroWinklerExpr(exprs.head, exprs(1))
+      }))
 
   /** Register into an already-running session. */
   def install(spark: SparkSession): Unit =

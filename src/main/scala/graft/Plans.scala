@@ -255,7 +255,68 @@ object Plans {
     // learn membership, and no window appears
     Check("oov01_vocab_coverage",
       Seq("TakeOrderedAndProject", "BroadcastHashJoin"),
-      wantNone = Seq("Window")))
+      wantNone = Seq("Window")),
+    // inverted index: explode feeds partial aggregation; the df-band
+    // stats join is term-keyed — no window, no nested loop
+    Check("ix01_inverted_index", Seq("Generate", "HashAggregate"),
+      wantNone = Seq("Window", "BroadcastNestedLoopJoin")),
+    // containment: shingle-keyed equi-joins only — the probe×corpus
+    // pairing must never plan as a nested loop
+    Check("dd12_containment", Seq("Generate", "HashAggregate"),
+      wantNone = Seq("BroadcastNestedLoopJoin")),
+    // LM table: the rank window partitions by context, never global
+    Check("lm01_bigram_next", Seq("windowspecdefinition(ctx")),
+    // surprisal: the per-term qbits table broadcasts back onto the
+    // occurrence stream (vocab-sized build side)
+    Check("ppx01_quantized_surprisal",
+      Seq("BroadcastHashJoin", "BroadcastExchange")),
+    // Gini: one global window over the AGGREGATED vocab-sized frame,
+    // no join anywhere
+    Check("gn01_gini_concentration", Seq("Window", "HashAggregate"),
+      wantNone = Seq("Join")),
+    // vocab growth: min-per-term partial agg; cumulative window rides
+    // the tiny per-batch frame; join-free
+    Check("vg01_vocab_growth", Seq("Generate", "HashAggregate", "Window"),
+      wantNone = Seq("Join")),
+    // checksum: three scans, hash in the scan-side project, one union
+    // of single-row aggregates — never a join
+    Check("cs01_table_checksum", Seq("Union", "md5"),
+      wantNone = Seq("Join")),
+    // cohort retention: min-per-user partial aggregates + user-keyed
+    // joins — NO window over raw events
+    Check("co02_cohort_retention", Seq("HashAggregate"),
+      wantNone = Seq("Window")),
+    // transitions: lead() partitions by user; from-type totals
+    // broadcast onto the pair table
+    Check("mk01_markov_transitions",
+      Seq("windowspecdefinition(user_id", "BroadcastHashJoin")),
+    // A/B test: aggregates all the way down — no window
+    Check("ab01_ab_test", Seq("HashAggregate"), wantNone = Seq("Window")),
+    // k-anonymity: ONE partial-agg shuffle over the QI columns;
+    // window- and join-free
+    Check("qc02_k_anonymity", Seq("HashAggregate"),
+      wantNone = Seq("Window", "Join")),
+    // rolling actives: presence dedup + bounded explode + plain
+    // distinct aggregates — the non-decomposable sliding distinct is
+    // NEVER expressed as a window
+    Check("wa01_rolling_active", Seq("Generate", "HashAggregate"),
+      wantNone = Seq("Window")),
+    // drawdown: both running aggregates partition by user; join-free
+    Check("ts05_drawdown", Seq("windowspecdefinition(user_id"),
+      wantNone = Seq("Join")),
+    // OLS trend: dim joins broadcast; the regression is two aggregate
+    // levels with NO window and no sort before the presentation one
+    Check("lr01_linear_fit", Seq("BroadcastHashJoin", "HashAggregate"),
+      wantNone = Seq("Window")),
+    // BFS rounds are hash joins on node id + min-aggregates — never a
+    // nested loop, never a window over the frontier
+    Check("bf01_bfs_hops", Seq("HashAggregate"),
+      wantNone = Seq("BroadcastNestedLoopJoin", "Window")),
+    // the JW score evaluates as the native expression inside the
+    // verify stage, and length-equality blocking keeps the pairing an
+    // equi-join (hash), not a nested loop
+    Check("fz03_jaro_typos", Seq("jaro_winkler"),
+      wantNone = Seq("BroadcastNestedLoopJoin")))
 
   /** All failed assertions for a session (empty = every pin holds);
     * shared by the CLI main below and PlanSpec so the pins run under

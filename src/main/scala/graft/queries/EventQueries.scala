@@ -534,8 +534,93 @@ object EventQueries {
            |      (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))), 6) AS z
            |FROM w""".stripMargin))
 
+  /** ROLLING ACTIVE USERS (DAU / WAU / MAU + stickiness): the
+    * engagement dashboard's backbone. Distinct-over-sliding-window is
+    * NOT decomposable, so the classic scale shape is used instead:
+    * dedupe to a (day, user) presence table first (partial agg), then
+    * each presence row CONTRIBUTES to the ≤7 / ≤30 target days it
+    * makes active, and a plain countDistinct per target day finishes.
+    * Fan-out is bounded by the window length and runs over the
+    * deduped presence table, not raw events. Target days are
+    * restricted to the observed calendar (semi join). Stickiness =
+    * DAU/MAU divides two exactly-determined doubles.
+    *
+    * 100 TB: presence is the only event-sized shuffle; the ×7/×30
+    * explode happens post-dedup (typically 100-1000× smaller), and
+    * the final aggregates shuffle (day, user) pairs — 16 B keys. */
+  val wa01RollingActive = QueryDef("wa01_rolling_active",
+    (s, d) => {
+      val presence = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val cal = presence.select(col("day")).distinct()
+      def rolling(win: Int, out: String) = presence
+        .select(explode(sequence(lit(0), lit(win - 1))).as("k"),
+          col("day"), col("user_id"))
+        .select(date_add(col("day"), col("k")).as("day"), col("user_id"))
+        .join(cal, Seq("day"), "left_semi")
+        .groupBy("day").agg(countDistinct(col("user_id")).as(out))
+      val dau = presence.groupBy("day").agg(countDistinct(col("user_id")).as("dau"))
+      dau.join(rolling(7, "wau"), Seq("day"))
+        .join(rolling(30, "mau"), Seq("day"))
+        .select(col("day"), col("dau"), col("wau"), col("mau"),
+          round(col("dau").cast(DoubleType) / col("mau").cast(DoubleType), 6)
+            .as("stickiness"))
+        .orderBy("day")
+    },
+    Some("""WITH p AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+           |cal AS (SELECT DISTINCT day FROM p),
+           |dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM p GROUP BY day),
+           |wau AS (SELECT t.day, COUNT(DISTINCT t.user_id) AS wau FROM (
+           |    SELECT p.day + CAST(k.k AS INTEGER) AS day, p.user_id
+           |    FROM p, (SELECT unnest(range(0, 7)) AS k) k) t
+           |  WHERE t.day IN (SELECT day FROM cal) GROUP BY t.day),
+           |mau AS (SELECT t.day, COUNT(DISTINCT t.user_id) AS mau FROM (
+           |    SELECT p.day + CAST(k.k AS INTEGER) AS day, p.user_id
+           |    FROM p, (SELECT unnest(range(0, 30)) AS k) k) t
+           |  WHERE t.day IN (SELECT day FROM cal) GROUP BY t.day)
+           |SELECT d.day, d.dau, w.wau, m.mau,
+           |  ROUND(CAST(d.dau AS DOUBLE) / CAST(m.mau AS DOUBLE), 6) AS stickiness
+           |FROM dau d JOIN wau w USING (day) JOIN mau m USING (day)
+           |ORDER BY day""".stripMargin))
+
+  /** PER-USER MAXIMUM DRAWDOWN of cumulative event value — running
+    * peak minus running total, maximized; the burn/regression signal
+    * for any monotone-ish cumulative series. Values ride as integer
+    * cents (decimal→int, exact), the running sums and maxes are
+    * integer window aggregates, and the output is the max gap — no
+    * float enters at all.
+    *
+    * 100 TB: both windows partition BY USER and evaluate in one pass
+    * over each user's (sorted) slice; the result is one row per user. */
+  val ts05Drawdown = QueryDef("ts05_drawdown",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (col("value").cast(DecimalType(12, 2)) * 100).cast(LongType).as("cents"))
+        .withColumn("cum", sum(col("cents")).over(w))
+        .withColumn("peak", max(col("cum")).over(w))
+        .groupBy("user_id")
+        .agg(max(col("peak") - col("cum")).as("max_drawdown_cents"))
+        .orderBy("user_id")
+    },
+    Some("""WITH c AS (SELECT user_id, ts, event_id,
+           |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+           |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+           |  FROM events),
+           |e AS (SELECT user_id, cum,
+           |    CAST(MAX(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS peak
+           |  FROM c)
+           |SELECT user_id, MAX(peak - cum) AS max_drawdown_cents
+           |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(s01SessionCounts, s02SessionWindow, s03DailyByType,
     aj01AsOf, aj02AsOfForward, aj03AsOfTolerance, pt01PointInTime,
     bj01BandJoin, ov01IntervalOverlap, ts01GapFill, ts02Ewma, ts03Anomaly,
-    fn01Funnel, co02CohortRetention, mk01MarkovTransitions, ab01AbTest)
+    fn01Funnel, co02CohortRetention, mk01MarkovTransitions, ab01AbTest,
+    wa01RollingActive, ts05Drawdown)
 }

@@ -151,6 +151,56 @@ object GraphQueries {
            |  WHERE p.p_partkey >= 10)
            |SELECT id, root, depth FROM walk ORDER BY id""".stripMargin))
 
+  /** BFS HOP DISTANCES (bounded single-source shortest paths on an
+    * unweighted graph): minimum hop count from the smallest node id of
+    * the customer↔supplier trade graph (pr01's edge set, made
+    * undirected) to every node within 4 hops. Four relational BFS
+    * rounds compose as ONE lazy plan — each round joins the current
+    * distance table to the edge list and takes the min — exactly the
+    * frontier expansion a Pregel BFS runs, expressed declaratively so
+    * the per-round edge-keyed shuffle is visible to AQE. The oracle is
+    * the textbook recursive CTE (UNION-dedup bounds the walk at
+    * |V|·depth states despite cycles) finished by MIN(depth).
+    *
+    * 100 TB: per round, one shuffle keyed by node id over a frame that
+    * never exceeds |V| rows (min-dist collapses the frontier — no
+    * path-count blowup on dense graphs); a fixed hop budget is the
+    * production shape for "neighborhood within k" features, and an
+    * open-ended diameter sweep would switch to the imperative
+    * localCheckpoint loop ConnectedComponents uses. */
+  val bf01BfsHops = QueryDef("bf01_bfs_hops",
+    (s, d) => {
+      val e0 = Tables.orders(s, d)
+        .select(col("o_orderkey"), (col("o_custkey") * 2).as("src"))
+        .join(Tables.lineitem(s, d)
+          .select(col("l_orderkey"), (col("l_suppkey") * 2 + 1).as("dst")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select("src", "dst").distinct()
+      val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      val seed = e.agg(min(col("src")).as("id"))
+        .select(col("id"), lit(0L).as("dist"))
+      def step(dt: DataFrame): DataFrame = {
+        val hop = dt.withColumnRenamed("id", "src")
+          .join(e, "src")
+          .select(col("dst").as("id"), (col("dist") + 1L).as("dist"))
+        dt.union(hop).groupBy("id").agg(min(col("dist")).as("dist"))
+      }
+      val d4 = Iterator.iterate(seed.toDF())(step).drop(4).next()
+      d4.orderBy("id")
+    },
+    Some("""WITH RECURSIVE e AS (
+           |  SELECT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           |  UNION SELECT l_suppkey*2+1, o_custkey*2
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |walk(id, depth) AS (
+           |  SELECT (SELECT MIN(src) FROM e), CAST(0 AS BIGINT)
+           |  UNION
+           |  SELECT e.dst, w.depth + 1 FROM walk w JOIN e ON e.src = w.id
+           |  WHERE w.depth < 4)
+           |SELECT id, CAST(MIN(depth) AS BIGINT) AS dist
+           |FROM walk GROUP BY id ORDER BY id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(pr01PageRank, tc01Triangles,
-    hi01HierarchyFlatten)
+    hi01HierarchyFlatten, bf01BfsHops)
 }

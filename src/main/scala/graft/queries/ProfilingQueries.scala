@@ -366,6 +366,77 @@ object ProfilingQueries {
            |    CAST(SUM(CAST(rh AS HUGEINT)) AS VARCHAR) FROM o)
            |ORDER BY table_name""".stripMargin))
 
+  /** PER-GROUP LINEAR TREND (OLS) of weekly revenue vs calendar week —
+    * the closed-form regression every KPI dashboard fits ("is this
+    * nation's revenue growing, and how fast?"). Two aggregation
+    * levels: (nation, epoch-week) revenue accumulates in exact integer
+    * cents, then per nation the five OLS sums (n, Σx, Σy, Σxy, Σx²)
+    * accumulate in DECIMAL — exact and order-independent — and
+    * slope/intercept are assembled AFTER aggregation from
+    * exactly-determined doubles (the cv01 discipline: both engines
+    * execute the identical IEEE-754 sequence, so `round(…, 6)`
+    * hash-matches). slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²), intercept =
+    * (Σy − slope·Σx)/n, plus the same-sums correlation r for fit
+    * quality — `sqrt` is correctly rounded by standard (the ab01
+    * precedent), so it stays portable.
+    *
+    * 100 TB: level 1 is the only fact-sized shuffle (keyed by
+    * (nation, week) — weeks spread each nation's hot key); level 2
+    * aggregates a weeks×nations frame. The regression itself costs
+    * five sums — no per-point pass, no window, no sort. */
+  val lr01LinearFit = QueryDef("lr01_linear_fit",
+    (s, d) => {
+      val weekly = Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"),
+          expr("datediff(o_orderdate, date'1970-01-01') div 7").as("wk"))
+        .agg(sum((col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+          .cast(LongType)).as("cents"))
+      val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+      val sums = weekly.groupBy("n_name").agg(
+        count(lit(1)).as("n_weeks"),
+        sum(dec(col("wk"))).cast(DoubleType).as("sx"),
+        sum(dec(col("cents"))).cast(DoubleType).as("sy"),
+        sum(dec(col("wk")) * dec(col("cents"))).cast(DoubleType).as("sxy"),
+        sum(dec(col("wk")) * dec(col("wk"))).cast(DoubleType).as("sxx"),
+        sum(dec(col("cents")) * dec(col("cents"))).cast(DoubleType).as("syy"))
+      val nD = col("n_weeks").cast(DoubleType)
+      val slope = (nD * col("sxy") - col("sx") * col("sy")) /
+        (nD * col("sxx") - col("sx") * col("sx"))
+      sums.select(col("n_name"), col("n_weeks"),
+          round(slope, 6).as("slope_cents_per_week"),
+          round((col("sy") - slope * col("sx")) / nD, 2).as("intercept_cents"),
+          round((nD * col("sxy") - col("sx") * col("sy")) /
+            sqrt((nD * col("sxx") - col("sx") * col("sx")) *
+              (nD * col("syy") - col("sy") * col("sy"))), 6).as("r"))
+        .orderBy("n_name")
+    },
+    Some("""WITH weekly AS (SELECT n_name,
+           |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) // 7 AS wk,
+           |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+           |      AS BIGINT) AS cents
+           |  FROM orders JOIN customer ON o_custkey = c_custkey
+           |  JOIN nation ON c_nationkey = n_nationkey
+           |  GROUP BY 1, 2),
+           |s AS (SELECT n_name, COUNT(*) AS n_weeks,
+           |    CAST(SUM(CAST(wk AS HUGEINT)) AS DOUBLE) AS sx,
+           |    CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE) AS sy,
+           |    CAST(SUM(CAST(wk AS HUGEINT) * CAST(cents AS HUGEINT)) AS DOUBLE) AS sxy,
+           |    CAST(SUM(CAST(wk AS HUGEINT) * CAST(wk AS HUGEINT)) AS DOUBLE) AS sxx,
+           |    CAST(SUM(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS DOUBLE) AS syy
+           |  FROM weekly GROUP BY 1)
+           |SELECT n_name, n_weeks,
+           |  ROUND((n_weeks * sxy - sx * sy) / (n_weeks * sxx - sx * sx), 6)
+           |    AS slope_cents_per_week,
+           |  ROUND((sy - (n_weeks * sxy - sx * sy) / (n_weeks * sxx - sx * sx) * sx)
+           |    / n_weeks, 2) AS intercept_cents,
+           |  ROUND((n_weeks * sxy - sx * sy) /
+           |    SQRT((n_weeks * sxx - sx * sx) * (n_weeks * syy - sy * sy)), 6) AS r
+           |FROM s ORDER BY n_name""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(dp01Profile, cv01CovarianceMatrix,
-    gn01GiniConcentration, vg01VocabGrowth, cs01TableChecksum)
+    gn01GiniConcentration, vg01VocabGrowth, cs01TableChecksum,
+    lr01LinearFit)
 }

@@ -167,6 +167,110 @@ class AnalyticsQueriesSpec extends SparkSpec {
     }.sum.toString == custRow._3)
   }
 
+  test("wa01: DAU/WAU/MAU reproduce from a driver-side brute-force recount") {
+    val got = EventQueries.wa01RollingActive.fn(spark, sfDir)
+      .as[(java.sql.Date, Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    val presence = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(to_date(timestamp_micros(expr("ts div 1000"))).as("day"), col("user_id"))
+      .distinct().as[(java.sql.Date, Long)].collect()
+      .map { case (d, u) => (d.toLocalDate, u) }
+    val days = presence.map(_._1).distinct.sorted
+    got.foreach { case (dayD, dau, wau, mau, stick) =>
+      val day = dayD.toLocalDate
+      def active(win: Int) = presence.collect {
+        case (d, u) if !d.isAfter(day) && d.isAfter(day.minusDays(win)) => u
+      }.distinct.size.toLong
+      assert(dau == active(1), s"$day dau")
+      assert(wau == active(7), s"$day wau")
+      assert(mau == active(30), s"$day mau")
+      assert(dau <= wau && wau <= mau)
+      assert(math.abs(stick - dau.toDouble / mau.toDouble) < 1e-6)
+    }
+    assert(got.length == days.length, "one row per observed day")
+  }
+
+  test("ts05: max drawdown reproduces from a per-user driver-side scan") {
+    val got = EventQueries.ts05Drawdown.fn(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+      .as[(Long, Long, Long, Long)].collect()
+    val expected = ev.groupBy(_._1).map { case (u, rows) =>
+      var cum = 0L; var peak = Long.MinValue; var dd = Long.MinValue
+      rows.sortBy(r => (r._2, r._3)).foreach { r =>
+        cum += r._4; peak = math.max(peak, cum); dd = math.max(dd, peak - cum)
+      }
+      u -> dd
+    }
+    assert(got == expected)
+    // drawdown is non-negative by construction (peak ≥ cum at the peak row)
+    assert(got.values.forall(_ >= 0))
+  }
+
+  test("lr01: slope/intercept/r reproduce from a driver-side OLS over the weekly points") {
+    val got = ProfilingQueries.lr01LinearFit.fn(spark, sfDir)
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(got.nonEmpty)
+    val weekly = spark.read.parquet(s"$sfDir/orders.parquet")
+      .join(spark.read.parquet(s"$sfDir/customer.parquet"),
+        col("o_custkey") === col("c_custkey"))
+      .join(spark.read.parquet(s"$sfDir/nation.parquet"),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        expr("datediff(o_orderdate, date'1970-01-01') div 7").as("wk"))
+      .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")).as("cents"))
+      .as[(String, Long, Long)].collect()
+    val byNation = weekly.groupBy(_._1)
+    got.foreach { case (nation, nWeeks, slope, intercept, r) =>
+      val pts = byNation(nation).map(p => (p._2.toDouble, p._3.toDouble))
+      val n = pts.length.toDouble
+      assert(nWeeks == pts.length.toLong, s"$nation n_weeks")
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val syy = pts.map(p => p._2 * p._2).sum
+      val slopeRaw = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      assert(math.abs(slope - slopeRaw) < 5e-4, s"$nation slope $slope vs $slopeRaw")
+      assert(math.abs(intercept - (sy - slopeRaw * sx) / n) < 0.5, s"$nation intercept")
+      val rRaw = (n * sxy - sx * sy) /
+        math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      assert(math.abs(r - rRaw) < 5e-4, s"$nation r $r vs $rRaw")
+      assert(r >= -1.0 - 1e-9 && r <= 1.0 + 1e-9)
+    }
+  }
+
+  test("bf01: hop distances reproduce from a driver-side BFS") {
+    val got = GraphQueries.bf01BfsHops.fn(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    assert(got.nonEmpty)
+    val edges = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), (col("o_custkey") * 2).as("src"))
+      .join(spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey"), (col("l_suppkey") * 2 + 1).as("dst")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select("src", "dst").distinct()
+      .as[(Long, Long)].collect()
+    val adj = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val seed = edges.map(_._1).min
+    var dist = Map(seed -> 0L)
+    var frontier = Set(seed)
+    (1 to 4).foreach { d =>
+      frontier = frontier.flatMap(adj.getOrElse(_, Set.empty))
+        .filterNot(dist.contains)
+      dist ++= frontier.map(_ -> d.toLong)
+    }
+    assert(got == dist, "BFS distances diverge from the driver-side recount")
+    assert(got(seed) == 0L)
+    // every non-seed node at dist d has a neighbor at d-1 (BFS invariant)
+    got.filter(_._2 > 0).foreach { case (id, d) =>
+      assert(adj(id).exists(nb => got.get(nb).contains(d - 1)), s"node $id")
+    }
+  }
+
   test("qc02: flags restate their defining inequalities; classes partition the table") {
     val rows = PipelineQueries.qc02KAnonymity.fn(spark, sfDir)
       .as[(Int, String, Long, Long, Long, Long)].collect()
