@@ -103,8 +103,14 @@ object GraphQueries {
     * are identical whichever node each scheme picks as apex. */
   val tc01Triangles = QueryDef("tc01_triangle_count",
     (s, d) => {
-      val li = Tables.lineitem(s, d).select(col("l_orderkey").as("ok"),
-        col("l_partkey").as("pk"))
+      // even-partkey probe slice (the fz02/sm04 scoping convention):
+      // the co-purchase graph is wedge-dense by construction (~35M
+      // wedges at sf0.1 unscoped) and triangle work is Θ(Σ wedges) in
+      // ANY exact scheme — the slice keeps the demo output-bound
+      // while the degree-orientation scale argument is unchanged
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_partkey") % 2 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       // co-occurrence within an order: pair fanout is C(items, 2) with
       // items bounded (≤7 in TPC-H shape) — the self-join is an
       // equi-join on ok, NOT a cross join; already canonical via <
@@ -117,7 +123,8 @@ object GraphQueries {
     },
     Some("""WITH e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
            |           FROM lineitem x JOIN lineitem y
-           |           ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+           |           ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+           |           WHERE x.l_partkey % 2 = 0 AND y.l_partkey % 2 = 0),
            |tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
            |        FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
            |        JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),

@@ -30,13 +30,19 @@ object IndexQueries {
     * filtered stats side when small. The df band is the skew guard. */
   val ix01InvertedIndex = QueryDef("ix01_inverted_index",
     (s, d) => {
-      val toks = Tables.documents(s, d)
+      // explode ONCE, collapse to (term, doc) immediately (the ppx01
+      // shape): df is then a plain row count and tf a sum — no
+      // countDistinct over occurrences — and the postings pass joins
+      // the same pre-aggregated frame (identical exchange →
+      // ReusedExchange), so the occurrence stream is scanned once
+      val dtc = Tables.documents(s, d)
         .select(col("doc_id"),
           explode(TextFunctions.shinglesAll(col("text"), 2)).as("term"))
-      val stats = toks.groupBy("term")
-        .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
+        .groupBy("term", "doc_id").agg(count(lit(1)).as("cnt"))
+      val stats = dtc.groupBy("term")
+        .agg(count(lit(1)).as("df"), sum(col("cnt")).cast("bigint").as("tf"))
         .filter(col("df").between(3, 50))
-      toks.join(stats, Seq("term"))
+      dtc.join(stats, Seq("term"))
         .groupBy("term", "df", "tf")
         .agg(array_join(
           slice(sort_array(collect_set(col("doc_id"))), 1, 10)
@@ -183,12 +189,17 @@ object IndexQueries {
     * stream; the powers join is 40 rows. */
   val ppx01QuantizedSurprisal = QueryDef("ppx01_quantized_surprisal",
     (s, d) => {
-      val bg = Tables.documents(s, d)
+      // explode ONCE and collapse to (doc, term) occurrence counts
+      // immediately: `dt` is the shared base for both the term-level
+      // LM counts and the final per-doc scoring join (its exchange is
+      // identical in both uses → ReusedExchange), so no second pass
+      // over the occurrence stream exists anywhere in the plan
+      val dt = Tables.documents(s, d)
         .select(col("doc_id"),
           explode(TextFunctions.shinglesAll(col("text"), 2)).as("term"))
-        .select(col("doc_id"), split(col("term"), " ").getItem(0).as("ctx"),
-          col("term"))
-      val c = bg.groupBy("ctx", "term").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("occ"))
+      val c = dt.groupBy("term").agg(sum(col("occ")).cast("bigint").as("c"))
+        .withColumn("ctx", split(col("term"), " ").getItem(0))
       val t = c.groupBy("ctx").agg(sum(col("c")).cast("bigint").as("tc"))
       val pw = s.range(0, 40).select(col("id").as("k"),
         expr("shiftleft(cast(1 as bigint), cast(id as int))").as("p"))
@@ -205,10 +216,10 @@ object IndexQueries {
             .when(c4 * pb4 * 4 <= tc4, 2L)
             .when(c4 * pb4 * 2 <= tc4, 1L).otherwise(0L))
           .cast("bigint").as("qbits"))
-      bg.join(broadcast(qb), Seq("term"))
+      dt.join(broadcast(qb), Seq("term"))
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          sum(col("qbits")).cast("bigint").as("sum_qbits"))
+        .agg(sum(col("occ")).cast("bigint").as("n_bigrams"),
+          sum(col("occ") * col("qbits")).cast("bigint").as("sum_qbits"))
         .select(col("doc_id"), col("n_bigrams"), col("sum_qbits"),
           round(col("sum_qbits").cast("double") /
             (lit(4.0) * col("n_bigrams").cast("double")), 6).as("avg_bits"))

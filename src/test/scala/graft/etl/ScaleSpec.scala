@@ -70,6 +70,32 @@ class ScaleSpec extends SparkSpec {
       graft.Tables.events(spark, sfDir).filter(col("ts").cast("date") === "2024-01-02").count())
   }
 
+  test("dynamic partition pruning: a dim-side filter prunes fact partitions at runtime") {
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "dpp").toString
+    val ev = graft.Tables.events(spark, sfDir)
+      .withColumn("day", col("ts").cast("date"))
+    ev.write.mode("overwrite").partitionBy("day").parquet(s"$dir/fact")
+    // dim carries a NON-partition attribute; only the filtered join can
+    // reveal which fact partitions matter — static pruning can't fire
+    val hot = ev.agg(min(col("day"))).head().getDate(0)
+    ev.select(col("day")).distinct()
+      .withColumn("is_hot", (col("day") === lit(hot)).cast("int"))
+      .write.mode("overwrite").parquet(s"$dir/dim")
+    val fact = spark.read.parquet(s"$dir/fact")
+    val dim = spark.read.parquet(s"$dir/dim").filter(col("is_hot") === 1)
+    val joined = fact.join(dim, Seq("day")).groupBy("day")
+      .agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    // runtime pruning shows up as a dynamic expression in the fact
+    // scan's PartitionFilters (fed by a reused/subquery broadcast)
+    assert(plan.contains("dynamicpruningexpression"), plan)
+    val got = joined.as[(java.sql.Date, Long)].collect().toMap
+    val want = ev.filter(col("day") === lit(hot)).count()
+    assert(got == Map(hot -> want))
+  }
+
   test("SQL surface: vec_dot and minhashes usable from spark.sql after install") {
     graft.GraftExtensions.install(spark)
     val out = spark.sql(
