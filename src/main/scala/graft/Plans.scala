@@ -316,7 +316,11 @@ object Plans {
     // verify stage, and length-equality blocking keeps the pairing an
     // equi-join (hash), not a nested loop
     Check("fz03_jaro_typos", Seq("jaro_winkler"),
-      wantNone = Seq("BroadcastNestedLoopJoin")))
+      wantNone = Seq("BroadcastNestedLoopJoin")),
+    // multi-step funnel: N stages = N min-aggregate joins over
+    // type-filtered slices; no window, no event-by-event state
+    Check("fn02_funnel_steps", Seq("HashAggregate"),
+      wantNone = Seq("Window")))
 
   /** All failed assertions for a session (empty = every pin holds);
     * shared by the CLI main below and PlanSpec so the pins run under

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.events.Sessions
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
@@ -299,6 +300,73 @@ object EventQueries {
            |  COUNT(*) AS n_users
            |FROM conv GROUP BY bucket ORDER BY bucket""".stripMargin))
 
+  /** THREE-STEP FUNNEL with PER-STEP windows (signup → activation
+    * within 7d → purchase within 14d of activating): the multi-stage
+    * generalization of fn01. Each stage is one min-aggregate with the
+    * window condition in the join ON clause (filtering after the left
+    * join would evict users who belong in the drop-off bucket), so N
+    * funnel stages cost N joins over stage-filtered slices — never an
+    * event-by-event state walk. Counts come from ONE final aggregate;
+    * stage-to-stage conversion divides exactly-determined doubles.
+    *
+    * 100 TB: every join is keyed by user_id over slices pre-filtered
+    * to one event type; no window functions, no self-join of the raw
+    * stream against itself without a type filter. */
+  val fn02FunnelSteps = QueryDef("fn02_funnel_steps",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val act = su.alias("s").join(
+          ev.filter(col("event_type") === "activation")
+            .select(col("user_id"), col("ts").as("a_ts")).alias("a"),
+          expr("s.user_id = a.user_id AND a.a_ts >= s.t1 AND " +
+            "unix_micros(a.a_ts) - unix_micros(s.t1) <= 604800000000"), "left")
+        .groupBy(col("s.user_id"), col("t1")).agg(min(col("a_ts")).as("t2"))
+      val pur = act.alias("x").join(
+          ev.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts").as("p_ts")).alias("p"),
+          expr("x.user_id = p.user_id AND p.p_ts >= x.t2 AND " +
+            "unix_micros(p.p_ts) - unix_micros(x.t2) <= 1209600000000"), "left")
+        .groupBy(col("x.user_id"), col("t1"), col("t2"))
+        .agg(min(col("p_ts")).as("t3"))
+      pur.agg(count(lit(1)).as("n1"),
+          sum(when(col("t2").isNotNull, 1L).otherwise(0L)).as("n2"),
+          sum(when(col("t3").isNotNull, 1L).otherwise(0L)).as("n3"))
+        .selectExpr("""stack(3,
+          '1_signup',        n1, CAST(NULL AS DOUBLE),
+          '2_activation_7d', n2, CASE WHEN n1 > 0 THEN round(CAST(n2 AS DOUBLE) / n1, 6) END,
+          '3_purchase_14d',  n3, CASE WHEN n2 > 0 THEN round(CAST(n3 AS DOUBLE) / n2, 6) END)
+          as (stage, n_users, conv_from_prev)""")
+        .orderBy("stage")
+    },
+    Some("""WITH su AS (SELECT user_id, MIN(ts) AS t1 FROM events
+           |        WHERE event_type = 'signup' GROUP BY user_id),
+           |a AS (SELECT su.user_id, su.t1, MIN(e.ts) AS t2
+           |  FROM su LEFT JOIN events e
+           |    ON e.user_id = su.user_id AND e.event_type = 'activation'
+           |   AND e.ts >= su.t1
+           |   AND epoch_us(e.ts) - epoch_us(su.t1) <= 604800000000
+           |  GROUP BY 1, 2),
+           |p AS (SELECT a.user_id, a.t2, MIN(e.ts) AS t3
+           |  FROM a LEFT JOIN events e
+           |    ON e.user_id = a.user_id AND e.event_type = 'purchase'
+           |   AND e.ts >= a.t2
+           |   AND epoch_us(e.ts) - epoch_us(a.t2) <= 1209600000000
+           |  GROUP BY 1, 2),
+           |c AS (SELECT COUNT(*) AS n1,
+           |    CAST(SUM(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+           |    CAST(SUM(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n3
+           |  FROM p)
+           |SELECT stage, n_users, conv_from_prev FROM (
+           |  SELECT '1_signup' AS stage, n1 AS n_users,
+           |    CAST(NULL AS DOUBLE) AS conv_from_prev FROM c
+           |  UNION ALL SELECT '2_activation_7d', n2,
+           |    CASE WHEN n1 > 0 THEN ROUND(CAST(n2 AS DOUBLE) / n1, 6) END FROM c
+           |  UNION ALL SELECT '3_purchase_14d', n3,
+           |    CASE WHEN n2 > 0 THEN ROUND(CAST(n3 AS DOUBLE) / n2, 6) END FROM c)
+           |ORDER BY stage""".stripMargin))
+
   /** INTERVAL-OVERLAP join (graft.events.IntervalJoin): 30-day order
     * windows of one customer cohort against 21-day windows of another —
     * "which fulfillment windows ran concurrently". The engine executes
@@ -548,25 +616,31 @@ object EventQueries {
     * 100 TB: presence is the only event-sized shuffle; the ×7/×30
     * explode happens post-dedup (typically 100-1000× smaller), and
     * the final aggregates shuffle (day, user) pairs — 16 B keys. */
+  /** DAU/WAU/MAU + stickiness from an already-deduped (day, user)
+    * presence table — shared by the batch query below and the
+    * streaming materialization parity path (the presence table is
+    * exactly what incremental state maintenance keeps current, so the
+    * dashboard recomputes from state without touching raw history). */
+  def rollingActiveFromPresence(presence: DataFrame): DataFrame = {
+    val cal = presence.select(col("day")).distinct()
+    def rolling(win: Int, out: String) = presence
+      .select(explode(sequence(lit(0), lit(win - 1))).as("k"),
+        col("day"), col("user_id"))
+      .select(date_add(col("day"), col("k")).as("day"), col("user_id"))
+      .join(cal, Seq("day"), "left_semi")
+      .groupBy("day").agg(countDistinct(col("user_id")).as(out))
+    val dau = presence.groupBy("day").agg(countDistinct(col("user_id")).as("dau"))
+    dau.join(rolling(7, "wau"), Seq("day"))
+      .join(rolling(30, "mau"), Seq("day"))
+      .select(col("day"), col("dau"), col("wau"), col("mau"),
+        round(col("dau").cast(DoubleType) / col("mau").cast(DoubleType), 6)
+          .as("stickiness"))
+      .orderBy("day")
+  }
+
   val wa01RollingActive = QueryDef("wa01_rolling_active",
-    (s, d) => {
-      val presence = Tables.events(s, d)
-        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
-      val cal = presence.select(col("day")).distinct()
-      def rolling(win: Int, out: String) = presence
-        .select(explode(sequence(lit(0), lit(win - 1))).as("k"),
-          col("day"), col("user_id"))
-        .select(date_add(col("day"), col("k")).as("day"), col("user_id"))
-        .join(cal, Seq("day"), "left_semi")
-        .groupBy("day").agg(countDistinct(col("user_id")).as(out))
-      val dau = presence.groupBy("day").agg(countDistinct(col("user_id")).as("dau"))
-      dau.join(rolling(7, "wau"), Seq("day"))
-        .join(rolling(30, "mau"), Seq("day"))
-        .select(col("day"), col("dau"), col("wau"), col("mau"),
-          round(col("dau").cast(DoubleType) / col("mau").cast(DoubleType), 6)
-            .as("stickiness"))
-        .orderBy("day")
-    },
+    (s, d) => rollingActiveFromPresence(Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()),
     Some("""WITH p AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
            |cal AS (SELECT DISTINCT day FROM p),
            |dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM p GROUP BY day),
@@ -621,6 +695,6 @@ object EventQueries {
   val all: Seq[QueryDef] = Seq(s01SessionCounts, s02SessionWindow, s03DailyByType,
     aj01AsOf, aj02AsOfForward, aj03AsOfTolerance, pt01PointInTime,
     bj01BandJoin, ov01IntervalOverlap, ts01GapFill, ts02Ewma, ts03Anomaly,
-    fn01Funnel, co02CohortRetention, mk01MarkovTransitions, ab01AbTest,
-    wa01RollingActive, ts05Drawdown)
+    fn01Funnel, fn02FunnelSteps, co02CohortRetention, mk01MarkovTransitions,
+    ab01AbTest, wa01RollingActive, ts05Drawdown)
 }

@@ -168,6 +168,30 @@ class StreamingSpec extends SparkSpec {
     assert(gens.length <= 2, "older generations should be pruned")
   }
 
+  test("streaming presence maintenance reproduces the rolling-actives dashboard exactly") {
+    val srcDir = s"$stagingDir/events_wa"
+    // 4 source files + maxFilesPerTrigger=1 → 4 incremental merges
+    Tables.events(spark, sfDir).repartition(4)
+      .write.mode("overwrite").parquet(srcDir)
+    val stateDir = s"$stagingDir/state_wa"
+    // the maintained state IS wa01's presence table: distinct
+    // (day, user) keys accumulate across micro-batches (re-observing
+    // a pair just bumps its count — key set unchanged), so the
+    // dashboard recomputes from state without re-reading history
+    val stream = spark.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .select(to_date(col("ts")).as("day"), col("user_id"), lit(1L).as("one"))
+    val q = StreamingIngest.maintainAggState(
+      stream, Seq("day", "user_id"), "one", stateDir)
+    q.awaitTermination()
+    val presence = StreamingIngest.currentAggState(spark, stateDir).get
+      .select("day", "user_id")
+    val got = graft.queries.EventQueries.rollingActiveFromPresence(presence)
+    val want = graft.queries.EventQueries.wa01RollingActive.fn(spark, sfDir)
+    assert(got.count() == want.count() && want.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
   test("streaming boilerplate strip equals the batch pass exactly") {
     val docsDir = s"$stagingDir/documents_bp"
     Tables.documents(spark, sfDir).repartition(4)
