@@ -320,7 +320,15 @@ object Plans {
     // multi-step funnel: N stages = N min-aggregate joins over
     // type-filtered slices; no window, no event-by-event state
     Check("fn02_funnel_steps", Seq("HashAggregate"),
-      wantNone = Seq("Window")))
+      wantNone = Seq("Window")),
+    // embedding profile: row-local posexplode into ONE partial-agg
+    // shuffle keyed by dim; join- and window-free
+    Check("em01_dim_stats", Seq("Generate", "HashAggregate"),
+      wantNone = Seq("Join", "Window")),
+    // TWAP: the lead() window partitions by (user, day) — never
+    // unpartitioned — and the rest is one aggregate; join-free
+    Check("ts04_twap", Seq("windowspecdefinition(user_id"),
+      wantNone = Seq("Join")))
 
   /** All failed assertions for a session (empty = every pin holds);
     * shared by the CLI main below and PlanSpec so the pins run under

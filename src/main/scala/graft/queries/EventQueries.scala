@@ -300,6 +300,52 @@ object EventQueries {
            |  COUNT(*) AS n_users
            |FROM conv GROUP BY bucket ORDER BY bucket""".stripMargin))
 
+  /** TIME-WEIGHTED AVERAGE (TWAP) of event value per user-day — the
+    * billing/market convention where a value HOLDS until the next
+    * observation: Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_last−t_first) over consecutive
+    * pairs. Values quantize to integer micro-units and gaps are exact
+    * epoch-microsecond integers, so each summand is an exact integer
+    * (DECIMAL(38) — vq·Δt can reach ~10¹⁹ and would clip BIGINT) and
+    * the division at the end runs over exactly-determined doubles.
+    * Same-timestamp-only days (zero total span) are excluded by the
+    * denominator guard, not left to divide-by-zero semantics.
+    *
+    * 100 TB: ONE window shuffle keyed by (user, day) — bounded
+    * partitions by construction — then one partial-agg shuffle on the
+    * same key; nothing else is wide. */
+  val ts04Twap = QueryDef("ts04_twap",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id", "day").orderBy(col("ts"), col("event_id"))
+      val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+      val seg = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"), col("ts"),
+          col("event_id"), floor(col("value") * 1000000L).cast(LongType).as("vq"))
+        .withColumn("dt", unix_micros(lead(col("ts"), 1).over(w)) -
+          unix_micros(col("ts")))
+      seg.groupBy("user_id", "day")
+        .agg(count(lit(1)).as("n_events"),
+          sum(dec(col("vq")) * dec(col("dt"))).as("num"),
+          sum(col("dt")).cast(LongType).as("den"))
+        .filter(col("den") > 0)
+        .select(col("user_id"), col("day"), col("n_events"),
+          round(col("num").cast(DoubleType) / col("den").cast(DoubleType)
+            / 1e6, 6).as("twap"))
+        .orderBy("user_id", "day")
+    },
+    Some("""WITH seg AS (SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id,
+           |    CAST(FLOOR(value * 1000000.0) AS BIGINT) AS vq,
+           |    epoch_us(LEAD(ts, 1) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+           |      ORDER BY ts, event_id)) - epoch_us(ts) AS dt
+           |  FROM events),
+           |a AS (SELECT user_id, day, COUNT(*) AS n_events,
+           |    SUM(CAST(vq AS HUGEINT) * CAST(dt AS HUGEINT)) AS num,
+           |    CAST(SUM(dt) AS BIGINT) AS den
+           |  FROM seg GROUP BY 1, 2)
+           |SELECT user_id, day, n_events,
+           |  ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 1e6, 6) AS twap
+           |FROM a WHERE den > 0 ORDER BY user_id, day""".stripMargin))
+
   /** THREE-STEP FUNNEL with PER-STEP windows (signup → activation
     * within 7d → purchase within 14d of activating): the multi-stage
     * generalization of fn01. Each stage is one min-aggregate with the
@@ -695,6 +741,7 @@ object EventQueries {
   val all: Seq[QueryDef] = Seq(s01SessionCounts, s02SessionWindow, s03DailyByType,
     aj01AsOf, aj02AsOfForward, aj03AsOfTolerance, pt01PointInTime,
     bj01BandJoin, ov01IntervalOverlap, ts01GapFill, ts02Ewma, ts03Anomaly,
+    ts04Twap,
     fn01Funnel, fn02FunnelSteps, co02CohortRetention, mk01MarkovTransitions,
     ab01AbTest, wa01RollingActive, ts05Drawdown)
 }

@@ -273,7 +273,59 @@ object VectorQueries {
             |SELECT id, kept_as, id = kept_as AS is_kept
             |FROM lbl ORDER BY id""".stripMargin))
 
+  /** EMBEDDING-COLUMN PROFILE (per-dimension mean/variance/min/max —
+    * the dead-dimension and scale-drift audit run before any index
+    * build or quantizer fit). Values quantize to integer micro-units
+    * (floor(x·10⁶), float→double cast is exact and floor is
+    * deterministic) so every sum is an INTEGER sum — order-independent
+    * across partitionings and engines — and mean/variance are
+    * assembled after aggregation from exactly-determined doubles via
+    * the cv01 closed form.
+    *
+    * 100 TB: posexplode is row-local; ONE partial-agg shuffle keyed by
+    * dimension index (output is dim-count-sized, ≤ a few thousand rows
+    * regardless of corpus size). The quantized integer Σx² bounds:
+    * |x|≤10 ⇒ x_q²≤10¹⁴, safe to ~10⁴ rows per dim in BIGINT before
+    * DECIMAL(38) widening — which is what the sums use. */
+  val em01DimStats = QueryDef("em01_dim_stats",
+    (s, d) => {
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+      val q = Tables.embeddings(s, d)
+        .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("dim").cast("long").as("dim"),
+          floor(col("x").cast(DoubleType) * 1000000L).cast("long").as("xq"))
+      val nD = col("n").cast(DoubleType)
+      q.groupBy("dim").agg(
+          count(lit(1)).as("n"),
+          sum(dec(col("xq"))).cast(DoubleType).as("sx"),
+          sum(dec(col("xq")) * dec(col("xq"))).cast(DoubleType).as("sxx"),
+          min(col("xq")).as("min_q"), max(col("xq")).as("max_q"))
+        .select(col("dim"), col("n"),
+          round(col("sx") / nD / 1e6, 6).as("mean"),
+          round((nD * col("sxx") - col("sx") * col("sx")) / nD / nD / 1e12, 6)
+            .as("variance"),
+          round(col("min_q") / 1e6, 6).as("min_v"),
+          round(col("max_q") / 1e6, 6).as("max_v"))
+        .orderBy("dim")
+    },
+    Some("""WITH q AS (SELECT
+           |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+           |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS xq
+           |  FROM embeddings),
+           |a AS (SELECT dim, COUNT(*) AS n,
+           |    CAST(SUM(CAST(xq AS HUGEINT)) AS DOUBLE) AS sx,
+           |    CAST(SUM(CAST(xq AS HUGEINT) * CAST(xq AS HUGEINT)) AS DOUBLE) AS sxx,
+           |    MIN(xq) AS min_q, MAX(xq) AS max_q
+           |  FROM q GROUP BY dim)
+           |SELECT dim, n,
+           |  ROUND(sx / n / 1e6, 6) AS mean,
+           |  ROUND((n * sxx - sx * sx) / n / n / 1e12, 6) AS variance,
+           |  ROUND(min_q / 1e6, 6) AS min_v,
+           |  ROUND(max_q / 1e6, 6) AS max_v
+           |FROM a ORDER BY dim""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(nn01BruteTopK, nn02LshTopK, nn03NearDup,
     nn04IvfTopK, nn05LshRecall, nn06IvfAllProbe, nn07LshPortable,
-    dd06DupClusters, vq01ScalarQuant, sd01SemanticDedup)
+    dd06DupClusters, vq01ScalarQuant, sd01SemanticDedup, em01DimStats)
 }

@@ -271,6 +271,37 @@ class AnalyticsQueriesSpec extends SparkSpec {
     }
   }
 
+  test("ts04: TWAP reproduces from a driver-side segment walk") {
+    val got = EventQueries.ts04Twap.fn(spark, sfDir)
+      .as[(Long, java.sql.Date, Long, Double)].collect()
+      .map { case (u, d, n, t) => ((u, d.toLocalDate), (n, t)) }.toMap
+    assert(got.nonEmpty)
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("user_id"),
+        to_date(timestamp_micros(expr("ts div 1000"))).as("day"),
+        expr("ts div 1000").as("us"), col("event_id"),
+        floor(col("value") * 1000000L).cast("long").as("vq"))
+      .as[(Long, java.sql.Date, Long, Long, Long)].collect()
+    val expected = ev.groupBy(r => (r._1, r._2.toLocalDate)).flatMap {
+      case (k, rows) =>
+        val sorted = rows.sortBy(r => (r._3, r._4))
+        val num = sorted.sliding(2).collect { case Array(a, b) =>
+          BigInt(a._5) * BigInt(b._3 - a._3) }.sum
+        val den = sorted.last._3 - sorted.head._3
+        if (den > 0)
+          Some(k -> (rows.length.toLong,
+            BigDecimal((BigDecimal(num) / den / 1000000L).toDouble)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        else None
+    }
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (k, (n, t)) =>
+      val (en, et) = expected(k)
+      assert(n == en, s"$k n_events")
+      assert(math.abs(t - et) < 2e-6, s"$k twap $t vs $et")
+    }
+  }
+
   test("qc02: flags restate their defining inequalities; classes partition the table") {
     val rows = PipelineQueries.qc02KAnonymity.fn(spark, sfDir)
       .as[(Int, String, Long, Long, Long, Long)].collect()
