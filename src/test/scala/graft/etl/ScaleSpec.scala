@@ -70,6 +70,23 @@ class ScaleSpec extends SparkSpec {
       graft.Tables.events(spark, sfDir).filter(col("ts").cast("date") === "2024-01-02").count())
   }
 
+  test("ORC round-trip preserves rows and types; predicate reaches the ORC scan") {
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "orc").toString
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_shipdate")
+    li.write.mode("overwrite").orc(s"$dir/li")
+    val back = spark.read.orc(s"$dir/li")
+    assert(back.schema == li.schema)
+    assert(back.count() == li.count())
+    assert(back.exceptAll(li).count() == 0 && li.exceptAll(back).count() == 0)
+    val filtered = back.filter(col("l_quantity") >= 30)
+    val plan = filtered.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("Scan orc") && plan.contains("PushedFilters"), plan)
+    assert(filtered.count() == li.filter(col("l_quantity") >= 30).count())
+  }
+
   test("dynamic partition pruning: a dim-side filter prunes fact partitions at runtime") {
     val dir = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("/root/repo/target"), "dpp").toString
