@@ -328,6 +328,11 @@ object Plans {
     // TWAP: the lead() window partitions by (user, day) — never
     // unpartitioned — and the rest is one aggregate; join-free
     Check("ts04_twap", Seq("windowspecdefinition(user_id"),
+      wantNone = Seq("Join")),
+    // session paths: the sessionize window partitions by user; the
+    // final top-20 is TakeOrdered, never a global sort; join-free
+    Check("s04_top_paths",
+      Seq("windowspecdefinition(user_id", "TakeOrderedAndProject"),
       wantNone = Seq("Join")))
 
   /** All failed assertions for a session (empty = every pin holds);

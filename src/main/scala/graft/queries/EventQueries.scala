@@ -59,6 +59,45 @@ object EventQueries {
            |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
            |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin))
 
+  /** TOP SESSION PATHS (clickstream path analysis): sessionize under
+    * the 30-minute gap rule, render each session as its ordered
+    * event-type sequence capped at the first 8 steps (the path-tool
+    * convention — long tails collapse into their prefix), count
+    * sessions per path, top-20 with deterministic (count DESC, path)
+    * tie-break. Ordering inside a session is (ts, event_id) — total,
+    * so the collected sequence is unique in both engines.
+    *
+    * 100 TB: sessionization is one (user)-keyed window; the per-
+    * session collect is bounded by the 8-step cap BEFORE the path
+    * string leaves the aggregate; path counting shuffles short
+    * strings; the final top-k is TakeOrdered, never a global sort. */
+  val s04TopPaths = QueryDef("s04_top_paths",
+    (s, d) => {
+      val sess = Sessions.sessionize(Tables.events(s, d), gapSeconds = 1800)
+        .select(col("user_id"), col("session_id"),
+          unix_micros(col("ts")).as("us"), col("event_id"), col("event_type"))
+      sess.groupBy("user_id", "session_id")
+        .agg(expr("""concat_ws('>', slice(transform(
+          sort_array(collect_list(struct(us, event_id, event_type))),
+          x -> x.event_type), 1, 8))""").as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path")).limit(20)
+    },
+    Some("""WITH e AS (
+           |  SELECT user_id, ts, event_id, event_type,
+           |    CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+           |           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+           |         THEN 1 ELSE 0 END AS new_s
+           |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |g AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+           |        ORDER BY ts, event_id
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM e),
+           |p AS (SELECT user_id, sid,
+           |        array_to_string(list(event_type ORDER BY ts, event_id)[1:8], '>') AS path
+           |      FROM g GROUP BY user_id, sid)
+           |SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY path
+           |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin))
+
   /** As-of join: each purchase event gets the most recent prior (or
     * simultaneous) signup of the same user. Right side deduped per
     * (user, ts) so equal-instant ties are deterministic in both engines.
@@ -739,6 +778,7 @@ object EventQueries {
            |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(s01SessionCounts, s02SessionWindow, s03DailyByType,
+    s04TopPaths,
     aj01AsOf, aj02AsOfForward, aj03AsOfTolerance, pt01PointInTime,
     bj01BandJoin, ov01IntervalOverlap, ts01GapFill, ts02Ewma, ts03Anomaly,
     ts04Twap,
