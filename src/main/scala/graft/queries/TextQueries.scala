@@ -1138,6 +1138,62 @@ object TextQueries {
          |) ORDER BY step""".stripMargin
     })
 
+  /** BEST-OF-CLUSTER DUP RETENTION — the canonical-selection policy
+    * real curation runs AFTER near-dup clustering: instead of keeping
+    * the min-id representative (sd01), keep each cluster's
+    * HIGHEST-QUALITY member (ties → min doc_id). Edges are the exact
+    * prefix-filtered Jaccard pairs at τ=4/5 on the fz02 probe subset;
+    * clusters resolve by large/small-star contraction; the quality
+    * scorer is x11's. Full id → (cluster, kept?) mapping emitted so
+    * the retention decision itself is what's oracle-checked — the
+    * DuckDB side recomputes clusters by recursive transitive closure
+    * and replays the argmax with the same total (quality DESC, id)
+    * order.
+    *
+    * 100 TB: edge generation is fz02's sub-quadratic path, contraction
+    * is the dd06 machinery, and the selection adds ONE window over
+    * cluster-sized partitions — nothing new is wide. */
+  val dd13BestOfCluster = QueryDef("dd13_best_of_cluster",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+      val edges = TextDedup.prefixJaccardPairs(docs, num = 4, den = 5)
+        .select(col("id1"), col("id2"))
+      val clusters = graft.graph.ConnectedComponents.runStars(
+        docs.select(col("doc_id").as("id")), edges)
+      val scored = docs.select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(col("quality").desc, col("doc_id"))
+      clusters.join(scored, clusters("id") === scored("doc_id"))
+        .withColumn("rk", row_number().over(w))
+        .select(col("doc_id"), col("cluster_id"),
+          round(col("quality"), 6).as("quality_r"),
+          (col("rk") === 1).as("is_kept"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE d AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+            |tok AS (SELECT doc_id, unnest(list_distinct($sqlTokArr)) AS t FROM d),
+            |sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+            |i AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
+            |      FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+            |      GROUP BY 1, 2),
+            |e AS (SELECT id1, id2
+            |      FROM i JOIN sz n1 ON id1 = n1.doc_id JOIN sz n2 ON id2 = n2.doc_id
+            |      WHERE 5 * inter >= 4 * (n1.n + n2.n - inter)),
+            |bi(a, b) AS (SELECT id1, id2 FROM e UNION SELECT id2, id1 FROM e),
+            |walk(id, l) AS (SELECT doc_id, doc_id FROM d
+            |  UNION SELECT bi.b, walk.l FROM walk JOIN bi ON bi.a = walk.id),
+            |lbl AS (SELECT id AS doc_id, MIN(l) AS cluster_id FROM walk GROUP BY id),
+            |q AS (SELECT doc_id, $sqlQuality AS quality FROM d),
+            |r AS (SELECT lbl.doc_id, cluster_id, quality,
+            |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+            |      ORDER BY quality DESC, lbl.doc_id) AS rk
+            |  FROM lbl JOIN q USING (doc_id))
+            |SELECT doc_id, cluster_id, ROUND(quality, 6) AS quality_r,
+            |  rk = 1 AS is_kept
+            |FROM r ORDER BY doc_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     x10TokenStats, x11QualityScore, x12LangId, x13Fingerprint, x14RollingHash,
     x15BpeTokens, x16Utf8Bytes, sm01TrainTestSplit, sm02StratifiedSample,
@@ -1149,5 +1205,5 @@ object TextQueries {
     dc02BloomDecontamination, dc03FuzzyDecontamination,
     is01ImportanceScore, pii01Redaction,
     cb01TokenBudget, pd01ParagraphDedup, bp01BoilerplateStrip, dd09SimHashPortable,
-    dd10HammingPairs, dd11MinHashPortable, bt01BpeTrain)
+    dd10HammingPairs, dd11MinHashPortable, bt01BpeTrain, dd13BestOfCluster)
 }

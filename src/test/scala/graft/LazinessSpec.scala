@@ -33,6 +33,7 @@ class LazinessSpec extends SparkSpec {
     * lazy plan. */
   private val eagerByDesign =
     Set("dd06_dup_clusters", "sd01_semantic_dedup", "nn04_ivf_topk",
+      "dd13_best_of_cluster", // runStars CC fixpoint, like dd06/sd01
       "nn06_ivf_allprobe", "j03_bucketed_join", "j04_clustered_range",
       "zo01_zorder_range",
       "sm04_leakage_safe_split", // runStars CC fixpoint, like dd06/sd01
