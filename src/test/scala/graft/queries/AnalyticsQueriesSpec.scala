@@ -302,6 +302,57 @@ class AnalyticsQueriesSpec extends SparkSpec {
     }
   }
 
+  test("em01: per-dim stats reproduce from a driver-side quantized scan") {
+    val got = VectorQueries.em01DimStats.fn(spark, sfDir)
+      .as[(Long, Long, Double, Double, Double, Double)].collect()
+    assert(got.nonEmpty)
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("embedding").as[Array[Float]].collect()
+    val dims = vecs.head.length
+    assert(got.length == dims)
+    got.foreach { case (dim, n, mean, variance, minV, maxV) =>
+      val xs = vecs.map(v => math.floor(v(dim.toInt).toDouble * 1e6).toLong)
+      assert(n == xs.length.toLong)
+      val sx = xs.map(BigInt(_)).sum
+      val sxx = xs.map(x => BigInt(x) * BigInt(x)).sum
+      val nD = xs.length.toDouble
+      assert(math.abs(mean - sx.toDouble / nD / 1e6) < 2e-6, s"dim $dim mean")
+      assert(math.abs(variance -
+        (nD * sxx.toDouble - sx.toDouble * sx.toDouble) / nD / nD / 1e12) < 2e-6,
+        s"dim $dim variance")
+      assert(minV == xs.min / 1e6 && maxV == xs.max / 1e6, s"dim $dim min/max")
+      assert(variance >= -1e-9)
+    }
+  }
+
+  test("s04: top paths reproduce from a driver-side sessionization walk") {
+    val got = EventQueries.s04TopPaths.fn(spark, sfDir)
+      .as[(String, Long)].collect()
+    assert(got.nonEmpty && got.length <= 20)
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("user_id"), expr("ts div 1000").as("us"), col("event_id"),
+        col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+    val paths = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      // split at >30min gaps, then cap each session's path at 8 steps
+      val sessions = sorted.foldLeft(List.empty[List[(Long, Long, String)]]) {
+        case (acc, r) => acc match {
+          case (h :: t) if r._2 - h.head._1 <= 1800000000L =>
+            ((r._2, r._3, r._4) :: h) :: t
+          case _ => List((r._2, r._3, r._4)) :: acc
+        }
+      }
+      sessions.map(_.reverse.take(8).map(_._3).mkString(">"))
+    }
+    val counts = paths.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // every reported row restates the brute-force count, and the list
+    // is the true top-20 under (count DESC, path ASC)
+    got.foreach { case (p, n) => assert(counts(p) == n, s"path $p") }
+    val want = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    assert(got.toSeq == want)
+  }
+
   test("qc02: flags restate their defining inequalities; classes partition the table") {
     val rows = PipelineQueries.qc02KAnonymity.fn(spark, sfDir)
       .as[(Int, String, Long, Long, Long, Long)].collect()
