@@ -250,6 +250,32 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("join strategy hints steer the physical join (broadcast / merge / shuffle_hash)") {
+    // with auto-broadcast off, a plain equi-join of two scans plans as
+    // SMJ; each hint must override that default — the knob a 100 TB
+    // deployment turns when the optimizer's size estimates are wrong
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val fact = graft.Tables.lineitem(spark, sfDir)
+        .select("l_orderkey", "l_quantity")
+      val dim = graft.Tables.orders(spark, sfDir)
+        .select("o_orderkey", "o_orderstatus")
+      def planOf(j: org.apache.spark.sql.DataFrame) =
+        j.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      val base = planOf(fact.join(dim, col("l_orderkey") === col("o_orderkey")))
+      assert(base.contains("SortMergeJoin"), base)
+      val bc = planOf(fact.join(dim.hint("broadcast"),
+        col("l_orderkey") === col("o_orderkey")))
+      assert(bc.contains("BroadcastHashJoin"), bc)
+      val sh = planOf(fact.join(dim.hint("shuffle_hash"),
+        col("l_orderkey") === col("o_orderkey")))
+      assert(sh.contains("ShuffledHashJoin"), sh)
+      val mg = planOf(fact.join(dim.hint("merge"),
+        col("l_orderkey") === col("o_orderkey")))
+      assert(mg.contains("SortMergeJoin"), mg)
+    }
+  }
+
   test("AQE OptimizeSkewedJoin engages on the hot-key shuffle join; salted join stays skew-free structurally") {
     // the sk03 shape: one key carries ~half the fact side. Thresholds
     // are scaled to the test data the way production scales them to
