@@ -64,15 +64,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.ts is parquet timestamp[ns], which Spark's vectorized reader
-    * rejects; sessions set spark.sql.legacy.parquet.nanosAsLong=true and
-    * this loader restores a proper timestamp (integer ns→µs division —
-    * exact, and identical to DuckDB's TIMESTAMP_NS truncation). */
+  /** events.ts normalizes to a session-TZ TIMESTAMP whatever the
+    * driver generated, which has varied across testdata generations:
+    *  - parquet timestamp[ns] + spark.sql.legacy.parquet.nanosAsLong
+    *    ⇒ LongType; restore via integer ns→µs division (exact, and
+    *    identical to DuckDB's TIMESTAMP_NS truncation);
+    *  - parquet timestamp[us] with isAdjustedToUTC=false ⇒ Spark 4
+    *    infers TIMESTAMP_NTZ; cast to TIMESTAMP — value-preserving
+    *    because every graft session pins the UTC session timezone,
+    *    and it matches DuckDB, which reads the same file as its naive
+    *    TIMESTAMP;
+    *  - already TIMESTAMP ⇒ pass through.
+    * Downstream operators therefore always see one ts type, and
+    * unix_micros/watermarks/event-time windows keep working across
+    * testdata regenerations. */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = table(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -171,8 +171,8 @@ class AnalyticsQueriesSpec extends SparkSpec {
     val got = EventQueries.wa01RollingActive.fn(spark, sfDir)
       .as[(java.sql.Date, Long, Long, Long, Double)].collect()
     assert(got.nonEmpty)
-    val presence = spark.read.parquet(s"$sfDir/events.parquet")
-      .select(to_date(timestamp_micros(expr("ts div 1000"))).as("day"), col("user_id"))
+    val presence = graft.Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
       .distinct().as[(java.sql.Date, Long)].collect()
       .map { case (d, u) => (d.toLocalDate, u) }
     val days = presence.map(_._1).distinct.sorted
@@ -193,8 +193,8 @@ class AnalyticsQueriesSpec extends SparkSpec {
   test("ts05: max drawdown reproduces from a per-user driver-side scan") {
     val got = EventQueries.ts05Drawdown.fn(spark, sfDir)
       .as[(Long, Long)].collect().toMap
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      .select(col("user_id"), col("ts"), col("event_id"),
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
         (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
       .as[(Long, Long, Long, Long)].collect()
     val expected = ev.groupBy(_._1).map { case (u, rows) =>
@@ -276,10 +276,10 @@ class AnalyticsQueriesSpec extends SparkSpec {
       .as[(Long, java.sql.Date, Long, Double)].collect()
       .map { case (u, d, n, t) => ((u, d.toLocalDate), (n, t)) }.toMap
     assert(got.nonEmpty)
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val ev = graft.Tables.events(spark, sfDir)
       .select(col("user_id"),
-        to_date(timestamp_micros(expr("ts div 1000"))).as("day"),
-        expr("ts div 1000").as("us"), col("event_id"),
+        to_date(col("ts")).as("day"),
+        unix_micros(col("ts")).as("us"), col("event_id"),
         floor(col("value") * 1000000L).cast("long").as("vq"))
       .as[(Long, java.sql.Date, Long, Long, Long)].collect()
     val expected = ev.groupBy(r => (r._1, r._2.toLocalDate)).flatMap {
@@ -329,8 +329,8 @@ class AnalyticsQueriesSpec extends SparkSpec {
     val got = EventQueries.s04TopPaths.fn(spark, sfDir)
       .as[(String, Long)].collect()
     assert(got.nonEmpty && got.length <= 20)
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      .select(col("user_id"), expr("ts div 1000").as("us"), col("event_id"),
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
         col("event_type"))
       .as[(Long, Long, Long, String)].collect()
     val paths = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
