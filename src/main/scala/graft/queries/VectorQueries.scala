@@ -325,7 +325,139 @@ object VectorQueries {
            |  ROUND(max_q / 1e6, 6) AS max_v
            |FROM a ORDER BY dim""".stripMargin))
 
+  /** DETERMINISTIC K-MEANS (integer-quantized Lloyd, k=8, 3
+    * iterations) — the coarse-quantizer trainer behind IVF cells and
+    * k-means-sharded ANN, in the portable-exact form: micro-unit
+    * quantization makes every squared distance an exact BIGINT, init
+    * is the k lowest-id vectors, argmin ties break by cell id, and
+    * centroid updates are exact floor-division means — so the FULL
+    * per-vector assignment (all 500 rows, with distances) is a total
+    * deterministic function of the input that DuckDB replays by
+    * unrolling the same 3 iterations as chained CTEs (the bt01/pr01
+    * pattern). `IvfIndex.build` wraps Spark ML KMeans (float, seeded,
+    * order-sensitive reductions — unverifiable cross-engine); km01 is
+    * the variant that PROVES the distributed assign/update math.
+    *
+    * 100 TB: centroids are k×dim and broadcast; assignment is
+    * row-local (no shuffle); each update is one partial-agg shuffle
+    * keyed (cell, dim) emitting k×dim rows regardless of corpus size.
+    * See graft.vector.QuantizedKMeans. */
+  val km01KMeans = QueryDef("km01_kmeans",
+    (s, d) => graft.vector.QuantizedKMeans.run(
+      Tables.embeddings(s, d), k = 8, iters = 3).orderBy("vec_id"),
+    Some {
+      val iter = (i: Int) =>
+        s"""a$i AS (SELECT vec_id, v, cell_id FROM (
+           |    SELECT vec_id, v, cell_id,
+           |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell_id) AS rk
+           |    FROM (SELECT q.vec_id, q.v, c.cell_id,
+           |        CAST(list_sum(list_transform(range(1, len(q.v) + 1),
+           |          j -> (q.v[j] - c.c[j]) * (q.v[j] - c.c[j]))) AS BIGINT) AS d2
+           |      FROM q CROSS JOIN c${i - 1} c) z) y
+           |  WHERE rk = 1),
+           |s$i AS (SELECT cell_id, i, CAST(SUM(v[i]) AS BIGINT) AS s, COUNT(*) AS n
+           |  FROM (SELECT cell_id, v, unnest(range(1, len(v) + 1)) AS i FROM a$i) z
+           |  GROUP BY cell_id, i),
+           |c$i AS (SELECT cell_id,
+           |    list((s - (((s % n) + n) % n)) // n ORDER BY i) AS c
+           |  FROM s$i GROUP BY cell_id)""".stripMargin
+      s"""WITH q AS (SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+         |      AS cell_id, v AS c
+         |  FROM (SELECT * FROM q ORDER BY vec_id LIMIT 8)),
+         |${(1 to 3).map(iter).mkString(",\n")}
+         |SELECT vec_id, cell_id, d2 FROM (
+         |  SELECT vec_id, cell_id, d2,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell_id) AS rk
+         |  FROM (SELECT q.vec_id, c.cell_id,
+         |      CAST(list_sum(list_transform(range(1, len(q.v) + 1),
+         |        j -> (q.v[j] - c.c[j]) * (q.v[j] - c.c[j]))) AS BIGINT) AS d2
+         |    FROM q CROSS JOIN c3 c) z) y
+         |WHERE rk = 1 ORDER BY vec_id""".stripMargin
+    })
+
+  /** PRODUCT QUANTIZATION (the FAISS IVF-PQ compression step; see
+    * graft.vector.ProductQuantizer): 64 dims → 4 subspaces × 4-entry
+    * codebooks, 2 Lloyd rounds each on [[graft.vector.QuantizedKMeans]]
+    * — so every codebook centroid, code assignment, and quantization
+    * error term is integer-exact and deterministic. Output: per vector
+    * its 4 code ids + the exact total squared quantization error (the
+    * decomposed per-subspace argmin distances summed). The oracle
+    * replays all 4 independent subspace chains (slice → quantize →
+    * init → 2 updates → final argmin) as chained CTEs and joins them —
+    * the km01 replay, ×4.
+    *
+    * 100 TB: subspaces are independent branches of one plan, each with
+    * km01's shapes (broadcast codebooks, row-local argmin,
+    * (cell,dim)-keyed updates); production trains on a capped sample
+    * and runs one full-corpus encode pass. */
+  val vq02ProductQuant = QueryDef("vq02_product_quant",
+    (s, d) => {
+      val long = graft.vector.ProductQuantizer.encode(
+        Tables.embeddings(s, d), dims = 64, m = 4, k = 4, iters = 2)
+      long.groupBy("vec_id").agg(
+          max(when(col("sub_id") === 0, col("code"))).as("c0"),
+          max(when(col("sub_id") === 1, col("code"))).as("c1"),
+          max(when(col("sub_id") === 2, col("code"))).as("c2"),
+          max(when(col("sub_id") === 3, col("code"))).as("c3"),
+          sum(col("d2")).as("err"))
+        .orderBy("vec_id")
+    },
+    Some {
+      val subChain = (s: Int) => {
+        val lo = s * 16 + 1
+        val hi = (s + 1) * 16
+        val base =
+          s"""q$s AS MATERIALIZED (SELECT vec_id,
+             |    list_transform(embedding[$lo:$hi],
+             |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+             |  FROM embeddings),
+             |c${s}_0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+             |      AS BIGINT) AS cell_id, v AS c
+             |  FROM (SELECT * FROM q$s ORDER BY vec_id LIMIT 4)),""".stripMargin
+        val its = (1 to 2).map { i =>
+          s"""a${s}_$i AS (SELECT vec_id, v, cell_id FROM (
+             |    SELECT vec_id, v, cell_id,
+             |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell_id) AS rk
+             |    FROM (SELECT q.vec_id, q.v, c.cell_id,
+             |        CAST(list_sum(list_transform(range(1, len(q.v) + 1),
+             |          j -> (q.v[j] - c.c[j]) * (q.v[j] - c.c[j]))) AS BIGINT) AS d2
+             |      FROM q$s q CROSS JOIN c${s}_${i - 1} c) z) y
+             |  WHERE rk = 1),
+             |s${s}_$i AS (SELECT cell_id, i, CAST(SUM(v[i]) AS BIGINT) AS sm,
+             |    COUNT(*) AS n
+             |  FROM (SELECT cell_id, v, unnest(range(1, len(v) + 1)) AS i
+             |        FROM a${s}_$i) z
+             |  GROUP BY cell_id, i),
+             |c${s}_$i AS (SELECT cell_id,
+             |    list((sm - (((sm % n) + n) % n)) // n ORDER BY i) AS c
+             |  FROM s${s}_$i GROUP BY cell_id),""".stripMargin
+        }.mkString("\n")
+        val fin =
+          s"""f$s AS MATERIALIZED (SELECT vec_id, cell_id, d2 FROM (
+             |  SELECT vec_id, cell_id, d2,
+             |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell_id) AS rk
+             |  FROM (SELECT q.vec_id, c.cell_id,
+             |      CAST(list_sum(list_transform(range(1, len(q.v) + 1),
+             |        j -> (q.v[j] - c.c[j]) * (q.v[j] - c.c[j]))) AS BIGINT) AS d2
+             |    FROM q$s q CROSS JOIN c${s}_2 c) z) y
+             |  WHERE rk = 1)""".stripMargin
+        s"$base\n$its\n$fin"
+      }
+      s"""WITH ${(0 until 4).map(subChain).mkString(",\n")}
+         |SELECT vec_id, f0.cell_id AS c0, f1.cell_id AS c1,
+         |  f2.cell_id AS c2, f3.cell_id AS c3,
+         |  f0.d2 + f1.d2 + f2.d2 + f3.d2 AS err
+         |FROM f0 JOIN f1 USING (vec_id) JOIN f2 USING (vec_id)
+         |  JOIN f3 USING (vec_id)
+         |ORDER BY vec_id""".stripMargin
+    })
+
   val all: Seq[QueryDef] = Seq(nn01BruteTopK, nn02LshTopK, nn03NearDup,
     nn04IvfTopK, nn05LshRecall, nn06IvfAllProbe, nn07LshPortable,
-    dd06DupClusters, vq01ScalarQuant, sd01SemanticDedup, em01DimStats)
+    dd06DupClusters, vq01ScalarQuant, sd01SemanticDedup, em01DimStats,
+    km01KMeans, vq02ProductQuant)
 }

@@ -1,0 +1,44 @@
+package graft.vector
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PRODUCT QUANTIZATION (Jégou et al., the FAISS IVF-PQ compression
+  * step): split each vector into `m` subvectors, learn an independent
+  * k-entry codebook per subspace, encode every vector as its m nearest
+  * code ids — dim×4 bytes compress to m small ints, and the exact
+  * per-subspace squared distance to the chosen code IS the vector's
+  * quantization error, decomposed.
+  *
+  * Built on [[QuantizedKMeans]] (deterministic integer-exact Lloyd),
+  * so the ENTIRE train+encode pipeline — every codebook centroid,
+  * every code assignment, every error term — is a total deterministic
+  * function of the input, replayable cross-engine. Float PQ trainers
+  * can't make that claim; this one proves the math, and the production
+  * path swaps in more iterations/codes with the same shapes.
+  *
+  * Scale shape: each subspace trains like km01 (broadcast centroids,
+  * row-local assignment, (cell,dim)-keyed k×(dim/m)-row updates); the
+  * m subspaces are independent branches of one lazy plan. The corpus
+  * is scanned once per assignment pass per subspace — at 100 TB you'd
+  * train codebooks on a capped sample (the IvfIndex recipe) and run
+  * ONE full-corpus encode pass; the per-subspace argmin is unchanged.
+  */
+object ProductQuantizer {
+
+  /** Train + encode in long format: (idCol, sub_id, code, d2) — one
+    * row per vector per subspace. `dims` must be the vector length and
+    * divide evenly by `m` (slice would silently truncate otherwise). */
+  def encode(df: DataFrame, dims: Int, m: Int, k: Int, iters: Int,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(m >= 1 && dims % m == 0, s"m=$m must divide dims=$dims")
+    val len = dims / m
+    (0 until m).map { s =>
+      val sub = df.select(col(idCol),
+        slice(col(vecCol), s * len + 1, len).as("__sub"))
+      QuantizedKMeans.run(sub, k, iters, idCol, "__sub")
+        .select(col(idCol), lit(s.toLong).as("sub_id"),
+          col("cell_id").as("code"), col("d2"))
+    }.reduce(_.union(_))
+  }
+}
