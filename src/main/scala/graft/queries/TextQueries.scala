@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.text.{CurationPipeline, TextDedup, TextFunctions}
+import graft.text.{BpeTrain, CurationPipeline, TextDedup, TextFunctions}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -1117,11 +1117,15 @@ object TextQueries {
            |        FROM (SELECT cnt, string_split(trim(enc, '|'), '||') AS syms
            |              FROM w${i - 1}) z) q
            |  GROUP BY a, b),
-           |b$i AS (SELECT a, b, n FROM p$i ORDER BY n DESC, a, b LIMIT 1),
-           |w$i AS (SELECT cnt, replace(enc,
+           |b$i AS MATERIALIZED (SELECT a, b, n FROM p$i ORDER BY n DESC, a, b LIMIT 1),
+           |w$i AS MATERIALIZED (SELECT cnt, replace(enc,
            |    '|' || (SELECT a FROM b$i) || '||' || (SELECT b FROM b$i) || '|',
            |    '|' || (SELECT a FROM b$i) || (SELECT b FROM b$i) || '|') AS enc
            |  FROM w${i - 1})""".stripMargin
+      // AS MATERIALIZED matters: DuckDB 1.0 inlines every CTE
+      // reference, and this chain references w/b multiple times per
+      // step — inlined, the 6-step replay is exponential (~194 s
+      // measured at sf0.01); materialized it is 0.6 s, same rows.
       s"""WITH v AS (
          |  SELECT w, COUNT(*) AS cnt FROM (
          |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
@@ -1136,6 +1140,76 @@ object TextQueries {
             s"  SELECT $i AS step, a, b, a || b AS merged, n FROM b$i")
            .mkString("  UNION ALL\n")}
          |) ORDER BY step""".stripMargin
+    })
+
+  /** BPE ENCODING (the apply side of bt01's training): segment every
+    * document under the 6 learned merges and emit per-doc token
+    * accounting — word count, BPE token count, character count — the
+    * numbers a token-budget planner (cb01) consumes once a tokenizer
+    * is trained rather than fixed. Training's merge rewrite already
+    * segments every VOCABULARY word (see
+    * [[graft.text.BpeTrain.learnMergesAndVocab]]), so encoding the
+    * corpus is one equi-join of the token stream against the encoded
+    * vocabulary plus a per-doc aggregate — the scale shape: the raw
+    * text is scanned once for the vocab and once for the stream; the
+    * iterative merge machinery only ever touches the vocabulary.
+    * Probe-scoped to doc_id%5 (the dd06/fz02 convention) since
+    * training is the bench-dominant part. The oracle replays all 6
+    * training iterations as chained CTEs (carrying the word through,
+    * unlike bt01's), then the same join + aggregate — so merge
+    * decisions AND their application to every document hash-match. */
+  val bt02BpeEncode = QueryDef("bt02_bpe_encode",
+    (s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+      val encV = BpeTrain.learnMergesAndVocab(docs, "text", 6)._2
+        .select(col("w"),
+          size(split(trim(col("enc"), "|"), "\\|\\|")).cast("long").as("n_sym"))
+      docs.select(col("doc_id"),
+          explode(TextFunctions.tokens(lower(col("text")))).as("w"))
+        .filter(col("w").rlike("^[a-z]+$"))
+        .join(encV, "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe"),
+          sum(length(col("w")).cast("long")).as("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val iter = (i: Int) =>
+        s"""p$i AS (
+           |  SELECT syms[i] AS a, syms[i + 1] AS b,
+           |    CAST(SUM(cnt) AS BIGINT) AS n
+           |  FROM (SELECT cnt, syms, unnest(range(1, len(syms))) AS i
+           |        FROM (SELECT cnt, string_split(trim(enc, '|'), '||') AS syms
+           |              FROM w${i - 1}) z) q
+           |  GROUP BY a, b),
+           |b$i AS MATERIALIZED (SELECT a, b, n FROM p$i ORDER BY n DESC, a, b LIMIT 1),
+           |w$i AS MATERIALIZED (SELECT w, cnt, replace(enc,
+           |    '|' || (SELECT a FROM b$i) || '||' || (SELECT b FROM b$i) || '|',
+           |    '|' || (SELECT a FROM b$i) || (SELECT b FROM b$i) || '|') AS enc
+           |  FROM w${i - 1})""".stripMargin
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+         |v AS (
+         |  SELECT w, COUNT(*) AS cnt FROM (
+         |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+         |    FROM d) t
+         |  WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY w),
+         |w0 AS (SELECT w, cnt,
+         |    '|' || array_to_string(string_split(w, ''), '||') || '|' AS enc
+         |  FROM v),
+         |${(1 to 6).map(iter).mkString(",\n")},
+         |ev AS (SELECT w,
+         |    CAST(len(string_split(trim(enc, '|'), '||')) AS BIGINT) AS n_sym
+         |  FROM w6),
+         |dt AS (SELECT doc_id, w FROM (
+         |    SELECT doc_id,
+         |      unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+         |    FROM d) t
+         |  WHERE regexp_matches(w, '^[a-z]+$$'))
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(n_sym) AS BIGINT) AS n_bpe,
+         |  CAST(SUM(len(w)) AS BIGINT) AS n_chars
+         |FROM dt JOIN ev USING (w)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     })
 
   /** BEST-OF-CLUSTER DUP RETENTION — the canonical-selection policy
@@ -1205,5 +1279,6 @@ object TextQueries {
     dc02BloomDecontamination, dc03FuzzyDecontamination,
     is01ImportanceScore, pii01Redaction,
     cb01TokenBudget, pd01ParagraphDedup, bp01BoilerplateStrip, dd09SimHashPortable,
-    dd10HammingPairs, dd11MinHashPortable, bt01BpeTrain, dd13BestOfCluster)
+    dd10HammingPairs, dd11MinHashPortable, bt01BpeTrain, bt02BpeEncode,
+    dd13BestOfCluster)
 }

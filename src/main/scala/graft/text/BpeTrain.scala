@@ -48,8 +48,18 @@ object BpeTrain {
 
   /** Learn `nMerges` merges; returns (step, a, b, merged, n) — the
     * merge table a tokenizer would ship, in learned order. */
-  def learnMerges(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
-    var v = vocab(docs, textCol).select(col("cnt"), encode(col("w")).as("enc"))
+  def learnMerges(docs: DataFrame, textCol: String, nMerges: Int): DataFrame =
+    learnMergesAndVocab(docs, textCol, nMerges)._1
+
+  /** Learn merges AND return the post-merge encoded vocabulary
+    * `(w, cnt, enc)` — the artifact an ENCODER consumes (bt02): the
+    * training rewrite already applies each merge to every vocabulary
+    * word, so the final `enc` IS the word's BPE segmentation under the
+    * learned table, at zero extra passes. */
+  def learnMergesAndVocab(docs: DataFrame, textCol: String,
+                          nMerges: Int): (DataFrame, DataFrame) = {
+    var v = vocab(docs, textCol)
+      .select(col("w"), col("cnt"), encode(col("w")).as("enc"))
     val steps = (1 to nMerges).map { step =>
       // Each step consumes the previous vocabulary TWICE (pair counting
       // for the argmax, and the merge rewrite) — persisting the
@@ -69,12 +79,12 @@ object BpeTrain {
       // argmax with a total tie-break: count desc, then (a,b) lexicographic
       val best = pairs.orderBy(col("n").desc, col("a"), col("b")).limit(1)
       v = v.crossJoin(broadcast(best))
-        .select(col("cnt"), replace(col("enc"),
+        .select(col("w"), col("cnt"), replace(col("enc"),
           concat(lit("|"), col("a"), lit("||"), col("b"), lit("|")),
           concat(lit("|"), col("a"), col("b"), lit("|"))).as("enc"))
       best.select(lit(step).cast(LongType).as("step"), col("a"), col("b"),
         concat(col("a"), col("b")).as("merged"), col("n"))
     }
-    steps.reduce((a, b) => a.union(b)).orderBy("step")
+    (steps.reduce((a, b) => a.union(b)).orderBy("step"), v)
   }
 }

@@ -45,6 +45,38 @@ class BpeTrainSpec extends SparkSpec {
     assert(v == Set("good", "fine"))   // mixed-case lowered→'g00d' has digits
   }
 
+  test("encoded vocabulary: symbols re-spell each word; merges compress it") {
+    val docs = Seq((1L, "abab abc"), (2L, "abab")).toDF("doc_id", "text")
+    val v = BpeTrain.learnMergesAndVocab(docs, "text", 2)._2
+      .select(col("w"), split(trim(col("enc"), "|"), "\\|\\|").as("syms"))
+      .as[(String, Seq[String])].collect().toMap
+    // segmentation is lossless: concatenating symbols re-spells the word
+    v.foreach { case (w, syms) => assert(syms.mkString == w, s"$w -> $syms") }
+    // after (a,b) then (ab,ab): abab -> [abab], abc -> [ab, c]
+    assert(v("abab") == Seq("abab") && v("abc") == Seq("ab", "c"))
+  }
+
+  test("encode accounting: words <= bpe tokens <= chars, exact on a toy corpus") {
+    // the bt02 shape driver-side: per-doc (n_words, n_bpe, n_chars)
+    val docs = Seq((0L, "abab abc zz"), (5L, "abc abc")).toDF("doc_id", "text")
+    val encV = BpeTrain.learnMergesAndVocab(docs, "text", 2)._2
+      .select(col("w"),
+        size(split(trim(col("enc"), "|"), "\\|\\|")).cast("long").as("n_sym"))
+    val got = docs.select(col("doc_id"),
+        explode(TextFunctions.tokens(lower(col("text")))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .join(encV, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe"),
+        sum(length(col("w")).cast("long")).as("n_chars"))
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // merges learned on this corpus: (a,b)x5 then (ab,c)x3 →
+    // abab=[ab,ab]=2, abc=[abc]=1, zz=[z,z]=2
+    assert(got == Seq((0L, 3L, 5L, 9L), (5L, 2L, 2L, 6L)))
+    got.foreach { case (_, w, b, c) => assert(w <= b && b <= c) }
+  }
+
   test("result is invariant to input partitioning") {
     val docs = Seq.tabulate(40)(i =>
       (i.toLong, if (i % 3 == 0) "abab abc" else "cddc dd")).toDF("doc_id", "text")
