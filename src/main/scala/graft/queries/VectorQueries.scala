@@ -406,58 +406,107 @@ object VectorQueries {
           sum(col("d2")).as("err"))
         .orderBy("vec_id")
     },
-    Some {
-      val subChain = (s: Int) => {
-        val lo = s * 16 + 1
-        val hi = (s + 1) * 16
-        val base =
-          s"""q$s AS MATERIALIZED (SELECT vec_id,
-             |    list_transform(embedding[$lo:$hi],
-             |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
-             |  FROM embeddings),
-             |c${s}_0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
-             |      AS BIGINT) AS cell_id, v AS c
-             |  FROM (SELECT * FROM q$s ORDER BY vec_id LIMIT 4)),""".stripMargin
-        val its = (1 to 2).map { i =>
-          s"""a${s}_$i AS (SELECT vec_id, v, cell_id FROM (
-             |    SELECT vec_id, v, cell_id,
-             |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell_id) AS rk
-             |    FROM (SELECT q.vec_id, q.v, c.cell_id,
-             |        CAST(list_sum(list_transform(range(1, len(q.v) + 1),
-             |          j -> (q.v[j] - c.c[j]) * (q.v[j] - c.c[j]))) AS BIGINT) AS d2
-             |      FROM q$s q CROSS JOIN c${s}_${i - 1} c) z) y
-             |  WHERE rk = 1),
-             |s${s}_$i AS (SELECT cell_id, i, CAST(SUM(v[i]) AS BIGINT) AS sm,
-             |    COUNT(*) AS n
-             |  FROM (SELECT cell_id, v, unnest(range(1, len(v) + 1)) AS i
-             |        FROM a${s}_$i) z
-             |  GROUP BY cell_id, i),
-             |c${s}_$i AS (SELECT cell_id,
-             |    list((sm - (((sm % n) + n) % n)) // n ORDER BY i) AS c
-             |  FROM s${s}_$i GROUP BY cell_id),""".stripMargin
-        }.mkString("\n")
-        val fin =
-          s"""f$s AS MATERIALIZED (SELECT vec_id, cell_id, d2 FROM (
-             |  SELECT vec_id, cell_id, d2,
-             |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell_id) AS rk
-             |  FROM (SELECT q.vec_id, c.cell_id,
-             |      CAST(list_sum(list_transform(range(1, len(q.v) + 1),
-             |        j -> (q.v[j] - c.c[j]) * (q.v[j] - c.c[j]))) AS BIGINT) AS d2
-             |    FROM q$s q CROSS JOIN c${s}_2 c) z) y
-             |  WHERE rk = 1)""".stripMargin
-        s"$base\n$its\n$fin"
-      }
-      s"""WITH ${(0 until 4).map(subChain).mkString(",\n")}
+    Some(
+      s"""WITH ${(0 until 4).map(pqSubChain).mkString(",\n")}
          |SELECT vec_id, f0.cell_id AS c0, f1.cell_id AS c1,
          |  f2.cell_id AS c2, f3.cell_id AS c3,
          |  f0.d2 + f1.d2 + f2.d2 + f3.d2 AS err
          |FROM f0 JOIN f1 USING (vec_id) JOIN f2 USING (vec_id)
          |  JOIN f3 USING (vec_id)
-         |ORDER BY vec_id""".stripMargin
+         |ORDER BY vec_id""".stripMargin))
+
+  /** PQ-ADC TOP-K SEARCH (the query side of vq02; see
+    * graft.vector.ProductQuantizer.adcTopK): database vectors are
+    * represented ONLY by their 4 code ids; a query's distance to a
+    * vector is the sum over subspaces of its exact quantized distance
+    * to the centroid each code names — computed from a per-query m×k
+    * lookup table, never a full-vector distance per pair. Queries =
+    * every 100th corpus vector; top-5 per query, ties by id. The
+    * oracle reuses vq02's subspace chains and replays the LUT build,
+    * code-indexed joins, sum, and ranked cut.
+    *
+    * 100 TB: the LUT is queries×m×k rows (broadcast-sized at any
+    * corpus scale); the only corpus-sized stage is the code-keyed
+    * join; the top-k window partitions by query. */
+  val nn08PqAdc = QueryDef("nn08_pq_adc",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding"))
+      graft.vector.ProductQuantizer.adcTopK(emb, queries,
+        dims = 64, m = 4, k = 4, iters = 2, topK = 5)
+        .orderBy("q_id", "adist", "vec_id")
+    },
+    Some {
+      val luts = (0 until 4).map { s =>
+        s"""l$s AS (SELECT q.vec_id AS q_id, c.cell_id,
+           |    CAST(list_sum(list_transform(range(1, len(q.v) + 1),
+           |      j -> (q.v[j] - c.c[j]) * (q.v[j] - c.c[j]))) AS BIGINT) AS d2
+           |  FROM q$s q CROSS JOIN c${s}_2 c WHERE q.vec_id % 100 = 0),
+           |j$s AS (SELECT l.q_id, f.vec_id, l.d2
+           |  FROM f$s f JOIN l$s l ON f.cell_id = l.cell_id)""".stripMargin
+      }
+      s"""WITH ${(0 until 4).map(pqSubChain).mkString(",\n")},
+         |${luts.mkString(",\n")},
+         |u AS (SELECT * FROM j0 UNION ALL SELECT * FROM j1
+         |      UNION ALL SELECT * FROM j2 UNION ALL SELECT * FROM j3),
+         |a AS (SELECT q_id, vec_id, CAST(SUM(d2) AS BIGINT) AS adist
+         |      FROM u GROUP BY q_id, vec_id)
+         |SELECT q_id, vec_id, adist FROM (
+         |  SELECT q_id, vec_id, adist,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rk
+         |  FROM a) z
+         |WHERE rk <= 5 ORDER BY q_id, adist, vec_id""".stripMargin
     })
+
+  /** Shared oracle CTE chain for vq02/nn08: subspace `s`'s
+    * slice → quantize → lowest-id init → 2 Lloyd updates → final
+    * argmin assignment (`f$s`). AS MATERIALIZED on the multi-
+    * referenced frames (the bt01 lesson — DuckDB 1.0 inlines CTE
+    * references). */
+  private def pqSubChain(s: Int): String = {
+    val lo = s * 16 + 1
+    val hi = (s + 1) * 16
+    val base =
+      s"""q$s AS MATERIALIZED (SELECT vec_id,
+         |    list_transform(embedding[$lo:$hi],
+         |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |c${s}_0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+         |      AS BIGINT) AS cell_id, v AS c
+         |  FROM (SELECT * FROM q$s ORDER BY vec_id LIMIT 4)),""".stripMargin
+    val its = (1 to 2).map { i =>
+      s"""a${s}_$i AS (SELECT vec_id, v, cell_id FROM (
+         |    SELECT vec_id, v, cell_id,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell_id) AS rk
+         |    FROM (SELECT q.vec_id, q.v, c.cell_id,
+         |        CAST(list_sum(list_transform(range(1, len(q.v) + 1),
+         |          j -> (q.v[j] - c.c[j]) * (q.v[j] - c.c[j]))) AS BIGINT) AS d2
+         |      FROM q$s q CROSS JOIN c${s}_${i - 1} c) z) y
+         |  WHERE rk = 1),
+         |s${s}_$i AS (SELECT cell_id, i, CAST(SUM(v[i]) AS BIGINT) AS sm,
+         |    COUNT(*) AS n
+         |  FROM (SELECT cell_id, v, unnest(range(1, len(v) + 1)) AS i
+         |        FROM a${s}_$i) z
+         |  GROUP BY cell_id, i),
+         |c${s}_$i AS (SELECT cell_id,
+         |    list((sm - (((sm % n) + n) % n)) // n ORDER BY i) AS c
+         |  FROM s${s}_$i GROUP BY cell_id),""".stripMargin
+    }.mkString("\n")
+    val fin =
+      s"""f$s AS MATERIALIZED (SELECT vec_id, cell_id, d2 FROM (
+         |  SELECT vec_id, cell_id, d2,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell_id) AS rk
+         |  FROM (SELECT q.vec_id, c.cell_id,
+         |      CAST(list_sum(list_transform(range(1, len(q.v) + 1),
+         |        j -> (q.v[j] - c.c[j]) * (q.v[j] - c.c[j]))) AS BIGINT) AS d2
+         |    FROM q$s q CROSS JOIN c${s}_2 c) z) y
+         |  WHERE rk = 1)""".stripMargin
+    s"$base\n$its\n$fin"
+  }
 
   val all: Seq[QueryDef] = Seq(nn01BruteTopK, nn02LshTopK, nn03NearDup,
     nn04IvfTopK, nn05LshRecall, nn06IvfAllProbe, nn07LshPortable,
     dd06DupClusters, vq01ScalarQuant, sd01SemanticDedup, em01DimStats,
-    km01KMeans, vq02ProductQuant)
+    km01KMeans, vq02ProductQuant, nn08PqAdc)
 }

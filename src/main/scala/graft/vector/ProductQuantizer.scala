@@ -41,4 +41,47 @@ object ProductQuantizer {
           col("cell_id").as("code"), col("d2"))
     }.reduce(_.union(_))
   }
+
+  /** ADC top-k search (asymmetric distance computation — the PQ query
+    * side): the corpus is represented ONLY by its codes; a query's
+    * distance to a database vector is the sum over subspaces of the
+    * exact quantized distance from the query's subvector to the
+    * centroid the vector's code names. Per query that is an m×k
+    * LOOKUP TABLE (computed once, k-bounded), and scoring the corpus
+    * is m code-indexed joins + one sum — never a full-vector distance
+    * per pair. Returns (qIdCol, idCol, adist) — the `topK` nearest by
+    * approximate distance per query, ties by id.
+    *
+    * Definitional identity pinned by the spec: a query that is itself
+    * in the corpus scores its OWN codes at exactly its `encode` error
+    * sum. 100 TB: codes are m small ints per vector (the 4-byte→
+    * sub-byte compression PQ exists for); LUTs are queries×m×k rows
+    * and broadcast-joinable; the only corpus-sized stage is the
+    * code-keyed join, and the final top-k is a bounded window per
+    * query. */
+  def adcTopK(corpus: DataFrame, queries: DataFrame, dims: Int, m: Int,
+              k: Int, iters: Int, topK: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              qIdCol: String = "q_id"): DataFrame = {
+    require(m >= 1 && dims % m == 0, s"m=$m must divide dims=$dims")
+    require(topK >= 1)
+    val len = dims / m
+    val scored = (0 until m).map { s =>
+      val subC = corpus.select(col(idCol),
+        slice(col(vecCol), s * len + 1, len).as("__sub"))
+      val cents = QuantizedKMeans.centroids(subC, k, iters, idCol, "__sub")
+      val codes = QuantizedKMeans.run(subC, k, iters, idCol, "__sub")
+        .select(col(idCol), col("cell_id"))
+      val lut = QuantizedKMeans.distancesTo(
+        queries.select(col(qIdCol), slice(col(vecCol), s * len + 1, len).as("__sub")),
+        cents, qIdCol, "__sub")
+      codes.join(lut, "cell_id").select(col(qIdCol), col(idCol), col("d2"))
+    }.reduce(_.union(_))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qIdCol)).orderBy(col("adist"), col(idCol))
+    scored.groupBy(col(qIdCol), col(idCol))
+      .agg(sum(col("d2")).as("adist"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= topK).drop("__rk")
+  }
 }

@@ -47,11 +47,11 @@ object QuantizedKMeans {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, v) => acc + v)
 
-  /** Run `iters` Lloyd iterations with k = `k`; returns the final
-    * assignment (idCol, cell_id, d2) — the full per-vector mapping,
-    * with the exact quantized squared distance to its centroid. */
-  def run(df: DataFrame, k: Int, iters: Int,
-          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  /** Train the codebook alone: `iters` Lloyd rounds, returns the final
+    * (cell_id, c: array<bigint>) centroids frame — what an ADC lookup
+    * table or a downstream encode pass consumes. */
+  def centroids(df: DataFrame, k: Int, iters: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(k >= 1 && iters >= 0, s"need k >= 1, iters >= 0; got $k, $iters")
     val q = quantize(df, idCol, vecCol)
     val initW = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
@@ -79,10 +79,24 @@ object QuantizedKMeans {
         .select(col("cell_id"),
           transform(col("sv"), s => s.getField("v")).as("c"))
     }
-    q.crossJoin(broadcast(cents))
+    cents
+  }
+
+  /** Exact quantized squared distance from every row of `df` to EVERY
+    * centroid — (idCol, cell_id, d2), the ADC lookup-table shape.
+    * Centroids broadcast; the cross join is k-bounded per row. */
+  def distancesTo(df: DataFrame, cents: DataFrame,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    quantize(df, idCol, vecCol).crossJoin(broadcast(cents))
       .select(col(idCol), col("cell_id"), dist2(col("q"), col("c")).as("d2"))
+
+  /** Run `iters` Lloyd iterations with k = `k`; returns the final
+    * assignment (idCol, cell_id, d2) — the full per-vector mapping,
+    * with the exact quantized squared distance to its centroid. */
+  def run(df: DataFrame, k: Int, iters: Int,
+          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    distancesTo(df, centroids(df, k, iters, idCol, vecCol), idCol, vecCol)
       .groupBy(col(idCol))
       .agg(min(struct(col("d2"), col("cell_id"))).as("m"))
       .select(col(idCol), col("m.cell_id").as("cell_id"), col("m.d2").as("d2"))
-  }
 }

@@ -42,6 +42,39 @@ class ProductQuantizerSpec extends SparkSpec {
     assert(codes(1L)(1) == codes(4L)(1) && codes(2L)(1) == codes(3L)(1))
   }
 
+  test("ADC self-distance equals the encode error sum (definitional identity)") {
+    // a query that IS a corpus vector scores its own codes at exactly
+    // the sum of its per-subspace quantization errors — ADC is exact
+    // on the reconstruction, approximate only on the residual
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("q_id"), $"embedding")
+    val adc = ProductQuantizer.adcTopK(emb, queries,
+      dims = 64, m = 4, k = 4, iters = 2, topK = 500)
+      .filter($"q_id" === $"vec_id")
+      .select($"q_id", $"adist").as[(Long, Long)].collect().toMap
+    val err = ProductQuantizer.encode(emb, dims = 64, m = 4, k = 4, iters = 2)
+      .filter($"vec_id" % 100 === 0)
+      .groupBy("vec_id").agg(sum($"d2").as("err"))
+      .as[(Long, Long)].collect().toMap
+    assert(adc.nonEmpty && adc == err, s"adc $adc != encode err $err")
+  }
+
+  test("ADC top-k is deterministic, complete per query, and sorted by distance") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter($"vec_id" % 250 === 0)
+      .select($"vec_id".as("q_id"), $"embedding")
+    val rows = ProductQuantizer.adcTopK(emb, queries,
+      dims = 64, m = 4, k = 4, iters = 2, topK = 5)
+      .orderBy("q_id", "adist", "vec_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 250L) && byQ.values.forall(_.size == 5))
+    byQ.values.foreach { rs =>
+      assert(rs.map(_._3) == rs.map(_._3).sorted, "not sorted by adist")
+    }
+  }
+
   test("rejects m that does not divide dims") {
     val emb = Tables.embeddings(spark, sfDir)
     intercept[IllegalArgumentException] {
