@@ -74,6 +74,35 @@ object CountMin {
     est
   }
 
+  /** Counter-wise SUM of two packed blobs — the linear-sketch merge:
+    * CMS(A ⊎ B) == addBlobs(CMS(A), CMS(B)) exactly (counters are
+    * sums), which is what lets a stream maintain the whole-history
+    * sketch by adding per-batch deltas. Either side may be empty
+    * (zero-length — the empty-input aggregate); otherwise the layouts
+    * must match. Constant work: blob size is depth×width×8 bytes
+    * regardless of corpus size. */
+  def addBlobs(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    if (a.isEmpty) return b
+    if (b.isEmpty) return a
+    require(a.length == b.length,
+      s"blob layouts differ: ${a.length} vs ${b.length} bytes")
+    val out = new Array[Byte](a.length)
+    var base = 0
+    while (base < a.length) {
+      var wa = 0L; var wb = 0L; var i = 0
+      while (i < 8) {
+        wa |= (a(base + i) & 0xffL) << (i << 3)
+        wb |= (b(base + i) & 0xffL) << (i << 3)
+        i += 1
+      }
+      val s = wa + wb
+      i = 0
+      while (i < 8) { out(base + i) = (s >>> (i << 3)).toByte; i += 1 }
+      base += 8
+    }
+    out
+  }
+
   /** Column API: build a CMS blob from a LongType key column. */
   def cm_agg(key: Column, depth: Int, width: Int): Column =
     GraftSqlBridge.column(CountMinAgg(

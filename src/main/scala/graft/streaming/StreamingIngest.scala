@@ -211,6 +211,37 @@ object StreamingIngest {
         pruneGenerations(sp, stateDir, keepAtOrAbove = batchId - 1)
       }.start()
 
+  /** Streaming HEAVY-HITTER SKETCH maintenance: per micro-batch build
+    * a CountMin blob over `keyCol` (LongType keys — hash upstream)
+    * and ADD it into the standing blob. CMS is a LINEAR sketch
+    * (counters are sums), so the maintained state equals the
+    * whole-history sketch BIT-FOR-BIT — stream==batch exact on the
+    * blob, not merely within bounds — and any key's frequency
+    * estimate is served from state without re-reading history.
+    * Same generation-per-batch-id commit protocol as
+    * [[maintainAggState]] (idempotent replays, _SUCCESS-gated reads,
+    * pruning). The per-batch blob is depth×width×8 bytes REGARDLESS
+    * of corpus size, so the driver-side head()+add is constant work —
+    * the same class of driver scalar as the CC convergence probe. */
+  def maintainSketchState(stream: DataFrame, keyCol: String, depth: Int,
+                          width: Int, stateDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        import graft.sketch.CountMin
+        val sp = b.sparkSession
+        val delta = b.agg(CountMin.cm_agg(col(keyCol), depth, width).as("blob"))
+          .head().getAs[Array[Byte]]("blob")
+        val merged = currentAggState(sp, stateDir, maxExclusive = Some(batchId))
+          .map(cur => CountMin.addBlobs(
+            cur.head().getAs[Array[Byte]]("blob"), delta))
+          .getOrElse(delta)
+        import sp.implicits._
+        Seq(merged).toDF("blob").coalesce(1)
+          .write.mode("overwrite").parquet(s"$stateDir/gen-$batchId")
+        pruneGenerations(sp, stateDir, keepAtOrAbove = batchId - 1)
+      }.start()
+
   /** Streaming CDC MATERIALIZATION: each micro-batch of I/U/D change
     * rows merges into the generational state table via
     * [[graft.etl.Upsert.applyCdc]] with keepTombstones = true — the

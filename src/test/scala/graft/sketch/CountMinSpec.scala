@@ -59,4 +59,20 @@ class CountMinSpec extends SparkSpec {
       .as[Long].head()
     assert(est == 2L)
   }
+
+  test("addBlobs is the exact linear merge; empty sides are identities") {
+    def blobOf(ks: Seq[Long]) = ks.toDF("k")
+      .agg(CountMin.cm_agg(col("k"), D, W).as("cms"))
+      .as[Array[Byte]].head()
+    val a = Seq(1L, 2L, 2L, 3L)
+    val b = Seq(2L, 3L, 3L, 9L)
+    val merged = CountMin.addBlobs(blobOf(a), blobOf(b))
+    val whole = blobOf(a ++ b)
+    assert(merged.sameElements(whole), "CMS(A)+CMS(B) != CMS(A ++ B)")
+    assert(CountMin.addBlobs(Array.emptyByteArray, whole).sameElements(whole))
+    assert(CountMin.addBlobs(whole, Array.emptyByteArray).sameElements(whole))
+    intercept[IllegalArgumentException] {
+      CountMin.addBlobs(whole, new Array[Byte](8))
+    }
+  }
 }

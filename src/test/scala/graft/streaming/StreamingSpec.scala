@@ -7,6 +7,7 @@ import org.apache.spark.sql.streaming.OutputMode
 import java.nio.file.{Files, Paths}
 
 class StreamingSpec extends SparkSpec {
+  import spark.implicits._
 
   private lazy val stagingDir = {
     val d = Files.createTempDirectory(Paths.get("/root/repo/target"), "stream").toString
@@ -166,6 +167,44 @@ class StreamingSpec extends SparkSpec {
       .map(_.getName.stripPrefix("gen-").toLong)
     assert(gens.max >= 3, "expected one generation per micro-batch")
     assert(gens.length <= 2, "older generations should be pruned")
+  }
+
+  test("streaming CMS maintenance: merged per-batch sketches equal the batch blob bit-for-bit") {
+    import graft.sketch.CountMin
+    val docsDir = s"$stagingDir/documents_cms"
+    // 4 source files + maxFilesPerTrigger=1 → 4 blob additions: the
+    // linearity claim (CMS(A ⊎ B) == CMS(A) + CMS(B)) must hold
+    // across real micro-batch boundaries, not one lucky batch
+    Tables.documents(spark, sfDir).repartition(4)
+      .write.mode("overwrite").parquet(docsDir)
+    val stateDir = s"$stagingDir/state_cms"
+    val schema = Tables.documents(spark, sfDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(docsDir)
+      .select(explode(graft.text.TextFunctions.tokens(col("text"))).as("token"))
+      .select(xxhash64(col("token")).as("k"))
+    val q = StreamingIngest.maintainSketchState(
+      stream, "k", depth = 4, width = 8192, stateDir)
+    q.awaitTermination()
+    val got = StreamingIngest.currentAggState(spark, stateDir).get
+      .head().getAs[Array[Byte]]("blob")
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(graft.text.TextFunctions.tokens(col("text"))).as("token"))
+    val want = toks
+      .agg(CountMin.cm_agg(xxhash64(col("token")), 4, 8192).as("blob"))
+      .head().getAs[Array[Byte]]("blob")
+    assert(got.length == want.length && got.sameElements(want),
+      "incrementally merged CMS blob != whole-corpus blob")
+    // and the served estimates carry the one-sided guarantee
+    val top = toks.groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(10)
+      .as[(String, Long)].collect()
+    top.foreach { case (t, n) =>
+      val est = CountMin.estimate(got, 4,
+        toks.sparkSession.sql(s"SELECT xxhash64('${t.replace("'", "''")}')")
+          .head().getLong(0))
+      assert(est >= n, s"CMS estimate $est < exact $n for '$t'")
+    }
   }
 
   test("streaming presence maintenance reproduces the rolling-actives dashboard exactly") {
