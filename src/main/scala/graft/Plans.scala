@@ -333,7 +333,18 @@ object Plans {
     // final top-20 is TakeOrdered, never a global sort; join-free
     Check("s04_top_paths",
       Seq("windowspecdefinition(user_id", "TakeOrderedAndProject"),
-      wantNone = Seq("Join")))
+      wantNone = Seq("Join")),
+    // k-means assignment: centroids BROADCAST (k-bounded nested loop
+    // per row, no shuffle); never a sort-merge join or an unguarded
+    // cartesian anywhere in the training chain
+    Check("km01_kmeans",
+      Seq("BroadcastNestedLoopJoin", "BroadcastExchange"),
+      wantNone = Seq("SortMergeJoin", "CartesianProduct")),
+    // PQ-ADC: LUT and codebooks broadcast; the only window partitions
+    // by query id (bounded top-k per query); no cartesian
+    Check("nn08_pq_adc",
+      Seq("BroadcastNestedLoopJoin", "windowspecdefinition(q_id"),
+      wantNone = Seq("CartesianProduct")))
 
   /** All failed assertions for a session (empty = every pin holds);
     * shared by the CLI main below and PlanSpec so the pins run under

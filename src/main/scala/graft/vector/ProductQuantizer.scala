@@ -69,8 +69,10 @@ object ProductQuantizer {
     val scored = (0 until m).map { s =>
       val subC = corpus.select(col(idCol),
         slice(col(vecCol), s * len + 1, len).as("__sub"))
+      // ONE training per subspace: codes and the LUT share `cents`
+      // (run() here would rebuild the whole Lloyd chain a second time)
       val cents = QuantizedKMeans.centroids(subC, k, iters, idCol, "__sub")
-      val codes = QuantizedKMeans.run(subC, k, iters, idCol, "__sub")
+      val codes = QuantizedKMeans.assignTo(subC, cents, idCol, "__sub")
         .select(col(idCol), col("cell_id"))
       val lut = QuantizedKMeans.distancesTo(
         queries.select(col(qIdCol), slice(col(vecCol), s * len + 1, len).as("__sub")),

@@ -90,13 +90,19 @@ object QuantizedKMeans {
     quantize(df, idCol, vecCol).crossJoin(broadcast(cents))
       .select(col(idCol), col("cell_id"), dist2(col("q"), col("c")).as("d2"))
 
+  /** Argmin assignment of every row to its nearest centroid
+    * (ties → lowest cell): (idCol, cell_id, d2). */
+  def assignTo(df: DataFrame, cents: DataFrame,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    distancesTo(df, cents, idCol, vecCol)
+      .groupBy(col(idCol))
+      .agg(min(struct(col("d2"), col("cell_id"))).as("m"))
+      .select(col(idCol), col("m.cell_id").as("cell_id"), col("m.d2").as("d2"))
+
   /** Run `iters` Lloyd iterations with k = `k`; returns the final
     * assignment (idCol, cell_id, d2) — the full per-vector mapping,
     * with the exact quantized squared distance to its centroid. */
   def run(df: DataFrame, k: Int, iters: Int,
           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    distancesTo(df, centroids(df, k, iters, idCol, vecCol), idCol, vecCol)
-      .groupBy(col(idCol))
-      .agg(min(struct(col("d2"), col("cell_id"))).as("m"))
-      .select(col(idCol), col("m.cell_id").as("cell_id"), col("m.d2").as("d2"))
+    assignTo(df, centroids(df, k, iters, idCol, vecCol), idCol, vecCol)
 }
