@@ -459,6 +459,90 @@ object VectorQueries {
          |WHERE rk <= 5 ORDER BY q_id, adist, vec_id""".stripMargin
     })
 
+  /** PQ-ADC RECALL vs EXACT L2 (nn08's quality companion — the
+    * dd08/nn05 pattern: every approximate path ships with an
+    * oracle-checked measurement of what it trades). Exact side:
+    * brute-force quantized-L2 top-5 per query over FULL vectors
+    * (integer distances, total tie-break — both engines rank
+    * identically); approximate side: nn08's ADC top-5. Recall@5 per
+    * query as exact integers, the ratio last. Unlike nn05 (whose LSH
+    * params reach recall 1.0 and whose oracle pins that), ADC recall
+    * genuinely varies — so the oracle replays BOTH paths end-to-end
+    * and the per-query hit counts themselves hash-match. At these
+    * deliberately tiny params (m=4, k=4 → 4⁴ = 256 possible codes for
+    * 500 vectors) measured recall@5 is 0.2–0.4 at sf0.01 — the honest
+    * cost of 64-float→4-code compression; production PQ uses m=8–16,
+    * k=256 per subspace and re-ranks ADC shortlists with full
+    * vectors. */
+  val nn09AdcRecall = QueryDef("nn09_adc_recall",
+    (s, d) => {
+      import graft.vector.{ProductQuantizer, QuantizedKMeans}
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding"))
+      val adc = ProductQuantizer.adcTopK(emb, qs,
+          dims = 64, m = 4, k = 4, iters = 2, topK = 5)
+        .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+      val corpus = QuantizedKMeans.quantize(emb, "vec_id", "embedding")
+      val queries = QuantizedKMeans.quantize(qs, "q_id", "embedding")
+        .withColumnRenamed("q", "qv")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("d2"), col("vec_id"))
+      val exact = corpus.crossJoin(broadcast(queries))
+        .select(col("q_id"), col("vec_id"),
+          QuantizedKMeans.dist2(col("q"), col("qv")).as("d2"))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= 5)
+        .select("q_id", "vec_id")
+      exact.join(adc, Seq("q_id", "vec_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+        .withColumn("recall",
+          col("n_hit").cast("double") / col("n_exact"))
+        .orderBy("q_id")
+    },
+    Some {
+      val luts = (0 until 4).map { s =>
+        s"""l$s AS (SELECT q.vec_id AS q_id, c.cell_id,
+           |    CAST(list_sum(list_transform(range(1, len(q.v) + 1),
+           |      j -> (q.v[j] - c.c[j]) * (q.v[j] - c.c[j]))) AS BIGINT) AS d2
+           |  FROM q$s q CROSS JOIN c${s}_2 c WHERE q.vec_id % 100 = 0),
+           |j$s AS (SELECT l.q_id, f.vec_id, l.d2
+           |  FROM f$s f JOIN l$s l ON f.cell_id = l.cell_id)""".stripMargin
+      }
+      s"""WITH ${(0 until 4).map(pqSubChain).mkString(",\n")},
+         |${luts.mkString(",\n")},
+         |u AS (SELECT * FROM j0 UNION ALL SELECT * FROM j1
+         |      UNION ALL SELECT * FROM j2 UNION ALL SELECT * FROM j3),
+         |adc_all AS (SELECT q_id, vec_id, CAST(SUM(d2) AS BIGINT) AS adist
+         |      FROM u GROUP BY q_id, vec_id),
+         |adc_top AS (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rk
+         |  FROM adc_all) z WHERE rk <= 5),
+         |qf AS MATERIALIZED (SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |ex AS (SELECT q_id, vec_id FROM (
+         |  SELECT a.vec_id AS q_id, b.vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+         |      CAST(list_sum(list_transform(range(1, len(b.v) + 1),
+         |        j -> (b.v[j] - a.v[j]) * (b.v[j] - a.v[j]))) AS BIGINT),
+         |      b.vec_id) AS rk
+         |  FROM qf a JOIN qf b ON a.vec_id % 100 = 0) z
+         |  WHERE rk <= 5)
+         |SELECT ex.q_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |  CAST(SUM(CASE WHEN t.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS n_hit,
+         |  CAST(SUM(CASE WHEN t.vec_id IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+         |    / COUNT(*) AS recall
+         |FROM ex LEFT JOIN adc_top t
+         |  ON ex.q_id = t.q_id AND ex.vec_id = t.vec_id
+         |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin
+    })
+
   /** Shared oracle CTE chain for vq02/nn08: subspace `s`'s
     * slice → quantize → lowest-id init → 2 Lloyd updates → final
     * argmin assignment (`f$s`). AS MATERIALIZED on the multi-
@@ -508,5 +592,5 @@ object VectorQueries {
   val all: Seq[QueryDef] = Seq(nn01BruteTopK, nn02LshTopK, nn03NearDup,
     nn04IvfTopK, nn05LshRecall, nn06IvfAllProbe, nn07LshPortable,
     dd06DupClusters, vq01ScalarQuant, sd01SemanticDedup, em01DimStats,
-    km01KMeans, vq02ProductQuant, nn08PqAdc)
+    km01KMeans, vq02ProductQuant, nn08PqAdc, nn09AdcRecall)
 }
