@@ -76,6 +76,24 @@ object Bloom {
     true
   }
 
+  /** Bitwise OR of two packed blobs — the Bloom merge: OR is
+    * associative, commutative, and IDEMPOTENT, so
+    * bloom(A ⊎ B) == orBlobs(bloom(A), bloom(B)) exactly, and a
+    * stream maintains the whole-history filter by OR-ing per-batch
+    * deltas (replays are harmless). Either side may be empty (the
+    * empty-input aggregate); otherwise layouts must match. Constant
+    * work: blob size is numBits/8 regardless of corpus size. */
+  def orBlobs(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    if (a.isEmpty) return b
+    if (b.isEmpty) return a
+    require(a.length == b.length,
+      s"blob layouts differ: ${a.length} vs ${b.length} bytes")
+    val out = new Array[Byte](a.length)
+    var i = 0
+    while (i < a.length) { out(i) = (a(i) | b(i)).toByte; i += 1 }
+    out
+  }
+
   /** Column API: build a bloom blob from a LongType key column. */
   def bloom_agg(key: Column, numBits: Int, k: Int): Column =
     GraftSqlBridge.column(BloomAgg(

@@ -226,15 +226,42 @@ object StreamingIngest {
   def maintainSketchState(stream: DataFrame, keyCol: String, depth: Int,
                           width: Int, stateDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
+    maintainBlobState(stream, stateDir,
+      graft.sketch.CountMin.cm_agg(col(keyCol), depth, width),
+      graft.sketch.CountMin.addBlobs)
+
+  /** Streaming BLOOM-FILTER maintenance: the membership sibling of
+    * [[maintainSketchState]] — per-batch Bloom blobs OR into the
+    * standing filter (OR is associative, commutative, IDEMPOTENT, so
+    * the state equals the whole-history filter bit-for-bit and
+    * replays are harmless by algebra, on top of the generation
+    * protocol's idempotence). This is dc02's decontamination filter
+    * kept current incrementally: a benchmark/blocklist feed maintains
+    * the filter; scan-side `might_contain` pruning then never
+    * re-reads filter history. */
+  def maintainBloomState(stream: DataFrame, keyCol: String, numBits: Int,
+                         k: Int, stateDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    maintainBlobState(stream, stateDir,
+      graft.sketch.Bloom.bloom_agg(col(keyCol), numBits, k),
+      graft.sketch.Bloom.orBlobs)
+
+  /** Shared blob-state loop: per batch, evaluate `buildAgg` over the
+    * batch (one fixed-size blob) and fold it into the standing blob
+    * with `merge` — same generation-per-batch-id protocol as
+    * [[maintainAggState]]. The blob is corpus-size-independent, so
+    * the driver-side head()+merge is constant work (the CC
+    * convergence-probe class of driver scalar). */
+  private def maintainBlobState(stream: DataFrame, stateDir: String,
+                                buildAgg: org.apache.spark.sql.Column,
+                                merge: (Array[Byte], Array[Byte]) => Array[Byte])
+      : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream.trigger(Trigger.AvailableNow())
       .foreachBatch { (b: DataFrame, batchId: Long) =>
-        import graft.sketch.CountMin
         val sp = b.sparkSession
-        val delta = b.agg(CountMin.cm_agg(col(keyCol), depth, width).as("blob"))
-          .head().getAs[Array[Byte]]("blob")
+        val delta = b.agg(buildAgg.as("blob")).head().getAs[Array[Byte]]("blob")
         val merged = currentAggState(sp, stateDir, maxExclusive = Some(batchId))
-          .map(cur => CountMin.addBlobs(
-            cur.head().getAs[Array[Byte]]("blob"), delta))
+          .map(cur => merge(cur.head().getAs[Array[Byte]]("blob"), delta))
           .getOrElse(delta)
         import sp.implicits._
         Seq(merged).toDF("blob").coalesce(1)

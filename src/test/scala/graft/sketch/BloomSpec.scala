@@ -60,6 +60,23 @@ class BloomSpec extends SparkSpec {
     assert(n == 1L)
   }
 
+  test("orBlobs is the exact idempotent merge; empty sides are identities") {
+    def blobOf(ks: Seq[Long]) = ks.toDF("k")
+      .agg(Bloom.bloom_agg(col("k"), 1 << 12, 5).as("b"))
+      .as[Array[Byte]].head()
+    val a = blobOf(Seq(1L, 2L, 3L))
+    val b = blobOf(Seq(3L, 9L, 40L))
+    val merged = Bloom.orBlobs(a, b)
+    assert(merged.sameElements(blobOf(Seq(1L, 2L, 3L, 9L, 40L))),
+      "bloom(A)|bloom(B) != bloom(A ++ B)")
+    assert(Bloom.orBlobs(merged, merged).sameElements(merged), "not idempotent")
+    assert(Bloom.orBlobs(Array.emptyByteArray, a).sameElements(a))
+    assert(Bloom.orBlobs(a, Array.emptyByteArray).sameElements(a))
+    intercept[IllegalArgumentException] {
+      Bloom.orBlobs(a, new Array[Byte](8))
+    }
+  }
+
   test("dc02 equivalence: bloom-pruned keep-list equals exact anti-join keep-list") {
     val docs = graft.Tables.documents(spark, sfDir)
     val grams = docs.select(col("doc_id"),

@@ -207,6 +207,35 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming Bloom maintenance: OR-merged filter equals the batch filter bit-for-bit") {
+    import graft.sketch.Bloom
+    val docsDir = s"$stagingDir/documents_bloom"
+    Tables.documents(spark, sfDir).repartition(4)
+      .write.mode("overwrite").parquet(docsDir)
+    val stateDir = s"$stagingDir/state_bloom"
+    val schema = Tables.documents(spark, sfDir).schema
+    // the dc02 shape fed incrementally: a blocklist/benchmark feed of
+    // doc fingerprints maintains the decontamination filter
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(docsDir)
+      .select(xxhash64(col("text")).as("k"))
+    val q = StreamingIngest.maintainBloomState(
+      stream, "k", numBits = 1 << 16, k = 5, stateDir)
+    q.awaitTermination()
+    val got = StreamingIngest.currentAggState(spark, stateDir).get
+      .head().getAs[Array[Byte]]("blob")
+    val want = Tables.documents(spark, sfDir)
+      .agg(Bloom.bloom_agg(xxhash64(col("text")), 1 << 16, 5).as("blob"))
+      .head().getAs[Array[Byte]]("blob")
+    assert(got.length == want.length && got.sameElements(want),
+      "incrementally OR-merged Bloom blob != whole-corpus blob")
+    // served membership keeps the no-false-negative guarantee
+    val keys = Tables.documents(spark, sfDir)
+      .select(xxhash64(col("text")).as("k")).limit(50).as[Long].collect()
+    keys.foreach(k => assert(Bloom.mightContain(got, 5, k),
+      s"inserted key $k probes false"))
+  }
+
   test("streaming presence maintenance reproduces the rolling-actives dashboard exactly") {
     val srcDir = s"$stagingDir/events_wa"
     // 4 source files + maxFilesPerTrigger=1 → 4 incremental merges
