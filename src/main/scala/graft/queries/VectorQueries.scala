@@ -543,6 +543,98 @@ object VectorQueries {
          |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin
     })
 
+  /** PORTABLE IVF TOP-K (nn04's oracle-exact companion — closing the
+    * last approximate path without a value-exact replay: nn02→nn07
+    * did it for hyperplane LSH, dd04→dd11 for MinHash; this does it
+    * for IVF). The coarse quantizer is
+    * [[graft.vector.QuantizedKMeans]] (k=16 cells, 2 Lloyd rounds)
+    * instead of nn04's seeded float ML KMeans, so cell assignment,
+    * probe selection (nProbe=4 nearest cells, ties → cell id), the
+    * candidate set, and the exact integer-L2 re-rank are ALL total
+    * deterministic functions of the input — DuckDB replays the entire
+    * index build + search and the top-5 per query hash-matches.
+    * Same physical shapes as nn04 (broadcast centroids, cell-pruned
+    * candidates, bounded per-query window); production keeps ML
+    * KMeans for quantizer quality, this proves the search machinery. */
+  val nn10IvfPortable = QueryDef("nn10_ivf_portable",
+    (s, d) => {
+      import graft.vector.QuantizedKMeans
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, d)
+      val cents = QuantizedKMeans.centroids(emb, k = 16, iters = 2)
+      val cells = QuantizedKMeans.assignTo(emb, cents)
+        .select(col("vec_id"), col("cell_id"))
+      val qs = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding"))
+      val wProbe = Window.partitionBy("q_id").orderBy(col("d2"), col("cell_id"))
+      val probes = QuantizedKMeans.distancesTo(qs, cents, "q_id")
+        .withColumn("__rk", row_number().over(wProbe))
+        .filter(col("__rk") <= 4).select("q_id", "cell_id")
+      val qz = QuantizedKMeans.quantize(qs, "q_id", "embedding")
+        .withColumnRenamed("q", "qv")
+      val cz = QuantizedKMeans.quantize(emb, "vec_id", "embedding")
+      val wTop = Window.partitionBy("q_id").orderBy(col("d2"), col("vec_id"))
+      probes.join(cells, "cell_id")
+        .join(broadcast(qz), "q_id")
+        .join(cz, "vec_id")
+        .select(col("q_id"), col("vec_id"),
+          QuantizedKMeans.dist2(col("q"), col("qv")).as("d2"))
+        .withColumn("rank", row_number().over(wTop).cast("long"))
+        .filter(col("rank") <= 5)
+        .orderBy("q_id", "rank")
+    },
+    Some {
+      val dist = (a: String, b: String) =>
+        s"""CAST(list_sum(list_transform(range(1, len($a) + 1),
+           |        j -> ($a[j] - $b[j]) * ($a[j] - $b[j]))) AS BIGINT)""".stripMargin
+      val its = (1 to 2).map { i =>
+        s"""a_$i AS (SELECT vec_id, v, cell_id FROM (
+           |    SELECT vec_id, v, cell_id,
+           |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell_id) AS rk
+           |    FROM (SELECT q.vec_id, q.v, c.cell_id,
+           |        ${dist("q.v", "c.c")} AS d2
+           |      FROM qf q CROSS JOIN c_${i - 1} c) z) y
+           |  WHERE rk = 1),
+           |s_$i AS (SELECT cell_id, i, CAST(SUM(v[i]) AS BIGINT) AS sm,
+           |    COUNT(*) AS n
+           |  FROM (SELECT cell_id, v, unnest(range(1, len(v) + 1)) AS i
+           |        FROM a_$i) z
+           |  GROUP BY cell_id, i),
+           |c_$i AS (SELECT cell_id,
+           |    list((sm - (((sm % n) + n) % n)) // n ORDER BY i) AS c
+           |  FROM s_$i GROUP BY cell_id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH qf AS MATERIALIZED (SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |c_0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+         |      AS BIGINT) AS cell_id, v AS c
+         |  FROM (SELECT * FROM qf ORDER BY vec_id LIMIT 16)),
+         |$its,
+         |cells AS MATERIALIZED (SELECT vec_id, cell_id FROM (
+         |  SELECT vec_id, cell_id,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell_id) AS rk
+         |  FROM (SELECT q.vec_id, c.cell_id, ${dist("q.v", "c.c")} AS d2
+         |    FROM qf q CROSS JOIN c_2 c) z) y
+         |  WHERE rk = 1),
+         |probes AS (SELECT q_id, cell_id FROM (
+         |  SELECT q_id, cell_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2, cell_id) AS rk
+         |  FROM (SELECT q.vec_id AS q_id, c.cell_id, ${dist("q.v", "c.c")} AS d2
+         |    FROM qf q CROSS JOIN c_2 c WHERE q.vec_id % 100 = 0) z) y
+         |  WHERE rk <= 4),
+         |cand AS (SELECT p.q_id, s.vec_id FROM probes p
+         |  JOIN cells s ON p.cell_id = s.cell_id)
+         |SELECT q_id, vec_id, d2, rank FROM (
+         |  SELECT q_id, vec_id, d2,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS rank
+         |  FROM (SELECT c.q_id, c.vec_id, ${dist("a.v", "b.v")} AS d2
+         |    FROM cand c JOIN qf a ON a.vec_id = c.q_id
+         |    JOIN qf b ON b.vec_id = c.vec_id) z) y
+         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+    })
+
   /** Shared oracle CTE chain for vq02/nn08: subspace `s`'s
     * slice → quantize → lowest-id init → 2 Lloyd updates → final
     * argmin assignment (`f$s`). AS MATERIALIZED on the multi-
@@ -592,5 +684,6 @@ object VectorQueries {
   val all: Seq[QueryDef] = Seq(nn01BruteTopK, nn02LshTopK, nn03NearDup,
     nn04IvfTopK, nn05LshRecall, nn06IvfAllProbe, nn07LshPortable,
     dd06DupClusters, vq01ScalarQuant, sd01SemanticDedup, em01DimStats,
-    km01KMeans, vq02ProductQuant, nn08PqAdc, nn09AdcRecall)
+    km01KMeans, vq02ProductQuant, nn08PqAdc, nn09AdcRecall,
+    nn10IvfPortable)
 }
