@@ -84,6 +84,14 @@ object Tables {
       case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
+        // the NTZ→TIMESTAMP cast reinterprets the wall-clock value in
+        // the SESSION timezone; it is value-preserving (and DuckDB-
+        // matching) only under UTC, so fail fast rather than silently
+        // shift every event time for a non-UTC caller
+        val tz = s.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"events() requires spark.sql.session.timeZone=UTC (got '$tz'): " +
+          "the TIMESTAMP_NTZ->TIMESTAMP cast is timezone-sensitive")
         raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }

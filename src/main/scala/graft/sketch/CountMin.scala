@@ -79,7 +79,13 @@ object CountMin {
     * sums), which is what lets a stream maintain the whole-history
     * sketch by adding per-batch deltas. Either side may be empty
     * (zero-length — the empty-input aggregate); otherwise the layouts
-    * must match. Constant work: blob size is depth×width×8 bytes
+    * must match. NOTE the length check is necessary but NOT sufficient:
+    * a 4×8192 and an 8×4096 sketch have identical blob sizes and would
+    * merge into a corrupted state — geometry (depth, width) is not
+    * recoverable from the blob, so callers must pin it per state
+    * lineage. [[graft.streaming.StreamingIngest.maintainSketchState]]
+    * does this with a `_blob_geometry` sidecar asserted at start().
+    * Constant work: blob size is depth×width×8 bytes
     * regardless of corpus size. */
   def addBlobs(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
     if (a.isEmpty) return b

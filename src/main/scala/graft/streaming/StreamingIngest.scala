@@ -225,10 +225,12 @@ object StreamingIngest {
     * the same class of driver scalar as the CC convergence probe. */
   def maintainSketchState(stream: DataFrame, keyCol: String, depth: Int,
                           width: Int, stateDir: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    pinBlobGeometry(stream.sparkSession, stateDir, s"cms:depth=$depth,width=$width")
     maintainBlobState(stream, stateDir,
       graft.sketch.CountMin.cm_agg(col(keyCol), depth, width),
       graft.sketch.CountMin.addBlobs)
+  }
 
   /** Streaming BLOOM-FILTER maintenance: the membership sibling of
     * [[maintainSketchState]] — per-batch Bloom blobs OR into the
@@ -241,10 +243,38 @@ object StreamingIngest {
     * re-reads filter history. */
   def maintainBloomState(stream: DataFrame, keyCol: String, numBits: Int,
                          k: Int, stateDir: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    pinBlobGeometry(stream.sparkSession, stateDir, s"bloom:numBits=$numBits,k=$k")
     maintainBlobState(stream, stateDir,
       graft.sketch.Bloom.bloom_agg(col(keyCol), numBits, k),
       graft.sketch.Bloom.orBlobs)
+  }
+
+  /** Pin a blob-state directory to ONE sketch geometry. Blob merges
+    * (addBlobs/orBlobs) can only check byte LENGTH, which is necessary
+    * but not sufficient: a 4×8192 and an 8×4096 CMS have identical blob
+    * sizes and would merge into a silently-corrupted sketch. So the
+    * first maintainer of a stateDir writes `_blob_geometry` (the full
+    * parameter descriptor) and every later maintainer must present the
+    * identical descriptor — a changed depth/width/k against an existing
+    * state dir fails FAST at start(), before any batch merges. */
+  private def pinBlobGeometry(spark: SparkSession, stateDir: String,
+                              descriptor: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$stateDir/_blob_geometry")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val existing = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                     finally in.close()
+      require(existing == descriptor,
+        s"blob state dir $stateDir is pinned to geometry '$existing' " +
+        s"but the maintainer was configured with '$descriptor'; " +
+        "changing sketch parameters requires a fresh state dir")
+    } else {
+      val out = fs.create(p, false)
+      try out.write(descriptor.getBytes("UTF-8")) finally out.close()
+    }
+  }
 
   /** Shared blob-state loop: per batch, evaluate `buildAgg` over the
     * batch (one fixed-size blob) and fold it into the standing blob

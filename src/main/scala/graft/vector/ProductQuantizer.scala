@@ -26,12 +26,27 @@ import org.apache.spark.sql.functions._
   */
 object ProductQuantizer {
 
+  /** `slice` silently ignores trailing dimensions when `dims` under-
+    * states the true vector length, so codes/errors would be computed
+    * on truncated vectors with no error anywhere. Guard: check the
+    * declared dims against one sampled row (a single-row take, not a
+    * scan — cheap at any corpus size; length uniformity across rows is
+    * the storage contract, same as em01's profile). */
+  private def assertDims(df: DataFrame, dims: Int, vecCol: String): Unit =
+    df.select(size(col(vecCol)).as("__n")).take(1).headOption.foreach { r =>
+      require(r.getInt(0) == dims,
+        s"dims=$dims but column '$vecCol' has length ${r.getInt(0)}: " +
+        "slice() would silently truncate — pass the true vector length")
+    }
+
   /** Train + encode in long format: (idCol, sub_id, code, d2) — one
     * row per vector per subspace. `dims` must be the vector length and
-    * divide evenly by `m` (slice would silently truncate otherwise). */
+    * divide evenly by `m` (slice would silently truncate otherwise —
+    * asserted against a sampled row). */
   def encode(df: DataFrame, dims: Int, m: Int, k: Int, iters: Int,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(m >= 1 && dims % m == 0, s"m=$m must divide dims=$dims")
+    assertDims(df, dims, vecCol)
     val len = dims / m
     (0 until m).map { s =>
       val sub = df.select(col(idCol),
@@ -65,13 +80,18 @@ object ProductQuantizer {
               qIdCol: String = "q_id"): DataFrame = {
     require(m >= 1 && dims % m == 0, s"m=$m must divide dims=$dims")
     require(topK >= 1)
+    assertDims(corpus, dims, vecCol)
     val len = dims / m
     val scored = (0 until m).map { s =>
       val subC = corpus.select(col(idCol),
         slice(col(vecCol), s * len + 1, len).as("__sub"))
-      // ONE training per subspace: codes and the LUT share `cents`
-      // (run() here would rebuild the whole Lloyd chain a second time)
+      // ONE training per subspace: codes and the LUT share `cents`,
+      // and the k-row frame is PERSISTED so the shared Lloyd lineage
+      // materializes once rather than relying on ReusedExchange to
+      // dedupe the two consumers (run() here would rebuild the whole
+      // chain a second time) — the learnMerges persist discipline
       val cents = QuantizedKMeans.centroids(subC, k, iters, idCol, "__sub")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val codes = QuantizedKMeans.assignTo(subC, cents, idCol, "__sub")
         .select(col(idCol), col("cell_id"))
       val lut = QuantizedKMeans.distancesTo(

@@ -200,11 +200,37 @@ class StreamingSpec extends SparkSpec {
       .orderBy(col("n").desc, col("token")).limit(10)
       .as[(String, Long)].collect()
     top.foreach { case (t, n) =>
+      // hash via a DataFrame literal, not interpolated SQL text: a
+      // token containing a backslash would go through SQL escape
+      // parsing and hash differently from the raw stream value
       val est = CountMin.estimate(got, 4,
-        toks.sparkSession.sql(s"SELECT xxhash64('${t.replace("'", "''")}')")
-          .head().getLong(0))
+        toks.sparkSession.range(1).select(xxhash64(lit(t))).head().getLong(0))
       assert(est >= n, s"CMS estimate $est < exact $n for '$t'")
     }
+  }
+
+  test("blob state dirs are pinned to one sketch geometry: changed params fail fast") {
+    val docsDir = s"$stagingDir/documents_geom"
+    Tables.documents(spark, sfDir).limit(10).coalesce(1)
+      .write.mode("overwrite").parquet(docsDir)
+    val stateDir = s"$stagingDir/state_geom"
+    val schema = spark.read.parquet(docsDir).schema
+    def stream = spark.readStream.schema(schema).parquet(docsDir)
+      .select(xxhash64(col("text")).as("k"))
+    val q = StreamingIngest.maintainSketchState(
+      stream, "k", depth = 4, width = 8192, stateDir)
+    q.awaitTermination()
+    // same byte length (8*4096 == 4*8192), different geometry: without
+    // the pin this would merge into a silently corrupted sketch
+    val e = intercept[IllegalArgumentException] {
+      StreamingIngest.maintainSketchState(
+        stream, "k", depth = 8, width = 4096, stateDir)
+    }
+    assert(e.getMessage.contains("pinned to geometry"))
+    // and the original geometry keeps working (idempotent pin)
+    val q2 = StreamingIngest.maintainSketchState(
+      stream, "k", depth = 4, width = 8192, stateDir)
+    q2.awaitTermination()
   }
 
   test("streaming Bloom maintenance: OR-merged filter equals the batch filter bit-for-bit") {

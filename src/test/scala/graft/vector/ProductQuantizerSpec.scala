@@ -42,6 +42,16 @@ class ProductQuantizerSpec extends SparkSpec {
     assert(codes(1L)(1) == codes(4L)(1) && codes(2L)(1) == codes(3L)(1))
   }
 
+  test("declared dims must match the actual vector length (slice truncation guard)") {
+    val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f, 4.0f))).toDF("vec_id", "embedding")
+    // dims=2 divides m=2 cleanly, but the vectors are length 4: without
+    // the guard slice() would silently drop half of every vector
+    val e = intercept[IllegalArgumentException] {
+      ProductQuantizer.encode(df, dims = 2, m = 2, k = 1, iters = 1)
+    }
+    assert(e.getMessage.contains("silently truncate"))
+  }
+
   test("ADC self-distance equals the encode error sum (definitional identity)") {
     // a query that IS a corpus vector scores its own codes at exactly
     // the sum of its per-subspace quantization errors — ADC is exact
