@@ -87,18 +87,70 @@ object Bench {
     }
     val total = results.map(_._2).sum
     def r3(v: Double): String = f"$v%.3f"
+    // Per-family subtotals (family = leading alpha prefix of the query
+    // name): the unit at which cross-round drift is attributable —
+    // "new heavy family" vs "old family got slower" — checked against
+    // the committed budgets below.
+    val families = results
+      .groupBy { case (name, _) => name.takeWhile(_.isLetter) }
+      .map { case (f, rs) => f -> rs.map(_._2).sum }
+      .toSeq.sortBy(-_._2)
+    // Budget check (bench/family_budgets.tsv, committed): WARN — never
+    // fail — when a family's subtotal exits its recorded band by 2×
+    // (with a +1 s floor so scheduler-floor families don't trip on
+    // ambient ±30% single-run variance), or when a family is new.
+    // Budgets are recorded at one SF and only checked at that SF.
+    val budgetsPath = java.nio.file.Paths.get("bench/family_budgets.tsv")
+    if (java.nio.file.Files.exists(budgetsPath)) {
+      val lines = scala.jdk.CollectionConverters
+        .ListHasAsScala(java.nio.file.Files.readAllLines(budgetsPath)).asScala
+      val budgetSf = lines.collectFirst {
+        case l if l.startsWith("#sf=") => l.stripPrefix("#sf=") }
+      if (budgetSf.exists(sfDir.endsWith)) {
+        val budgets = lines.filterNot(_.startsWith("#")).flatMap { l =>
+          l.split('\t') match {
+            case Array(f, v) => Some(f -> v.toDouble)
+            case _ => None
+          }
+        }.toMap
+        families.foreach { case (f, t) =>
+          budgets.get(f) match {
+            case None => System.err.println(
+              f"[bench] WARN family '$f' ($t%.2f s) has no recorded budget - add it to bench/family_budgets.tsv")
+            case Some(b) if t > math.max(2 * b, b + 1.0) => System.err.println(
+              f"[bench] WARN family '$f' subtotal $t%.2f s exceeds 2x its recorded budget $b%.2f s - regression or a grown family; investigate, then re-record")
+            case _ => ()
+          }
+        }
+      }
+    }
     // The printed line must survive a tail-capture of the run log
     // (round 1's full 85-query map exceeded it and failed to parse), so
-    // it carries the slowest 30 queries; the complete per-query map
-    // goes to target/bench_full.json.
+    // it carries the slowest 30 queries; the complete per-query map +
+    // family subtotals go to target/bench_full.json AND are appended to
+    // the committed bench/history.jsonl — the cross-round per-query
+    // history the round artifacts alone don't preserve.
     val top = results.sortBy(-_._2).take(30)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val all = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
+    val famJson = families.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val stamp = java.time.Instant.now().toString
+    val fullLine =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","ts":"$stamp","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"families":$famJson,"queries":$all,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("target/bench_full.json"),
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_failed":${failed.size},"failed":$failedJson,"queries":$all,"sf":"$sfDir"}""")
+      java.nio.file.Paths.get("target/bench_full.json"), fullLine)
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("bench"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench/history.jsonl"), fullLine + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] history append failed: ${e.getMessage}")
+    }
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"queries":$top,"sf":"$sfDir"}""")
     spark.stop()
   }
