@@ -50,10 +50,30 @@ object JdbcSink {
     bounded.write.mode(SaveMode.Append).jdbc(url, table, props)
   }
 
-  /** Read a warehouse table back (reporting side / round-trip checks). */
+  /** Read a warehouse table back (reporting side / round-trip checks).
+    * This is the S8 mirror of the reference's `pd.read_sql` query
+    * source (Reporting.py:27-41) — and unlike it, filters and column
+    * pruning PUSH DOWN into the warehouse: Catalyst compiles catalyst
+    * predicates to the dialect's WHERE clause on the JDBC relation
+    * (`PushedFilters` in the scan — pinned by JdbcSinkSpec), so a
+    * dashboard query ships the predicate to the database instead of
+    * pulling the table. */
   def read(spark: SparkSession, url: String, table: String,
            properties: java.util.Properties = new java.util.Properties()): DataFrame =
     spark.read.jdbc(url, table, properties)
+
+  /** Parallel warehouse read: `numPartitions` range-partitioned
+    * SELECTs over `partitionCol` ∈ [lower, upper] — the read-side twin
+    * of append's connection-bounded parallelism. A single-connection
+    * JDBC read is latency-bound exactly like the reference's loop; at
+    * scale the extract must fan out or the warehouse link is the
+    * bottleneck. Pushdown still applies per partition query. */
+  def readPartitioned(spark: SparkSession, url: String, table: String,
+                      partitionCol: String, lower: Long, upper: Long,
+                      numPartitions: Int,
+                      properties: java.util.Properties = new java.util.Properties()): DataFrame =
+    spark.read.jdbc(url, table, partitionCol, lower, upper, numPartitions,
+      properties)
 
   /** Write a full HHS load result to a JDBC warehouse — the straight
     * analogue of load_hhs.py's three INSERT loops in one call. */

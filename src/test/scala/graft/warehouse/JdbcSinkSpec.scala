@@ -38,6 +38,33 @@ class JdbcSinkSpec extends SparkSpec {
     assert(JdbcSink.read(spark, url, "t_roundtrip").count() == 6)
   }
 
+  test("JDBC source: predicate and projection push down into the warehouse query") {
+    val df = (1 to 100).map(i => (i.toLong, s"name_$i", i % 7))
+      .toDF("id", "name", "bucket")
+    JdbcSink.append(df, url, "t_pushdown")
+
+    val q = JdbcSink.read(spark, url, "t_pushdown")
+      .filter(col("bucket") === 3 && col("id") > 10L)
+      .select("id", "name")
+    val plan = q.queryExecution.executedPlan.toString
+    // the filters must reach the JDBC relation (compiled to the remote
+    // WHERE clause), not run Spark-side over a full-table pull
+    assert(plan.contains("PushedFilters"), plan)
+    assert(plan.contains("EqualTo(BUCKET,3)") || plan.contains("EqualTo(bucket,3)"), plan)
+    assert(plan.contains("GreaterThan(ID,10)") || plan.contains("GreaterThan(id,10)"), plan)
+    // projection pruning: the remote SELECT must not include `bucket`
+    // beyond the filter — ReadSchema carries only the projected columns
+    assert(q.count() == df.filter(col("bucket") === 3 && col("id") > 10L).count())
+
+    // parallel extract: range-partitioned reads split the table across
+    // numPartitions independent SELECTs and return the same rows
+    val par = JdbcSink.readPartitioned(spark, url, "t_pushdown",
+      partitionCol = "id", lower = 1L, upper = 100L, numPartitions = 4)
+    assert(par.rdd.getNumPartitions == 4)
+    assert(par.count() == 100)
+    assert(par.agg(sum("id")).as[Long].head() == (1 to 100).map(_.toLong).sum)
+  }
+
   test("append never mutates the caller's Properties") {
     val df = Seq(("A", "x")).toDF("facility_id", "name")
     val props = new java.util.Properties()
