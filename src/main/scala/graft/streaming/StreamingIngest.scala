@@ -178,6 +178,95 @@ object StreamingIngest {
         sink(graft.text.TextDedup.boilerplateStripAgainst(b, blocklist, segTokens)))
       .start()
 
+  /** STREAMING END-TO-END HHS INGEST: the whole batch warehouse load
+    * ([[graft.warehouse.HhsPipeline.load]]) as one live pipeline —
+    * file source → clean → validation split → watermarked key dedup
+    * (`dropDuplicatesWithinWatermark`, SURVEY §2.11's named shape) →
+    * warehouse append. Returns the (valid-path, reject-path) queries;
+    * await both.
+    *
+    * Stage-by-stage parity with batch:
+    *  - clean + validation are pure column expressions, so they run on
+    *    the stream UNCHANGED and split BEFORE dedup, exactly like
+    *    batch (an invalid first occurrence must not shadow a valid
+    *    duplicate, and rejects must include duplicate invalid rows).
+    *  - (hospital_pk, collection_week) dedup happens IN the stream:
+    *    the watermark on collection_week bounds state, and
+    *    dropDuplicatesWithinWatermark drops cross-batch duplicates
+    *    without touching the warehouse. Streaming "first" is arrival
+    *    order — equal to the batch file-order rule whenever files
+    *    arrive in listing order (the file source's contract here).
+    *  - per micro-batch (foreachBatch), the remaining BATCH stages
+    *    run against current warehouse state: first-per-hospital_pk,
+    *    anti-join vs existing keys (covers pre-existing warehouse rows
+    *    and dups beyond the watermark horizon), three table appends.
+    *    Batches are sequential, so batch N's appends are batch N+1's
+    *    existing side.
+    * At scale the state store holds only keys within the watermark,
+    * and every per-batch stage is the batch operator itself — the
+    * proof obligation (stream == batch on the same files) is pinned
+    * by StreamingSpec against a fixture warehouse. */
+  def hhsIngestStream(spark: SparkSession, srcDir: String, warehouseDir: String,
+                      rejectDir: String, watermark: String = "30 days",
+                      maxFilesPerTrigger: Int = 1)
+      : (org.apache.spark.sql.streaming.StreamingQuery,
+         org.apache.spark.sql.streaming.StreamingQuery) = {
+    import graft.warehouse.{HhsPipeline, Schemas}
+    import graft.etl.{Dedup, Validation}
+    def readOrEmpty(sp: SparkSession, path: String, schema: StructType): DataFrame =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+        sp.read.schema(schema).parquet(path)
+      else sp.createDataFrame(sp.sparkContext.emptyRDD[Row], schema)
+
+    val raw = spark.readStream
+      .option("header", "true").schema(Schemas.hhsRawCsv)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger).csv(srcDir)
+    val (valid, rejects) = Validation.split(
+      HhsPipeline.clean(raw), HhsPipeline.validationRules)
+
+    val deduped = valid
+      .withColumn("__event_ts", col("collection_week").cast("timestamp"))
+      .withWatermark("__event_ts", watermark)
+      .dropDuplicatesWithinWatermark("hospital_pk", "collection_week")
+      .drop("__event_ts")
+    val validQ = deduped.writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$warehouseDir/_checkpoints/hhs_valid")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val sp = b.sparkSession
+        val existingHospitals = readOrEmpty(
+          sp, s"$warehouseDir/hospitals", Schemas.hospitals)
+        val existingBeds = readOrEmpty(
+          sp, s"$warehouseDir/hospital_bed_information",
+          Schemas.hospitalBedInformation)
+        val withOrder = b.withColumn("__file_order", monotonically_increasing_id())
+        val firstPerHospital = Dedup.firstOccurrenceWins(
+          withOrder, Seq("hospital_pk"), "__file_order")
+        val newHospitalRows = Dedup.antiJoinExisting(
+          firstPerHospital, existingHospitals, Seq("hospital_pk"))
+        newHospitalRows.select(col("hospital_pk"), col("hospital_name"))
+          .write.mode("append").parquet(s"$warehouseDir/hospitals")
+        newHospitalRows.select(
+          col("hospital_pk").as("hospital_fk"),
+          col("state"), col("address"), col("city"), col("zip"),
+          col("fips_code"), col("geocoded_hospital_address"))
+          .write.mode("append").parquet(s"$warehouseDir/hospital_locations")
+        Dedup.antiJoinExisting(
+          b.select((col("hospital_pk").as("hospital_fk") +:
+            col("collection_week") +:
+            Schemas.hhsMetricColumns.map(col)).toIndexedSeq: _*),
+          existingBeds, Seq("hospital_fk", "collection_week"))
+          .write.mode("append").partitionBy("collection_week")
+          .parquet(s"$warehouseDir/hospital_bed_information")
+      }.start()
+
+    val rejectQ = rejects.writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$warehouseDir/_checkpoints/hhs_rejects")
+      .option("header", "true")
+      .option("path", s"$rejectDir/hhs")
+      .outputMode(OutputMode.Append()).format("csv").start()
+    (validQ, rejectQ)
+  }
+
   /** STREAMING MATERIALIZED-VIEW MAINTENANCE: keep a standing
     * aggregate (graft.etl.IncrementalAgg's algebraic per-key state)
     * current against a live feed — the streaming form of ia01. Per

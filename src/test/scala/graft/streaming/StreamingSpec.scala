@@ -169,6 +169,75 @@ class StreamingSpec extends SparkSpec {
     assert(gens.length <= 2, "older generations should be pruned")
   }
 
+  test("end-to-end streaming HHS ingest equals the batch warehouse load on the same files") {
+    import graft.warehouse.{HhsPipeline, Schemas}
+    val dir = s"$stagingDir/hhs_e2e"
+    val srcDir = s"$dir/src"
+    Files.createDirectories(Paths.get(srcDir))
+    val header = Schemas.hhsRawCsv.fieldNames.mkString(",")
+    def row(pk: String, name: String, week: String, v: String) =
+      s"$pk,$name,PA,1 Main St,Pittsburgh,15213,42003,POINT (-79 40),$week," +
+        Seq.fill(8)(v).mkString(",")
+    // seed: warehouse already contains hospital S and its 01-06 bed row
+    val seedCsv = s"$dir/seed.csv"
+    Files.writeString(Paths.get(seedCsv),
+      Seq(header, row("S", "Seed", "2023-01-06", "1.0")).mkString("\n"))
+    // file 1: valid A, an invalid negative metric (R1), a within-file
+    //   duplicate of A (identical payload), and seed-dup S
+    Files.writeString(Paths.get(s"$srcDir/1.csv"), Seq(header,
+      row("A", "Alpha", "2023-01-06", "10.0"),
+      row("R1", "Reject", "2023-01-06", "-5.0"),
+      row("A", "Alpha", "2023-01-06", "10.0"),
+      row("S", "Seed", "2023-01-06", "1.0")).mkString("\n"))
+    // file 2 (second micro-batch): cross-batch duplicate of A, a new
+    //   week for A (bed row appends, hospital must not), new hospital C,
+    //   and a null-name reject
+    Files.writeString(Paths.get(s"$srcDir/2.csv"), Seq(header,
+      row("A", "Alpha", "2023-01-06", "10.0"),
+      row("A", "Alpha", "2023-01-13", "12.0"),
+      row("C", "Gamma", "2023-01-13", "30.0"),
+      row("R2", "", "2023-01-13", "7.0")).mkString("\n"))
+
+    // identical seed state in both warehouses, via the batch pipeline
+    def seed(wh: String): Unit = {
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.hospitals)
+      val emptyBeds = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        Schemas.hospitalBedInformation)
+      HhsPipeline.write(HhsPipeline.load(spark, seedCsv, empty, emptyBeds),
+        wh, s"$dir/seed_rejects")
+    }
+    val whStream = s"$dir/wh_stream"; val whBatch = s"$dir/wh_batch"
+    seed(whStream); seed(whBatch)
+
+    // STREAM: 2 micro-batches through clean → split → watermarked dedup
+    // → per-batch anti-join appends
+    val (validQ, rejectQ) = StreamingIngest.hhsIngestStream(
+      spark, srcDir, whStream, s"$dir/rejects_stream")
+    validQ.awaitTermination(); rejectQ.awaitTermination()
+
+    // BATCH: same files in one load against the same seed state
+    val bh = spark.read.parquet(s"$whBatch/hospitals")
+    val bb = spark.read.parquet(s"$whBatch/hospital_bed_information")
+    HhsPipeline.write(HhsPipeline.load(spark, srcDir, bh, bb),
+      whBatch, s"$dir/rejects_batch")
+
+    def tbl(wh: String, t: String) =
+      spark.read.parquet(s"$wh/$t").collect().map(_.toSeq).toSet
+    Seq("hospitals", "hospital_locations", "hospital_bed_information")
+      .foreach { t =>
+        assert(tbl(whStream, t) == tbl(whBatch, t),
+          s"stream != batch on $t:\nstream=${tbl(whStream, t)}\nbatch=${tbl(whBatch, t)}")
+      }
+    // rejects: both CSVs carry the same rows with the same reasons
+    def rejects(path: String) =
+      spark.read.option("header", "true").csv(path)
+        .select("hospital_pk", "reject_reason").collect().map(_.toSeq).toSet
+    assert(rejects(s"$dir/rejects_stream/hhs") == rejects(s"$dir/rejects_batch/hhs"))
+    assert(rejects(s"$dir/rejects_batch/hhs").map(_.head) == Set("R1", "R2"))
+  }
+
   test("streaming CMS maintenance: merged per-batch sketches equal the batch blob bit-for-bit") {
     import graft.sketch.CountMin
     val docsDir = s"$stagingDir/documents_cms"
