@@ -635,14 +635,144 @@ object VectorQueries {
          |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
     })
 
-  /** Shared oracle CTE chain for vq02/nn08: subspace `s`'s
-    * slice → quantize → lowest-id init → 2 Lloyd updates → final
-    * argmin assignment (`f$s`). AS MATERIALIZED on the multi-
-    * referenced frames (the bt01 lesson — DuckDB 1.0 inlines CTE
-    * references). */
-  private def pqSubChain(s: Int): String = {
-    val lo = s * 16 + 1
-    val hi = (s + 1) * 16
+  /** PRODUCTION-SHAPED PQ-ADC WITH EXACT RE-RANK (the missing half of
+    * nn09's story: nn08/nn09 run deliberately tiny codebooks — m=4,
+    * k=4, 256 possible codes — and honestly measure recall@5 of
+    * 0.2–0.4; this query runs the production RECIPE and shows it
+    * recovers the recall). Three changes, each the real-world lever:
+    *  - m=8 subspaces × k=64 codes (64⁸ ≈ 2.8e14 possible codes, vs
+    *    nn08's 256): the production codebook resolution (k=256 needs
+    *    more training vectors per cell than the 500-row sf0.01 corpus
+    *    has). ONE Lloyd round: measured recall is identical to two
+    *    rounds on this isotropic corpus (1.00/1.00/0.94 across SFs
+    *    either way) and each round is a full sequential re-scan in
+    *    BOTH engines, so the second round is pure cost;
+    *  - ADC returns a top-200 SHORTLIST, not the final answer. The
+    *    shortlist is deeper than a real corpus would need (top-20
+    *    measured 0.72, top-100 0.84-0.87 at sf0.1) because this
+    *    corpus is RANDOM 64-dim data whose pairwise distances
+    *    concentrate — the 5th-vs-200th-neighbor gap shrinks as the
+    *    corpus grows while the quantization error doesn't — whereas
+    *    real embedding corpora have cluster structure. The recipe
+    *    (shortlist sized to the measured recall floor, then re-rank)
+    *    is the production recipe either way, and the shortlist is a
+    *    VANISHING corpus fraction at scale: 10% of sf0.1's 2000
+    *    vectors, 2e-7 of a 1B-vector corpus;
+    *  - the shortlist re-ranks by EXACT full-vector integer L2 —
+    *    200 full-vector distances per query, vs the corpus-sized scan
+    *    brute force needs.
+    * Output: per-query recall@5 of the re-ranked top-5 vs the exact
+    * brute-force top-5 (integer hit counts — the nn09 shape). Because
+    * every stage (codebooks, codes, LUTs, shortlist, re-rank, exact
+    * side) is integer-exact and totally tie-broken, DuckDB replays the
+    * ENTIRE pipeline and the per-query rows hash-match. The ≥ 0.9
+    * recall floor is pinned by SimilaritySpec (measured mean 1.00 at
+    * sf0.001/sf0.01, 0.94 at sf0.1 — vs 0.2–0.4 for nn08's toy
+    * params).
+    *
+    * 100 TB: ADC cost is unchanged from nn08 (code-keyed joins + m×k
+    * LUT); the re-rank touches topK=200 full vectors per query — the
+    * only stage reading full vectors, and it's query-bounded, which is
+    * exactly why the production recipe is shortlist-then-rerank. */
+  val nn11AdcRerank = QueryDef("nn11_adc_rerank",
+    (s, d) => {
+      import graft.vector.{ProductQuantizer, QuantizedKMeans}
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding"))
+      val shortlist = ProductQuantizer.adcTopK(emb, qs,
+          dims = 64, m = 8, k = 64, iters = 1, topK = 200)
+        .select("q_id", "vec_id")
+      val qz = QuantizedKMeans.quantize(qs, "q_id", "embedding")
+        .withColumnRenamed("q", "qv")
+      val cz = QuantizedKMeans.quantize(emb, "vec_id", "embedding")
+      val wTop = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("d2"), col("vec_id"))
+      val reranked = shortlist
+        .join(broadcast(qz), "q_id").join(cz, "vec_id")
+        .select(col("q_id"), col("vec_id"),
+          QuantizedKMeans.dist2(col("q"), col("qv")).as("d2"))
+        .withColumn("__rk", row_number().over(wTop))
+        .filter(col("__rk") <= 5)
+        .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+      val exact = cz.crossJoin(broadcast(qz))
+        .select(col("q_id"), col("vec_id"),
+          QuantizedKMeans.dist2(col("q"), col("qv")).as("d2"))
+        .withColumn("__rk", row_number().over(wTop))
+        .filter(col("__rk") <= 5)
+        .select("q_id", "vec_id")
+      exact.join(reranked, Seq("q_id", "vec_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+        .withColumn("recall",
+          col("n_hit").cast("double") / col("n_exact"))
+        .orderBy("q_id")
+    },
+    Some {
+      val m = 8
+      val luts = (0 until m).map { s =>
+        s"""l$s AS (SELECT q.vec_id AS q_id, c.cell_id,
+           |    CAST(list_sum(list_transform(range(1, len(q.v) + 1),
+           |      j -> (q.v[j] - c.c[j]) * (q.v[j] - c.c[j]))) AS BIGINT) AS d2
+           |  FROM q$s q CROSS JOIN c${s}_1 c WHERE q.vec_id % 100 = 0),
+           |j$s AS (SELECT l.q_id, f.vec_id, l.d2
+           |  FROM f$s f JOIN l$s l ON f.cell_id = l.cell_id)""".stripMargin
+      }
+      val unions = (0 until m).map(s => s"SELECT * FROM j$s")
+        .mkString(" UNION ALL ")
+      s"""WITH ${(0 until m).map(pqChain(_, m = m, k = 64, iters = 1)).mkString(",\n")},
+         |${luts.mkString(",\n")},
+         |u AS ($unions),
+         |adc_all AS (SELECT q_id, vec_id, CAST(SUM(d2) AS BIGINT) AS adist
+         |      FROM u GROUP BY q_id, vec_id),
+         |shortlist AS (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rk
+         |  FROM adc_all) z WHERE rk <= 200),
+         |qf AS MATERIALIZED (SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |rr AS (SELECT q_id, vec_id FROM (
+         |  SELECT s.q_id, s.vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY s.q_id ORDER BY
+         |      CAST(list_sum(list_transform(range(1, len(b.v) + 1),
+         |        j -> (b.v[j] - a.v[j]) * (b.v[j] - a.v[j]))) AS BIGINT),
+         |      s.vec_id) AS rk
+         |  FROM shortlist s JOIN qf a ON a.vec_id = s.q_id
+         |    JOIN qf b ON b.vec_id = s.vec_id) z
+         |  WHERE rk <= 5),
+         |ex AS (SELECT q_id, vec_id FROM (
+         |  SELECT a.vec_id AS q_id, b.vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+         |      CAST(list_sum(list_transform(range(1, len(b.v) + 1),
+         |        j -> (b.v[j] - a.v[j]) * (b.v[j] - a.v[j]))) AS BIGINT),
+         |      b.vec_id) AS rk
+         |  FROM qf a JOIN qf b ON a.vec_id % 100 = 0) z
+         |  WHERE rk <= 5)
+         |SELECT ex.q_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |  CAST(SUM(CASE WHEN rr.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS n_hit,
+         |  CAST(SUM(CASE WHEN rr.vec_id IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+         |    / COUNT(*) AS recall
+         |FROM ex LEFT JOIN rr
+         |  ON ex.q_id = rr.q_id AND ex.vec_id = rr.vec_id
+         |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin
+    })
+
+  /** Shared oracle CTE chain for vq02/nn08/nn11: subspace `s`'s
+    * slice → quantize → lowest-id init → `iters` Lloyd updates → final
+    * argmin assignment (`f$s`). Parameterized over (m, k, iters) so the
+    * toy (m=4, k=4) and production-shaped (m=8, k=64) replays share one
+    * generator. AS MATERIALIZED on the multi-referenced frames (the
+    * bt01 lesson — DuckDB 1.0 inlines CTE references). */
+  private def pqSubChain(s: Int): String = pqChain(s, m = 4, k = 4, iters = 2)
+
+  private def pqChain(s: Int, m: Int, k: Int, iters: Int): String = {
+    val len = 64 / m
+    val lo = s * len + 1
+    val hi = (s + 1) * len
     val base =
       s"""q$s AS MATERIALIZED (SELECT vec_id,
          |    list_transform(embedding[$lo:$hi],
@@ -650,8 +780,8 @@ object VectorQueries {
          |  FROM embeddings),
          |c${s}_0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
          |      AS BIGINT) AS cell_id, v AS c
-         |  FROM (SELECT * FROM q$s ORDER BY vec_id LIMIT 4)),""".stripMargin
-    val its = (1 to 2).map { i =>
+         |  FROM (SELECT * FROM q$s ORDER BY vec_id LIMIT $k)),""".stripMargin
+    val its = (1 to iters).map { i =>
       s"""a${s}_$i AS (SELECT vec_id, v, cell_id FROM (
          |    SELECT vec_id, v, cell_id,
          |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell_id) AS rk
@@ -676,7 +806,7 @@ object VectorQueries {
          |  FROM (SELECT q.vec_id, c.cell_id,
          |      CAST(list_sum(list_transform(range(1, len(q.v) + 1),
          |        j -> (q.v[j] - c.c[j]) * (q.v[j] - c.c[j]))) AS BIGINT) AS d2
-         |    FROM q$s q CROSS JOIN c${s}_2 c) z) y
+         |    FROM q$s q CROSS JOIN c${s}_$iters c) z) y
          |  WHERE rk = 1)""".stripMargin
     s"$base\n$its\n$fin"
   }
@@ -685,5 +815,5 @@ object VectorQueries {
     nn04IvfTopK, nn05LshRecall, nn06IvfAllProbe, nn07LshPortable,
     dd06DupClusters, vq01ScalarQuant, sd01SemanticDedup, em01DimStats,
     km01KMeans, vq02ProductQuant, nn08PqAdc, nn09AdcRecall,
-    nn10IvfPortable)
+    nn10IvfPortable, nn11AdcRerank)
 }

@@ -36,6 +36,20 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("production-shaped PQ-ADC (m=8, k=64) + exact re-rank reaches recall ≥ 0.9") {
+    // the nn11 recipe: finer codebooks, ADC top-20 shortlist, exact
+    // full-vector re-rank — this is the pin behind the query's claim
+    // that the production parameters recover what nn08's toy params
+    // (recall 0.2-0.4) give away
+    val rows = graft.queries.VectorQueries.nn11AdcRerank
+      .fn(spark, sfDir)
+      .select("q_id", "recall").as[(Long, Double)].collect().toSeq
+    assert(rows.nonEmpty)
+    val avg = rows.map(_._2).sum / rows.size
+    assert(avg >= 0.9, s"mean re-ranked recall@5 $avg < 0.9: $rows")
+    info(f"ADC+rerank mean recall@5 = $avg%.2f over ${rows.size} queries")
+  }
+
   test("LSH top-k recall ≥ 0.4 vs brute force at k=5") {
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.filter($"vec_id" % 100 === 0)
