@@ -109,7 +109,7 @@ object GraphQueries {
       // ANY exact scheme — the slice keeps the demo output-bound
       // while the degree-orientation scale argument is unchanged
       val li = Tables.lineitem(s, d)
-        .filter(col("l_partkey") % 2 === 0)
+        .filter(Probe.scoped(col("l_partkey") % 2 === 0))
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       // co-occurrence within an order: pair fanout is C(items, 2) with
       // items bounded (≤7 in TPC-H shape) — the self-join is an

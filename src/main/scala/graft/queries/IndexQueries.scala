@@ -83,7 +83,7 @@ object IndexQueries {
   val dd12Containment = QueryDef("dd12_containment",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val ex = docs.filter(col("doc_id") % 20 === 0)
+      val ex = docs.filter(Probe.scoped(col("doc_id") % 20 === 0))
         .select(col("doc_id").as("ex_id"),
           concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 8)).as("text"))
       val esh = ex.select(col("ex_id"),

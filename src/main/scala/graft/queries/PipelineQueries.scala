@@ -237,7 +237,8 @@ object PipelineQueries {
     * in cluster size. */
   val fz02PrefixJaccard = QueryDef("fz02_prefix_jaccard",
     (s, d) => graft.text.TextDedup.prefixJaccardPairs(
-      Tables.documents(s, d).filter(col("doc_id") % 5 === 0), num = 4, den = 5)
+      Tables.documents(s, d).filter(Probe.scoped(col("doc_id") % 5 === 0)),
+      num = 4, den = 5)
       .orderBy("id1", "id2"),
     Some("""WITH tok AS (SELECT doc_id,
            |    unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS t

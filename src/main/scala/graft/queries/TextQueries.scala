@@ -879,7 +879,7 @@ object TextQueries {
     * tool on probes. */
   val sm04LeakageSafeSplit = QueryDef("sm04_leakage_safe_split",
     (s, d) => {
-      val docs = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+      val docs = Tables.documents(s, d).filter(Probe.scoped(col("doc_id") % 5 === 0))
       val edges = TextDedup.prefixJaccardPairs(docs, num = 4, den = 5)
         .select("id1", "id2")
       val clusters = graft.graph.ConnectedComponents.runStars(
@@ -1160,7 +1160,7 @@ object TextQueries {
     * decisions AND their application to every document hash-match. */
   val bt02BpeEncode = QueryDef("bt02_bpe_encode",
     (s, d) => {
-      val docs = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+      val docs = Tables.documents(s, d).filter(Probe.scoped(col("doc_id") % 5 === 0))
       val encV = BpeTrain.learnMergesAndVocab(docs, "text", 6)._2
         .select(col("w"),
           size(split(trim(col("enc"), "|"), "\\|\\|")).cast("long").as("n_sym"))
@@ -1230,7 +1230,7 @@ object TextQueries {
   val dd13BestOfCluster = QueryDef("dd13_best_of_cluster",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+      val docs = Tables.documents(s, d).filter(Probe.scoped(col("doc_id") % 5 === 0))
       val edges = TextDedup.prefixJaccardPairs(docs, num = 4, den = 5)
         .select(col("id1"), col("id2"))
       val clusters = graft.graph.ConnectedComponents.runStars(
