@@ -1,33 +1,50 @@
 #!/usr/bin/env python3
 """Per-family scaling exponents from bench/history.jsonl.
 
-Usage: python3 scripts/exponents.py <sf_small_suffix> <sf_big_suffix> [decades]
+Usage: python3 scripts/exponents.py <sf_small_basename> <sf_big_basename> [decades]
 
-Picks the LATEST history entry whose "sf" path ends with each suffix,
-joins per-query times, and prints per-family and per-query exponents
-log10(t_big/t_small)/decades (1.0 = linear in data, ~0 = floor-bound).
-Only queries present in both runs are compared.
+Picks the LATEST history entry whose "sf" path BASENAME equals each
+argument (exact match — a suffix like "1" would be ambiguous between
+sf1/sf0.1/sf0.001), joins per-query times, and prints per-family and
+per-query exponents log10(t_big/t_small)/decades (1.0 = linear in
+data, ~0 = floor-bound). Only queries present in both runs are
+compared. Times are clamped at 1 ms before the log so a fast query
+recorded as 0.0 can't crash the math. Works from any CWD (the history
+path resolves relative to this script's repo).
 """
 import json
 import math
+import os.path
 import sys
 
+HISTORY = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "..", "bench", "history.jsonl")
 
-def latest(suffix):
+EPS = 1e-3  # clamp for log-ratio: floor-bound queries, zero-rounded times
+
+
+def latest(basename):
     hit = None
-    for line in open("bench/history.jsonl"):
+    for line in open(HISTORY):
         d = json.loads(line)
-        if d.get("sf", "").endswith(suffix):
+        if os.path.basename(d.get("sf", "").rstrip("/")) == basename:
             hit = d
     if hit is None:
-        sys.exit(f"no history entry for sf suffix {suffix}")
+        sys.exit(f"no history entry with sf basename {basename!r}")
     return hit
 
 
+def exp(small_t, big_t, decades):
+    return math.log10(max(big_t, EPS) / max(small_t, EPS)) / decades
+
+
 def main():
-    small_sfx, big_sfx = sys.argv[1], sys.argv[2]
+    small_bn, big_bn = sys.argv[1], sys.argv[2]
     decades = float(sys.argv[3]) if len(sys.argv) > 3 else 1.0
-    small, big = latest(small_sfx), latest(big_sfx)
+    small, big = latest(small_bn), latest(big_bn)
+    if small is big or small["sf"] == big["sf"]:
+        sys.exit(f"small and big resolve to the same entry ({small['sf']}) "
+                 "— pass two distinct sf basenames, e.g. sf0.1 sf1")
     qs, qb = small["queries"], big["queries"]
     common = sorted(set(qs) & set(qb))
     print(f"# {len(common)} common queries; small={small['sf']} big={big['sf']}")
@@ -39,13 +56,13 @@ def main():
         fams[f][1] += qb[q]
     ts = sum(qs[q] for q in common)
     tb = sum(qb[q] for q in common)
-    print(f"total: {ts:.1f} s -> {tb:.1f} s  exp {math.log10(tb / ts) / decades:.2f}")
+    print(f"total: {ts:.1f} s -> {tb:.1f} s  exp {exp(ts, tb, decades):.2f}")
     print("\n## families (small_s, big_s, exponent)")
     for f, (a, b) in sorted(fams.items(), key=lambda kv: -kv[1][1]):
-        print(f"{f}\t{a:.2f}\t{b:.2f}\t{math.log10(b / a) / decades:.2f}")
+        print(f"{f}\t{a:.2f}\t{b:.2f}\t{exp(a, b, decades):.2f}")
     print("\n## slowest 25 at big SF (small_s, big_s, exponent)")
     for q in sorted(common, key=lambda q: -qb[q])[:25]:
-        print(f"{q}\t{qs[q]:.2f}\t{qb[q]:.2f}\t{math.log10(qb[q] / qs[q]) / decades:.2f}")
+        print(f"{q}\t{qs[q]:.2f}\t{qb[q]:.2f}\t{exp(qs[q], qb[q], decades):.2f}")
 
 
 if __name__ == "__main__":

@@ -55,6 +55,7 @@ object Bench {
         try run(fn, sfDir) catch { case _: Throwable => () }
       }
       spark.catalog.clearCache()
+      graft.vector.ProductQuantizer.releaseCentroids()
     }
     // a failing query must NOT vanish into a near-zero time: failures
     // are counted and named in the JSON so the bench can't silently
@@ -74,6 +75,7 @@ object Bench {
         name -> ((System.nanoTime() - t0) / 1e9, ok)
       }
       spark.catalog.clearCache()
+      graft.vector.ProductQuantizer.releaseCentroids()
       pass
     }
     // min across SUCCESSFUL iterations only: failures typically abort

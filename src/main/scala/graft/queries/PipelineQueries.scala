@@ -123,29 +123,38 @@ object PipelineQueries {
 
   /** JARO-WINKLER TYPO-PAIR JOIN ([[graft.text.JaroWinklerExpr]] — a
     * native codegen Expression, not a UDF): supplier-name pairs with
-    * similarity ≥ 0.985 under equal-length blocking. On this name
-    * domain the threshold is a crisp semantic boundary — an adjacent
-    * transposition scores exactly 0.988̅ (jaro (2 + 17/18)/3 with the
-    * 4-char prefix boost) while a single substitution scores 0.977̅ —
-    * so the result set is precisely the swapped-digit typo pairs, the
-    * error class Jaro-Winkler was designed for (census name linkage).
-    * The oracle replays the same block + threshold with DuckDB's
-    * independent `jaro_winkler_similarity` implementation, so a hash
-    * match cross-validates the whole scorer (window, half-
+    * similarity ≥ 0.985 under TRANSPOSITION-CLOSED blocking. On this
+    * length class (18-char names, 4-char prefix boost) the threshold
+    * is a crisp semantic boundary: a single-transposition pair scores
+    * 0.9889 (jaro (2 + 17/18)/3 boosted), a single substitution 0.978,
+    * two transpositions 0.978 — so every qualifying pair is EXACTLY a
+    * one-transposition (or identical) pair, the error class
+    * Jaro-Winkler was designed for (census name linkage). And
+    * transpositions preserve the character multiset, so blocking on
+    * the SORTED character string loses no qualifying pair — candidates
+    * come from an equi-join on the anagram key (linear shuffle, group
+    * sizes bounded by the domain's permutation classes: max 6, avg 4.5
+    * at sf0.1 — measured), then the scorer verifies. The r8 sf1 run
+    * measured the previous equal-length block at exponent 2.00 (all
+    * names are 18 chars — the block was the whole table); this key
+    * actually partitions the domain. The oracle is the QUADRATIC
+    * ground truth (no blocking) with DuckDB's independent
+    * `jaro_winkler_similarity`, so a hash match proves the blocking
+    * lossless AND cross-validates the whole scorer (window, half-
     * transpositions, prefix boost, 0.7 gate) at 6 dp.
     *
-    * 100 TB: blocking bounds the candidate set (here: name length —
-    * swap in the fz01 deletion-signature or fz02 prefix scheme for
-    * richer domains); the score evaluates inside whole-stage codegen
-    * in the verify stage, and only pairs clearing τ leave it. */
+    * 100 TB: the anagram key shuffles each row once; candidate pairs
+    * are Θ(Σ block²) with data-bounded blocks, never all-pairs. For
+    * domains where inserts/deletes also clear τ, union in the fz01
+    * deletion-signature block — same verify stage. */
   val fz03JaroTypos = QueryDef("fz03_jaro_typos",
     (s, d) => {
-      val a = Tables.supplier(s, d).select(col("s_suppkey").as("id1"),
-        col("s_name").as("na"))
-      val b = Tables.supplier(s, d).select(col("s_suppkey").as("id2"),
-        col("s_name").as("nb"))
-      a.join(b, length(col("na")) === length(col("nb")) &&
-          col("id1") < col("id2"))
+      def side(idAs: String, nameAs: String) =
+        Tables.supplier(s, d).select(col("s_suppkey").as(idAs),
+          col("s_name").as(nameAs),
+          array_join(array_sort(split(col("s_name"), "")), "").as("blk"))
+      side("id1", "na").join(side("id2", "nb"), "blk")
+        .filter(col("id1") < col("id2"))
         .withColumn("sim",
           round(graft.text.JaroWinklerExpr.jaroWinkler(col("na"), col("nb")), 6))
         .filter(col("sim") >= 0.985)
@@ -154,8 +163,7 @@ object PipelineQueries {
     },
     Some("""SELECT a.s_suppkey AS id1, b.s_suppkey AS id2,
            |  ROUND(jaro_winkler_similarity(a.s_name, b.s_name), 6) AS sim
-           |FROM supplier a JOIN supplier b
-           |  ON LEN(a.s_name) = LEN(b.s_name) AND a.s_suppkey < b.s_suppkey
+           |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
            |WHERE ROUND(jaro_winkler_similarity(a.s_name, b.s_name), 6) >= 0.985
            |ORDER BY id1, id2""".stripMargin))
 
@@ -253,10 +261,18 @@ object PipelineQueries {
            |WHERE 5 * inter >= 4 * (n1.n + n2.n - inter)
            |ORDER BY id1, id2""".stripMargin))
 
-  /** Misra-Gries frequent tokens per language. k=64 exceeds the
-    * per-lang vocabulary, so the summary runs in its exact-recovery
-    * regime (zero decrements) and equals a plain GROUP BY — which is
-    * what makes a sketch aggregate hash-checkable against SQL. The
+  /** Misra-Gries frequent tokens per language. k=4096 exceeds the
+    * per-lang vocabulary with wide margin, so the summary runs in its
+    * exact-recovery regime (zero decrements) and equals a plain GROUP
+    * BY — which is what makes a sketch aggregate hash-checkable
+    * against SQL. k sizing is MEASURED, not hoped: the generator's
+    * token pool is bounded by construction at 31 types/lang at every
+    * driver SF (sf0.001/0.01/0.1 — vc01 computes it), and the ScaleUp
+    * replica tags add ~31×(factor−1) types, so factor-10 sf1 runs at
+    * ~310/lang and even factor-100 stays under k. (r8 lesson: k=64
+    * was sized to the base corpus only and the fail-fast below fired
+    * at sf1.) MG state is ≤ min(vocab, k) entries per partition per
+    * group — k is a cap, not a cost, so the margin is free. The
     * sketch regime (decrements, error bounds, merge invariance) is
     * covered by FreqItemsSpec on engineered skew. */
   val fq01FreqTokens = QueryDef("fq01_freq_tokens",
@@ -265,17 +281,17 @@ object PipelineQueries {
       Tables.documents(s, d)
         .select(col("lang"), explode(TextFunctions.tokens(col("text"))).as("token"))
         .groupBy("lang")
-        .agg(FreqItemsAgg.freq_items(col("token"), 64).as("fi"))
+        .agg(FreqItemsAgg.freq_items(col("token"), 4096).as("fi"))
         .select(col("lang"), col("fi.max_undercount").as("undercount"),
           explode(col("fi.items")).as("x"))
         // fail-fast invariant: the oracle equality is only sound in the
         // exact-recovery regime (zero decrements). If a corpus change
-        // pushes any lang's vocabulary past k=64, this raises a clear
+        // pushes any lang's vocabulary past k=4096, this raises a clear
         // error instead of a nondeterministic hash mismatch.
         // (assert_true returns NULL when the predicate holds, so the
         // filter keeps every row and cannot be constant-folded away.)
         .filter(assert_true(col("undercount") === lit(0L),
-          lit("fq01: vocabulary exceeded k=64 — Misra-Gries left its " +
+          lit("fq01: vocabulary exceeded k=4096 — Misra-Gries left its " +
             "exact-recovery regime; oracle equality no longer holds")).isNull)
         .select(col("lang"), col("x.item").as("token"),
           col("x.min_count").as("cnt"), col("undercount"))

@@ -66,7 +66,7 @@ object BpeTrain {
       // vocab-sized frame keeps the plan tree linear in nMerges instead
       // of doubling per step. The vocabulary is corpus-distinct words:
       // tiny relative to the corpus, safe to cache at any scale.
-      v = v.persist()
+      v = org.apache.spark.sql.graftbridge.GraftSqlBridge.sharedInPlan(v)
       val pairs = v
         .select(col("cnt"),
           split(trim(col("enc"), "|"), "\\|\\|").as("syms"))

@@ -73,7 +73,7 @@ object TextDedup {
     // exploded shingles feed sizes + both join sides — materialize once
     val sh = (if (hashedShingles) hashedShingleRows(docs, k, idCol, textCol)
               else shingleRows(docs, k, idCol, textCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(org.apache.spark.sql.graftbridge.GraftSqlBridge.sharedInPlan)
     val kept =
       if (maxShingleDf == Int.MaxValue) sh
       else {
@@ -133,7 +133,7 @@ object TextDedup {
     // verification sides — one materialization
     val tok = docs.select(col(idCol).as("id"),
         explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("t"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(org.apache.spark.sql.graftbridge.GraftSqlBridge.sharedInPlan)
     val dfc = tok.groupBy("t").agg(count(lit(1)).as("df"))
     val ranked = tok.join(dfc, "t")
       .withColumn("r", row_number().over(
@@ -227,7 +227,7 @@ object TextDedup {
       sh.join(rare, Seq("s"))
         .groupBy("id").agg(collect_list(col("s")).as("hs"))
         .select(col("id"), MinHashesExpr.minhashes(col("hs"), nHashes).as("sig"))
-    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }).transform(org.apache.spark.sql.graftbridge.GraftSqlBridge.sharedInPlan)
     val banded = sigs.withColumn("band", explode(array((0 until bands).map(bId =>
       struct(lit(bId).as("band_id"),
         xxhash64(lit(bId) +: (0 until rowsPerBand)
@@ -309,7 +309,7 @@ object TextDedup {
                                 textCol: String = "text"): DataFrame = {
     require(nHashes % bands == 0)
     val sigs = portableSigs(docs, k, nHashes, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(org.apache.spark.sql.graftbridge.GraftSqlBridge.sharedInPlan)
     val banded = portableBands(sigs, nHashes, bands)
     val pairs = banded.select(col("id").as("id1"), col("band_id"), col("band_sig"))
       .join(banded.select(col("id").as("id2"), col("band_id"), col("band_sig")),
@@ -341,9 +341,9 @@ object TextDedup {
                                      textCol: String = "text"): DataFrame = {
     require(nHashes % bands == 0)
     val ls = portableSigs(left, k, nHashes, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(org.apache.spark.sql.graftbridge.GraftSqlBridge.sharedInPlan)
     val rs = portableSigs(right, k, nHashes, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(org.apache.spark.sql.graftbridge.GraftSqlBridge.sharedInPlan)
     val pairs = portableBands(ls, nHashes, bands)
       .select(col("id").as("id1"), col("band_id"), col("band_sig"))
       .join(portableBands(rs, nHashes, bands)
@@ -495,7 +495,7 @@ object TextDedup {
     val chunkBits = 64 / nChunks
     // referenced by both sides of the chunk self-join — materialize once
     val sigs = withSimHash(docs, idCol, textCol, tokenHash)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(org.apache.spark.sql.graftbridge.GraftSqlBridge.sharedInPlan)
     val chunked = sigs.withColumn("chunk", explode(array((0 until nChunks).map(cId =>
       struct(lit(cId).as("chunk_id"),
         shiftright(col("simhash"), cId * chunkBits)

@@ -59,7 +59,7 @@ object IvfIndex {
       .fit(train)
     val cells = model.transform(withVec)
       .select(col(idCol), col(vecCol), col("cell_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(org.apache.spark.sql.graftbridge.GraftSqlBridge.sharedInPlan)
     val spark = corpus.sparkSession
     import spark.implicits._
     val centroids = model.clusterCenters.zipWithIndex

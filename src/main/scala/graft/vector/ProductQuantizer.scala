@@ -26,18 +26,40 @@ import org.apache.spark.sql.functions._
   */
 object ProductQuantizer {
 
+  /** Centroid frames persisted by [[adcTopK]] (8 per call at m=8).
+    * The persist is a measured optimization (two consumers share one
+    * Lloyd lineage) but a long-lived session would accumulate cached
+    * frames across calls — the r8 "already cached" leak. Callers that
+    * materialize the returned plan release them here; frames not yet
+    * materialized unpersist as a no-op. */
+  private val liveCentroids =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[DataFrame, java.lang.Boolean]())
+
+  /** Unpersist every centroid frame cached by [[adcTopK]] since the
+    * last release. Safe to call at any time: dropping the cache only
+    * costs recomputation if the same plan re-executes. */
+  def releaseCentroids(): Unit = {
+    val it = liveCentroids.iterator()
+    while (it.hasNext) { it.next().unpersist(blocking = false); it.remove() }
+  }
+
   /** `slice` silently ignores trailing dimensions when `dims` under-
     * states the true vector length, so codes/errors would be computed
-    * on truncated vectors with no error anywhere. Guard: check the
-    * declared dims against one sampled row (a single-row take, not a
-    * scan — cheap at any corpus size; length uniformity across rows is
-    * the storage contract, same as em01's profile). */
-  private def assertDims(df: DataFrame, dims: Int, vecCol: String): Unit =
-    df.select(size(col(vecCol)).as("__n")).take(1).headOption.foreach { r =>
-      require(r.getInt(0) == dims,
-        s"dims=$dims but column '$vecCol' has length ${r.getInt(0)}: " +
-        "slice() would silently truncate — pass the true vector length")
-    }
+    * on truncated vectors with no error anywhere. Guard: the length
+    * check RIDES IN THE PLAN (the fq01 `assert_true` pattern) — every
+    * row is verified where its vector is consumed and a mismatch
+    * raises at execution, while plan construction stays zero-job
+    * (LazinessSpec). Checking every row rather than one sampled row is
+    * free inside codegen (an array-length compare) and strictly
+    * stronger: a single ragged row can't slip past a sample. */
+  private def dimsGuarded(df: DataFrame, dims: Int, vecCol: String): DataFrame =
+    df.withColumn(vecCol,
+      when(size(col(vecCol)) === dims, col(vecCol))
+        .otherwise(raise_error(concat(
+          lit(s"dims=$dims but column '$vecCol' has length "),
+          size(col(vecCol)).cast("string"),
+          lit(": slice() would silently truncate — pass the true vector length")))))
 
   /** Train + encode in long format: (idCol, sub_id, code, d2) — one
     * row per vector per subspace. `dims` must be the vector length and
@@ -46,10 +68,10 @@ object ProductQuantizer {
   def encode(df: DataFrame, dims: Int, m: Int, k: Int, iters: Int,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(m >= 1 && dims % m == 0, s"m=$m must divide dims=$dims")
-    assertDims(df, dims, vecCol)
+    val guarded = dimsGuarded(df, dims, vecCol)
     val len = dims / m
     (0 until m).map { s =>
-      val sub = df.select(col(idCol),
+      val sub = guarded.select(col(idCol),
         slice(col(vecCol), s * len + 1, len).as("__sub"))
       QuantizedKMeans.run(sub, k, iters, idCol, "__sub")
         .select(col(idCol), lit(s.toLong).as("sub_id"),
@@ -80,18 +102,25 @@ object ProductQuantizer {
               qIdCol: String = "q_id"): DataFrame = {
     require(m >= 1 && dims % m == 0, s"m=$m must divide dims=$dims")
     require(topK >= 1)
-    assertDims(corpus, dims, vecCol)
+    val guardedCorpus = dimsGuarded(corpus, dims, vecCol)
     val len = dims / m
     val scored = (0 until m).map { s =>
-      val subC = corpus.select(col(idCol),
+      val subC = guardedCorpus.select(col(idCol),
         slice(col(vecCol), s * len + 1, len).as("__sub"))
       // ONE training per subspace: codes and the LUT share `cents`,
       // and the k-row frame is PERSISTED so the shared Lloyd lineage
       // materializes once rather than relying on ReusedExchange to
       // dedupe the two consumers (run() here would rebuild the whole
-      // chain a second time) — the learnMerges persist discipline
+      // chain a second time) — the learnMerges persist discipline.
+      // persistIfAbsent: a rebuilt logically-equal plan reuses the
+      // existing entry instead of warning; new entries register in
+      // `liveCentroids` so long-lived sessions can drop the cached
+      // k-row frames via [[releaseCentroids]] (Bench/Verify call it;
+      // `spark.catalog.clearCache()` also covers them).
       val cents = QuantizedKMeans.centroids(subC, k, iters, idCol, "__sub")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (org.apache.spark.sql.graftbridge.GraftSqlBridge.persistIfAbsent(
+          cents, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        liveCentroids.add(cents)
       val codes = QuantizedKMeans.assignTo(subC, cents, idCol, "__sub")
         .select(col(idCol), col("cell_id"))
       val lut = QuantizedKMeans.distancesTo(

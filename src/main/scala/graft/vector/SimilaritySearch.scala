@@ -56,7 +56,7 @@ object SimilaritySearch {
     def payload(df: DataFrame, id: String, vec: String, norm: String): DataFrame =
       df.select(col(idCol).as(id), col(vecCol).as(vec),
         VectorFunctions.normSq(col(vecCol)).as(norm))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(org.apache.spark.sql.graftbridge.GraftSqlBridge.sharedInPlan)
     def bands(df: DataFrame, id: String): DataFrame = {
       val sig = VectorFunctions.hyperplaneSignature(col(vecCol), nBits)
       df.select(col(idCol).as(id), sig.as("__sig"))

@@ -45,11 +45,14 @@ class ProductQuantizerSpec extends SparkSpec {
   test("declared dims must match the actual vector length (slice truncation guard)") {
     val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f, 4.0f))).toDF("vec_id", "embedding")
     // dims=2 divides m=2 cleanly, but the vectors are length 4: without
-    // the guard slice() would silently drop half of every vector
-    val e = intercept[IllegalArgumentException] {
-      ProductQuantizer.encode(df, dims = 2, m = 2, k = 1, iters = 1)
-    }
-    assert(e.getMessage.contains("silently truncate"))
+    // the guard slice() would silently drop half of every vector. The
+    // guard rides IN the plan (LazinessSpec: zero jobs at build), so
+    // construction succeeds and the raise_error fires at execution.
+    val plan = ProductQuantizer.encode(df, dims = 2, m = 2, k = 1, iters = 1)
+    val e = intercept[Exception] { plan.collect() }
+    val messages = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).take(10).flatMap(t => Option(t.getMessage)).mkString("\n")
+    assert(messages.contains("silently truncate"), s"unexpected failure: $messages")
   }
 
   test("ADC self-distance equals the encode error sum (definitional identity)") {
