@@ -30,5 +30,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: at -Xmx8g the full 188-query local[32] bench suite
+  // runs ~6% slower from GC pressure alone (measured r9: 217.6 s at
+  // 8g vs 205.7 s at 24g, same tree) and spiky queries degrade 2x
+  // (dd11 6.2->3.7 s). The box has 128 GiB; 24g is still conservative.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

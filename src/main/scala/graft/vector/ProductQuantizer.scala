@@ -26,23 +26,12 @@ import org.apache.spark.sql.functions._
   */
 object ProductQuantizer {
 
-  /** Centroid frames persisted by [[adcTopK]] (8 per call at m=8).
-    * The persist is a measured optimization (two consumers share one
-    * Lloyd lineage) but a long-lived session would accumulate cached
-    * frames across calls — the r8 "already cached" leak. Callers that
-    * materialize the returned plan release them here; frames not yet
-    * materialized unpersist as a no-op. */
-  private val liveCentroids =
-    java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[DataFrame, java.lang.Boolean]())
-
-  /** Unpersist every centroid frame cached by [[adcTopK]] since the
-    * last release. Safe to call at any time: dropping the cache only
-    * costs recomputation if the same plan re-executes. */
-  def releaseCentroids(): Unit = {
-    val it = liveCentroids.iterator()
-    while (it.hasNext) { it.next().unpersist(blocking = false); it.remove() }
-  }
+  /** Unpersist the centroid frames [[adcTopK]] cached (8 per call at
+    * m=8) — the r8 "already cached" leak. Delegates to the central
+    * shared-plan registry, which also covers BPE merge vocabularies
+    * and LSH signature frames. */
+  def releaseCentroids(): Unit =
+    org.apache.spark.sql.graftbridge.GraftSqlBridge.releaseShared()
 
   /** `slice` silently ignores trailing dimensions when `dims` under-
     * states the true vector length, so codes/errors would be computed
@@ -112,15 +101,13 @@ object ProductQuantizer {
       // materializes once rather than relying on ReusedExchange to
       // dedupe the two consumers (run() here would rebuild the whole
       // chain a second time) — the learnMerges persist discipline.
-      // persistIfAbsent: a rebuilt logically-equal plan reuses the
-      // existing entry instead of warning; new entries register in
-      // `liveCentroids` so long-lived sessions can drop the cached
-      // k-row frames via [[releaseCentroids]] (Bench/Verify call it;
+      // sharedInPlan: a rebuilt logically-equal plan reuses the
+      // existing entry instead of warning, and new entries register
+      // centrally so long-lived sessions can drop the cached k-row
+      // frames via [[releaseCentroids]] (Bench/Verify call it;
       // `spark.catalog.clearCache()` also covers them).
-      val cents = QuantizedKMeans.centroids(subC, k, iters, idCol, "__sub")
-      if (org.apache.spark.sql.graftbridge.GraftSqlBridge.persistIfAbsent(
-          cents, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        liveCentroids.add(cents)
+      val cents = org.apache.spark.sql.graftbridge.GraftSqlBridge.sharedInPlan(
+        QuantizedKMeans.centroids(subC, k, iters, idCol, "__sub"))
       val codes = QuantizedKMeans.assignTo(subC, cents, idCol, "__sub")
         .select(col(idCol), col("cell_id"))
       val lut = QuantizedKMeans.distancesTo(

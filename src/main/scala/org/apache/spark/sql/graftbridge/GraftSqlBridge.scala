@@ -32,13 +32,34 @@ object GraftSqlBridge {
     !cached
   }
 
+  /** Frames persisted by [[sharedInPlan]] since the last
+    * [[releaseShared]]. Build-time persists (PQ centroids, BPE merge
+    * vocabularies, LSH signature frames) are a measured optimization —
+    * one materialization for plans that reference a frame twice — but
+    * a long-lived session would accumulate cache entries across
+    * query builds. Bench/Verify release after materialization; frames
+    * never materialized unpersist as a no-op. */
+  private val shared = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.DataFrame,
+      java.lang.Boolean]())
+
   /** [[persistIfAbsent]] at MEMORY_AND_DISK, returning the frame —
     * drop-in for build-time `.persist` on frames a plan references
     * more than once. Execution hits the existing cache entry either
-    * way; this just avoids double-registering equal plans. */
+    * way; this just avoids double-registering equal plans, and tracks
+    * new entries for [[releaseShared]]. */
   def sharedInPlan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    persistIfAbsent(df, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (persistIfAbsent(df, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      shared.add(df)
     df
+  }
+
+  /** Unpersist every frame cached by [[sharedInPlan]] since the last
+    * release. Safe at any time: dropping cache only costs recompute
+    * if the same plan re-executes. */
+  def releaseShared(): Unit = {
+    val it = shared.iterator()
+    while (it.hasNext) { it.next().unpersist(blocking = false); it.remove() }
   }
 
   /** Register a function into an EXISTING session's registry (the
