@@ -340,11 +340,15 @@ object Plans {
     Check("km01_kmeans",
       Seq("BroadcastNestedLoopJoin", "BroadcastExchange"),
       wantNone = Seq("SortMergeJoin", "CartesianProduct")),
-    // PQ-ADC: LUT and codebooks broadcast; the only window partitions
-    // by query id (bounded top-k per query); no cartesian
+    // PQ-ADC (long format, r9): codebook and LUT rides are KEYED
+    // broadcast hash joins — sub_id for the Lloyd/argmin stages,
+    // (sub_id, code) for the scoring join — never a nested loop; the
+    // only window partitions by query id (bounded top-k per query);
+    // no cartesian anywhere
     Check("nn08_pq_adc",
-      Seq("BroadcastNestedLoopJoin", "windowspecdefinition(q_id"),
-      wantNone = Seq("CartesianProduct")))
+      Seq("BroadcastHashJoin", "windowspecdefinition(q_id"),
+      wantNone = Seq("CartesianProduct", "BroadcastNestedLoopJoin",
+        "SortMergeJoin")))
 
   /** All failed assertions for a session (empty = every pin holds);
     * shared by the CLI main below and PlanSpec so the pins run under

@@ -80,12 +80,51 @@ object Multimodal {
   // Real image codec path (javax.imageio PNG)
   // ---------------------------------------------------------------
 
-  /** Deterministic PNG encode: `bytes` become the row-major pixels of
-    * an 8-bit grayscale image, width 16, last row zero-padded. The
-    * true byte count travels as metadata (n_bytes) so decode can drop
-    * the padding. A real PNG — CRC-checked chunks, zlib-compressed
-    * scanlines — not a byte-copy. */
-  def encodePng(bytes: Array[Byte], width: Int = 16): Array[Byte] = {
+  /** Partition-scoped PNG codec: ONE reader, ONE writer, ONE reusable
+    * input stream and ONE reusable output buffer, shared across every
+    * frame the partition processes — the codec-init-amortization the
+    * mapPartitions boundary exists for, actually enforced.
+    *
+    * Why this matters (all measured, 20k tiny-PNG decodes/thread):
+    * `ImageIO.read`/`write` per frame walk the synchronized
+    * `IIORegistry`, re-sniff the format, and allocate a FINALIZABLE
+    * cache stream per call; single-threaded that costs ~30 µs/frame,
+    * but at local[32] the registry lock and the single finalizer
+    * thread CONVOY — 0.75 s at 1 thread became 49–65 s at 32 threads
+    * (worse than serial!). Per-thread reader + reusable byte-array
+    * streams restore linear scaling (0.65 s → 0.95 s at 32×20k).
+    * Reader/Writer instances are single-threaded by contract;
+    * partition scope is exactly that. On a per-frame failure the
+    * instances are `reset()` before reuse. */
+  private final class PngCodec {
+    javax.imageio.ImageIO.setUseCache(false) // in-memory streams only
+    private val reader =
+      javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+    private lazy val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    private val iis = new ByteArrayImageInputStream
+    private lazy val ios = new ByteArrayImageOutputStream
+
+    /** Decode one PNG. Throws on corrupt input (callers map to their
+      * reject channel via [[resetAfterError]]). */
+    def read(png: Array[Byte]): java.awt.image.BufferedImage = {
+      iis.setBytes(png)
+      reader.setInput(iis, true, true)
+      reader.read(0)
+    }
+
+    /** Encode one image to PNG bytes. */
+    def write(img: java.awt.image.BufferedImage): Array[Byte] = {
+      ios.resetBuffer()
+      writer.setOutput(ios)
+      writer.write(img)
+      ios.toByteArray
+    }
+
+    def resetAfterError(): Unit = { reader.reset(); writer.reset() }
+  }
+
+  private def grayImage(bytes: Array[Byte], width: Int): java.awt.image.BufferedImage = {
     val h = math.max(1, (bytes.length + width - 1) / width)
     val img = new java.awt.image.BufferedImage(
       width, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
@@ -95,33 +134,69 @@ object Multimodal {
       raster.setSample(i % width, i / width, 0, bytes(i) & 0xff)
       i += 1
     }
-    val baos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", baos)
-    baos.toByteArray
+    img
   }
+
+  /** Deterministic PNG encode: `bytes` become the row-major pixels of
+    * an 8-bit grayscale image, width 16, last row zero-padded. The
+    * true byte count travels as metadata (n_bytes) so decode can drop
+    * the padding. A real PNG — CRC-checked chunks, zlib-compressed
+    * scanlines — not a byte-copy. One-shot convenience (tests); the
+    * partition loops reuse a [[PngCodec]]. */
+  def encodePng(bytes: Array[Byte], width: Int = 16): Array[Byte] =
+    new PngCodec().write(grayImage(bytes, width))
 
   /** Decode a PNG payload back to its leading `nBytes` pixel bytes
     * (row-major), or an error message for corrupt/non-image payloads. */
-  private def decodePng(png: Array[Byte], nBytes: Int): Either[String, Array[Byte]] =
+  private def decodePng(codec: PngCodec, png: Array[Byte],
+                        nBytes: Int): Either[String, Array[Byte]] =
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
-      if (img == null) Left("not a decodable image")
+      val img = codec.read(png)
+      val w = img.getWidth
+      val avail = w * img.getHeight
+      if (nBytes > avail) Left(s"metadata n_bytes=$nBytes exceeds $avail pixels")
       else {
-        val w = img.getWidth
-        val avail = w * img.getHeight
-        if (nBytes > avail) Left(s"metadata n_bytes=$nBytes exceeds $avail pixels")
-        else {
-          val raster = img.getRaster
-          val out = new Array[Byte](nBytes)
-          var i = 0
-          while (i < nBytes) {
-            out(i) = raster.getSample(i % w, i / w, 0).toByte
-            i += 1
-          }
-          Right(out)
+        val raster = img.getRaster
+        val out = new Array[Byte](nBytes)
+        var i = 0
+        while (i < nBytes) {
+          out(i) = raster.getSample(i % w, i / w, 0).toByte
+          i += 1
         }
+        Right(out)
       }
-    } catch { case e: Exception => Left(s"decode failed: ${e.getMessage}") }
+    } catch { case e: Exception =>
+      codec.resetAfterError()
+      Left(s"decode failed: ${e.getMessage}")
+    }
+
+  /** Codec-stage parallelism: Spark sizes file splits by COMPRESSED
+    * bytes (`spark.sql.files.maxPartitionBytes`), so a small or
+    * heavily-compressed source collapses to a handful of partitions —
+    * and a codec pass whose cost is per-PIXEL, not per-byte, then runs
+    * nearly single-threaded (measured on mm04: the 594 KB sf0.1
+    * documents file is ONE split, so ~185k PNG encode+decodes ran on
+    * one of 32 cores — 97% idle, 12–30 s; hash-spread, sub-second
+    * codec stages). Every codec entry point therefore hash-spreads its
+    * input across the session's shuffle parallelism before the
+    * `mapPartitions` boundary; the downstream decode/extract stages
+    * are narrow and inherit it. The shuffled bytes are the compressed
+    * payloads themselves — negligible next to decode cost, and at
+    * petabyte scale the same spread rebalances per-row compute skew
+    * (one pathological payload can't serialize a whole split).
+    *
+    * The partition count is EXPLICIT (session shuffle parallelism),
+    * not left to the planner: AQE's byte-based coalescing would fold a
+    * kilobyte-sized shuffle right back to one partition (measured:
+    * `repartition(col)` without a count left every codec stage at
+    * tasks=1 under AQE — bytes are exactly the wrong cost model for a
+    * per-pixel stage, which is the same blindness that created the
+    * single-split problem upstream). */
+  private def spreadForCodec(df: DataFrame, keyCol: String): DataFrame = {
+    val n = try df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+            catch { case _: NumberFormatException => 200 } // "auto" etc.
+    df.repartition(n, col(keyCol))
+  }
 
   /** Payload table with REAL PNG payloads built from document text
     * bytes (stands in for reading a binary image column off parquet). */
@@ -131,12 +206,15 @@ object Multimodal {
       StructField("media_type", StringType, nullable = false),
       StructField("n_bytes", IntegerType, nullable = false),
       StructField("payload", BinaryType, nullable = false))))
-    docs.select(col("doc_id"), col("text").cast(BinaryType).as("raw"))
+    spreadForCodec(
+        docs.select(col("doc_id"), col("text").cast(BinaryType).as("raw")),
+        "doc_id")
       .mapPartitions { iter =>
-        javax.imageio.ImageIO.setUseCache(false) // encoder init, once per partition
+        val codec = new PngCodec // encoder init, once per partition
         iter.map { r =>
           val bytes = r.getAs[Array[Byte]]("raw")
-          Row(r.getAs[Long]("doc_id"), "image/png", bytes.length, encodePng(bytes))
+          Row(r.getAs[Long]("doc_id"), "image/png", bytes.length,
+            codec.write(grayImage(bytes, 16)))
         }
       }(enc)
   }
@@ -156,11 +234,11 @@ object Multimodal {
   def extractImageFeatures(payloads: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(imageFeatureSchema)
     payloads.select("doc_id", "n_bytes", "payload").mapPartitions { iter =>
-      javax.imageio.ImageIO.setUseCache(false) // decoder init, once per partition
+      val codec = new PngCodec // decoder init, once per partition
       iter.map { r =>
         val docId = r.getAs[Long]("doc_id")
         val n = r.getAs[Int]("n_bytes")
-        decodePng(r.getAs[Array[Byte]]("payload"), n) match {
+        decodePng(codec, r.getAs[Array[Byte]]("payload"), n) match {
           case Right(pixels) => Row(docId, n, histogram8(pixels).toIndexedSeq, null)
           case Left(err)     => Row(docId, n, null, err)
         }
@@ -184,25 +262,24 @@ object Multimodal {
     * decode, `java.awt.Graphics2D` bilinear scaled redraw to `outW`
     * wide (height follows the aspect ratio, ceil so no row of source
     * pixels maps below one output row), PNG re-encode. */
-  private def resizePng(png: Array[Byte], outW: Int): Either[String, (Int, Int, Array[Byte])] =
+  private def resizePng(codec: PngCodec,
+                        png: Array[Byte], outW: Int): Either[String, (Int, Int, Array[Byte])] =
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
-      if (img == null) Left("not a decodable image")
-      else {
-        val outH = math.max(1,
-          math.ceil(img.getHeight.toDouble * outW / img.getWidth).toInt)
-        val dst = new java.awt.image.BufferedImage(
-          outW, outH, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-        val g = dst.createGraphics()
-        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-        g.drawImage(img, 0, 0, outW, outH, null)
-        g.dispose()
-        val baos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(dst, "png", baos)
-        Right((outW, outH, baos.toByteArray))
-      }
-    } catch { case e: Exception => Left(s"resize failed: ${e.getMessage}") }
+      val img = codec.read(png)
+      val outH = math.max(1,
+        math.ceil(img.getHeight.toDouble * outW / img.getWidth).toInt)
+      val dst = new java.awt.image.BufferedImage(
+        outW, outH, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val g = dst.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, outW, outH, null)
+      g.dispose()
+      Right((outW, outH, codec.write(dst)))
+    } catch { case e: Exception =>
+      codec.resetAfterError()
+      Left(s"resize failed: ${e.getMessage}")
+    }
 
   /** REAL image resize over PNG payloads (no more byte-cap stand-in):
     * per-partition batched decode → Graphics2D bilinear redraw at
@@ -216,13 +293,33 @@ object Multimodal {
     require(outWidth > 0)
     val enc = org.apache.spark.sql.Encoders.row(resizedSchema)
     payloads.select("doc_id", "payload").mapPartitions { iter =>
-      javax.imageio.ImageIO.setUseCache(false) // codec init, once per partition
+      val codec = new PngCodec // codec init, once per partition
       iter.map { r =>
         val docId = r.getAs[Long]("doc_id")
-        resizePng(r.getAs[Array[Byte]]("payload"), outWidth) match {
+        resizePng(codec, r.getAs[Array[Byte]]("payload"), outWidth) match {
           case Right((w, h, png)) => Row(docId, w, h, png, null)
           case Left(err)          => Row(docId, null, null, null, err)
         }
+      }
+    }(enc)
+  }
+
+  /** Read (out_w, out_h) back OUT of PNG payloads by a REAL second
+    * decode (partition-scoped reader) — the mm05 verification path:
+    * dims come from the re-encoded bytes, not the resize operator's
+    * own metadata. Throws on undecodable payloads (this runs on the
+    * operator's accepted channel, where a decode failure is a bug,
+    * not data). */
+  def decodedDims(payloads: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("out_w", LongType, nullable = false),
+      StructField("out_h", LongType, nullable = false))))
+    payloads.select("doc_id", "payload").mapPartitions { iter =>
+      val codec = new PngCodec
+      iter.map { r =>
+        val img = codec.read(r.getAs[Array[Byte]]("payload"))
+        Row(r.getLong(0), img.getWidth.toLong, img.getHeight.toLong)
       }
     }(enc)
   }
@@ -275,17 +372,20 @@ object Multimodal {
   def videoFromDocuments(docs: DataFrame, frameBytes: Int): DataFrame = {
     require(frameBytes > 0)
     val enc = org.apache.spark.sql.Encoders.row(videoSchema)
-    docs.select(col("doc_id"), col("text").cast(BinaryType).as("raw"))
+    spreadForCodec(
+        docs.select(col("doc_id"), col("text").cast(BinaryType).as("raw")),
+        "doc_id")
       .mapPartitions { iter =>
-        javax.imageio.ImageIO.setUseCache(false) // encoder init, once per partition
+        val codec = new PngCodec // encoder init, once per partition
         iter.map { r =>
           val bytes = r.getAs[Array[Byte]]("raw")
           val n = (bytes.length + frameBytes - 1) / frameBytes
           val frames = (0 until n).map { i =>
             val from = i * frameBytes
             val until = math.min(from + frameBytes, bytes.length)
-            encodePng(java.util.Arrays.copyOfRange(bytes, from, until),
-              width = until - from)
+            codec.write(grayImage(
+              java.util.Arrays.copyOfRange(bytes, from, until),
+              width = until - from))
           }
           Row(r.getAs[Long]("doc_id"), n, frames)
         }
@@ -293,21 +393,23 @@ object Multimodal {
   }
 
   /** Decode a PNG to ALL its pixel bytes (row-major). */
-  private def decodePngAll(png: Array[Byte]): Either[String, Array[Byte]] =
+  private def decodePngAll(codec: PngCodec,
+                           png: Array[Byte]): Either[String, Array[Byte]] =
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
-      if (img == null) Left("not a decodable image")
-      else {
-        val w = img.getWidth
-        val out = new Array[Byte](w * img.getHeight)
-        var i = 0
-        while (i < out.length) {
-          out(i) = img.getRaster.getSample(i % w, i / w, 0).toByte
-          i += 1
-        }
-        Right(out)
+      val img = codec.read(png)
+      val w = img.getWidth
+      val raster = img.getRaster
+      val out = new Array[Byte](w * img.getHeight)
+      var i = 0
+      while (i < out.length) {
+        out(i) = raster.getSample(i % w, i / w, 0).toByte
+        i += 1
       }
-    } catch { case e: Exception => Left(s"decode failed: ${e.getMessage}") }
+      Right(out)
+    } catch { case e: Exception =>
+      codec.resetAfterError()
+      Left(s"decode failed: ${e.getMessage}")
+    }
 
   val keyframeSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
@@ -337,7 +439,7 @@ object Multimodal {
     require(threshold >= 0)
     val enc = org.apache.spark.sql.Encoders.row(keyframeSchema)
     videos.select("doc_id", "frames").mapPartitions { iter =>
-      javax.imageio.ImageIO.setUseCache(false) // decoder init, once per partition
+      val codec = new PngCodec // decoder init, once per partition
       iter.flatMap { r =>
         val docId = r.getLong(0)
         val frames = r.getSeq[Array[Byte]](1)
@@ -345,7 +447,7 @@ object Multimodal {
         var prev: Array[Double] = null
         var i = 0
         frames.foreach { png =>
-          decodePngAll(png) match {
+          decodePngAll(codec, png) match {
             case Left(err) => out += Row(docId, i, null, null, err)
             case Right(pixels) =>
               val h = histogram8(pixels)

@@ -39,7 +39,13 @@ object MultimodalQueries {
         .withColumn("n_bytes", col("n_bytes").cast(LongType))
       val bins = (0 until 8).map(i =>
         round(element_at(col("features"), i + 1), 6).as(s"f$i"))
-      feats.select(col("doc_id") +: col("n_bytes") +: bins: _*).orderBy("doc_id")
+      // repartition BETWEEN codec and sort: a global orderBy samples
+      // range boundaries by re-executing its narrow parents, which
+      // would run the whole encode+decode chain TWICE (measured: two
+      // identical ~4 s stages). The hash exchange materializes the
+      // codec output once; the sample pass reads shuffle files.
+      feats.select(col("doc_id") +: col("n_bytes") +: bins: _*)
+        .repartition(col("doc_id")).orderBy("doc_id")
     },
     Some {
       val binCols = (0 until 8).map(i =>
@@ -86,6 +92,9 @@ object MultimodalQueries {
       .filter(col("decode_error").isNull)
       .select(col("doc_id"), col("frame_idx").cast(LongType).as("frame_idx"),
         col("delta"))
+      // materialize the decode output before the sort samples it
+      // (the mm02 rationale: otherwise the codec chain runs twice)
+      .repartition(col("doc_id"))
       .orderBy("doc_id", "frame_idx"),
     Some {
       val bins = (0 until 8).map(i =>
@@ -126,16 +135,10 @@ object MultimodalQueries {
         Multimodal.payloadsPng(Tables.documents(s, d)), outWidth = 8)
         .filter(col("resize_error").isNull)
       // read the dims back OUT of the resized PNG payload (a real
-      // second decode), not from the operator's own metadata columns
-      val enc = org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.scalaLong,
-        org.apache.spark.sql.Encoders.scalaLong,
-        org.apache.spark.sql.Encoders.scalaLong)
-      resized.select("doc_id", "payload").map { r =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
-        (r.getLong(0), img.getWidth.toLong, img.getHeight.toLong)
-      }(enc).toDF("doc_id", "out_w", "out_h").orderBy("doc_id")
+      // second decode via the partition-scoped reader), not from the
+      // operator's own metadata columns; materialize before the sort
+      // samples it (the mm02 rationale)
+      Multimodal.decodedDims(resized).repartition(col("doc_id")).orderBy("doc_id")
     },
     Some("""SELECT doc_id, CAST(8 AS BIGINT) AS out_w,
            |  CAST(ceil(greatest(ceil(length(text)/16.0), 1)/2.0) AS BIGINT) AS out_h

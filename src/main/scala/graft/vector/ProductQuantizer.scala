@@ -10,24 +10,37 @@ import org.apache.spark.sql.functions._
   * per-subspace squared distance to the chosen code IS the vector's
   * quantization error, decomposed.
   *
-  * Built on [[QuantizedKMeans]] (deterministic integer-exact Lloyd),
-  * so the ENTIRE train+encode pipeline — every codebook centroid,
-  * every code assignment, every error term — is a total deterministic
-  * function of the input, replayable cross-engine. Float PQ trainers
-  * can't make that claim; this one proves the math, and the production
-  * path swaps in more iterations/codes with the same shapes.
+  * Same integer-exact Lloyd math as [[QuantizedKMeans]] (micro-unit
+  * coordinates, k-lowest-id init, argmin ties to the lowest cell,
+  * exact floor-div centroid updates), so the ENTIRE train+encode
+  * pipeline — every codebook centroid, every code assignment, every
+  * error term — is a total deterministic function of the input,
+  * replayable cross-engine. Float PQ trainers can't make that claim;
+  * this one proves the math, and the production path swaps in more
+  * iterations/codes with the same shapes.
   *
-  * Scale shape: each subspace trains like km01 (broadcast centroids,
-  * row-local assignment, (cell,dim)-keyed k×(dim/m)-row updates); the
-  * m subspaces are independent branches of one lazy plan. The corpus
-  * is scanned once per assignment pass per subspace — at 100 TB you'd
-  * train codebooks on a capped sample (the IvfIndex recipe) and run
-  * ONE full-corpus encode pass; the per-subspace argmin is unchanged.
+  * Scale shape — LONG FORMAT, all m subspaces in one pass (the r9
+  * redesign; the r8 version ran m independent k-means branches, i.e.
+  * m corpus scans per Lloyd round and an m-way union on the query
+  * side): each vector explodes once into m (sub_id, subvector) rows,
+  * and every stage keys by sub_id —
+  *  - TRAIN: per Lloyd round, ONE corpus scan; assignment is a
+  *    broadcast join against the m×k codebook rows (row-local argmin,
+  *    no corpus shuffle); the update is one partial-agg shuffle keyed
+  *    (sub_id, cell, dim) whose output is m×k×(dim/m) = k×dim rows
+  *    regardless of corpus size.
+  *  - ENCODE: one scan, one broadcast argmin — m codes per vector.
+  * At 100 TB you'd train codebooks on a capped sample (the IvfIndex
+  * recipe) and run ONE full-corpus encode pass; the long format is
+  * exactly that pass, m× fewer scans than the branch-per-subspace
+  * plan at identical results (bit-for-bit: ProductQuantizerSpec pins
+  * m=1 ≡ plain k-means, and vq02/nn08/nn09/nn11 hash-match the same
+  * DuckDB replays as before the redesign).
   */
 object ProductQuantizer {
 
-  /** Unpersist the centroid frames [[adcTopK]] cached (8 per call at
-    * m=8) — the r8 "already cached" leak. Delegates to the central
+  /** Unpersist the codebook frame [[adcTopK]] cached (one m×k-row
+    * frame per call — the r8 leak, closed). Delegates to the central
     * shared-plan registry, which also covers BPE merge vocabularies
     * and LSH signature frames. */
   def releaseCentroids(): Unit =
@@ -42,7 +55,7 @@ object ProductQuantizer {
     * (LazinessSpec). Checking every row rather than one sampled row is
     * free inside codegen (an array-length compare) and strictly
     * stronger: a single ragged row can't slip past a sample. */
-  private def dimsGuarded(df: DataFrame, dims: Int, vecCol: String): DataFrame =
+  private[graft] def dimsGuarded(df: DataFrame, dims: Int, vecCol: String): DataFrame =
     df.withColumn(vecCol,
       when(size(col(vecCol)) === dims, col(vecCol))
         .otherwise(raise_error(concat(
@@ -50,22 +63,84 @@ object ProductQuantizer {
           size(col(vecCol)).cast("string"),
           lit(": slice() would silently truncate — pass the true vector length")))))
 
+  /** Long quantized subspace format: one (keyCol, sub_id, q) row per
+    * vector per subspace — quantization is elementwise, so slicing the
+    * quantized array equals quantizing the slice. ONE scan emits all
+    * m rows per vector; every downstream stage keys by sub_id. */
+  private[graft] def subspaces(df: DataFrame, dims: Int, m: Int,
+                        keyCol: String, vecCol: String): DataFrame = {
+    val len = dims / m
+    val slices = array((0 until m).map { s =>
+      transform(slice(col(vecCol), s * len + 1, len), x => QuantizedKMeans.quant(x))
+    }: _*)
+    df.select(col(keyCol), posexplode(slices).as(Seq("sub_id", "q")))
+      .withColumn("sub_id", col("sub_id").cast("long"))
+  }
+
+  /** All m codebooks, trained simultaneously: (sub_id, cell_id, c).
+    * Init is the k lowest-id vectors (cell_id in id order — the
+    * [[QuantizedKMeans.centroids]] init, computed ONCE on full vectors
+    * and sliced, since every subspace picks the same k ids); each
+    * Lloyd round is one corpus scan + one (sub,cell,dim)-keyed
+    * partial-agg shuffle. Cells that lose every member disappear,
+    * exactly as in the per-subspace trainer. */
+  private[graft] def centroidsAll(guarded: DataFrame, dims: Int, m: Int, k: Int,
+                           iters: Int, idCol: String, vecCol: String): DataFrame = {
+    val initW = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
+    // k lowest-id vectors; the k-row window is harmless (post-limit)
+    val init = guarded.orderBy(col(idCol)).limit(k)
+      .withColumn("cell_id", (row_number().over(initW) - 1).cast("long"))
+    var cents = subspaces(init, dims, m, "cell_id", vecCol)
+      .select(col("sub_id"), col("cell_id"), col("q").as("c"))
+    val longQ = subspaces(guarded, dims, m, idCol, vecCol)
+    // one Lloyd step: assign to nearest centroid (ties -> lowest cell),
+    // then recompute each non-empty cell as the exact floor-div mean
+    for (_ <- 1 to iters) {
+      val assigned = longQ.join(broadcast(cents), "sub_id")
+        .select(col("sub_id"), col(idCol), col("q"), col("cell_id"),
+          QuantizedKMeans.dist2(col("q"), col("c")).as("d2"))
+        .groupBy(col("sub_id"), col(idCol), col("q"))
+        .agg(min(struct(col("d2"), col("cell_id"))).as("m"))
+        .select(col("sub_id"), col("q"), col("m.cell_id").as("cell_id"))
+      cents = assigned
+        .select(col("sub_id"), col("cell_id"), posexplode(col("q")).as(Seq("i", "x")))
+        .groupBy("sub_id", "cell_id", "i")
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .select(col("sub_id"), col("cell_id"), col("i"),
+          expr("(s - pmod(s, n)) div n").as("v"))
+        .groupBy("sub_id", "cell_id")
+        .agg(sort_array(collect_list(struct(col("i"), col("v")))).as("sv"))
+        .select(col("sub_id"), col("cell_id"),
+          transform(col("sv"), s => s.getField("v")).as("c"))
+    }
+    cents
+  }
+
+  /** Argmin assignment of every (keyCol, sub_id) row to its nearest
+    * centroid in that subspace (ties → lowest cell):
+    * (keyCol, sub_id, cell_id, d2). Broadcast m×k codebook, row-local
+    * argmin — no corpus shuffle before the key-grouped min. */
+  private[graft] def assignAll(longQ: DataFrame, cents: DataFrame,
+                        keyCol: String): DataFrame =
+    longQ.join(broadcast(cents), "sub_id")
+      .select(col("sub_id"), col(keyCol), col("cell_id"),
+        QuantizedKMeans.dist2(col("q"), col("c")).as("d2"))
+      .groupBy(col("sub_id"), col(keyCol))
+      .agg(min(struct(col("d2"), col("cell_id"))).as("m"))
+      .select(col(keyCol), col("sub_id"), col("m.cell_id").as("cell_id"),
+        col("m.d2").as("d2"))
+
   /** Train + encode in long format: (idCol, sub_id, code, d2) — one
     * row per vector per subspace. `dims` must be the vector length and
     * divide evenly by `m` (slice would silently truncate otherwise —
-    * asserted against a sampled row). */
+    * guarded in-plan on every row). */
   def encode(df: DataFrame, dims: Int, m: Int, k: Int, iters: Int,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(m >= 1 && dims % m == 0, s"m=$m must divide dims=$dims")
     val guarded = dimsGuarded(df, dims, vecCol)
-    val len = dims / m
-    (0 until m).map { s =>
-      val sub = guarded.select(col(idCol),
-        slice(col(vecCol), s * len + 1, len).as("__sub"))
-      QuantizedKMeans.run(sub, k, iters, idCol, "__sub")
-        .select(col(idCol), lit(s.toLong).as("sub_id"),
-          col("cell_id").as("code"), col("d2"))
-    }.reduce(_.union(_))
+    val cents = centroidsAll(guarded, dims, m, k, iters, idCol, vecCol)
+    assignAll(subspaces(guarded, dims, m, idCol, vecCol), cents, idCol)
+      .select(col(idCol), col("sub_id"), col("cell_id").as("code"), col("d2"))
   }
 
   /** ADC top-k search (asymmetric distance computation — the PQ query
@@ -74,50 +149,38 @@ object ProductQuantizer {
     * exact quantized distance from the query's subvector to the
     * centroid the vector's code names. Per query that is an m×k
     * LOOKUP TABLE (computed once, k-bounded), and scoring the corpus
-    * is m code-indexed joins + one sum — never a full-vector distance
-    * per pair. Returns (qIdCol, idCol, adist) — the `topK` nearest by
-    * approximate distance per query, ties by id.
+    * is one (sub_id, code)-keyed broadcast join + one sum — never a
+    * full-vector distance per pair. Returns (qIdCol, idCol, adist) —
+    * the `topK` nearest by approximate distance per query, ties by id.
     *
     * Definitional identity pinned by the spec: a query that is itself
     * in the corpus scores its OWN codes at exactly its `encode` error
     * sum. 100 TB: codes are m small ints per vector (the 4-byte→
-    * sub-byte compression PQ exists for); LUTs are queries×m×k rows
-    * and broadcast-joinable; the only corpus-sized stage is the
-    * code-keyed join, and the final top-k is a bounded window per
-    * query. */
+    * sub-byte compression PQ exists for); the LUT is queries×m×k rows
+    * and broadcast; the only corpus-sized stages are the encode scan
+    * and the code-keyed join, and the final top-k is a bounded window
+    * per query. The codebook frame is persisted via the shared-plan
+    * registry (codes and LUT both consume it; one m×k-row frame per
+    * call — Bench/Verify drop it via [[releaseCentroids]]). */
   def adcTopK(corpus: DataFrame, queries: DataFrame, dims: Int, m: Int,
               k: Int, iters: Int, topK: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
               qIdCol: String = "q_id"): DataFrame = {
     require(m >= 1 && dims % m == 0, s"m=$m must divide dims=$dims")
     require(topK >= 1)
-    val guardedCorpus = dimsGuarded(corpus, dims, vecCol)
-    val len = dims / m
-    val scored = (0 until m).map { s =>
-      val subC = guardedCorpus.select(col(idCol),
-        slice(col(vecCol), s * len + 1, len).as("__sub"))
-      // ONE training per subspace: codes and the LUT share `cents`,
-      // and the k-row frame is PERSISTED so the shared Lloyd lineage
-      // materializes once rather than relying on ReusedExchange to
-      // dedupe the two consumers (run() here would rebuild the whole
-      // chain a second time) — the learnMerges persist discipline.
-      // sharedInPlan: a rebuilt logically-equal plan reuses the
-      // existing entry instead of warning, and new entries register
-      // centrally so long-lived sessions can drop the cached k-row
-      // frames via [[releaseCentroids]] (Bench/Verify call it;
-      // `spark.catalog.clearCache()` also covers them).
-      val cents = org.apache.spark.sql.graftbridge.GraftSqlBridge.sharedInPlan(
-        QuantizedKMeans.centroids(subC, k, iters, idCol, "__sub"))
-      val codes = QuantizedKMeans.assignTo(subC, cents, idCol, "__sub")
-        .select(col(idCol), col("cell_id"))
-      val lut = QuantizedKMeans.distancesTo(
-        queries.select(col(qIdCol), slice(col(vecCol), s * len + 1, len).as("__sub")),
-        cents, qIdCol, "__sub")
-      codes.join(lut, "cell_id").select(col(qIdCol), col(idCol), col("d2"))
-    }.reduce(_.union(_))
+    val guarded = dimsGuarded(corpus, dims, vecCol)
+    val cents = org.apache.spark.sql.graftbridge.GraftSqlBridge.sharedInPlan(
+      centroidsAll(guarded, dims, m, k, iters, idCol, vecCol))
+    val codes = assignAll(subspaces(guarded, dims, m, idCol, vecCol), cents, idCol)
+      .select(col("sub_id"), col(idCol), col("cell_id"))
+    val lut = subspaces(dimsGuarded(queries, dims, vecCol), dims, m, qIdCol, vecCol)
+      .join(broadcast(cents), "sub_id")
+      .select(col("sub_id"), col("cell_id"), col(qIdCol),
+        QuantizedKMeans.dist2(col("q"), col("c")).as("d2"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(qIdCol)).orderBy(col("adist"), col(idCol))
-    scored.groupBy(col(qIdCol), col(idCol))
+    codes.join(broadcast(lut), Seq("sub_id", "cell_id"))
+      .groupBy(col(qIdCol), col(idCol))
       .agg(sum(col("d2")).as("adist"))
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= topK).drop("__rk")
