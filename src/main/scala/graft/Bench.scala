@@ -49,7 +49,17 @@ object Bench {
             dir: String): Unit =
       fn(spark, dir).write.format("noop").mode("overwrite").save()
 
+    // SPARK_GRAFT_BENCH_ONLY=nn08,mm,ix01 → bench only matching-prefix
+    // queries (same convention as Verify's SPARK_GRAFT_ONLY). Driver
+    // leaves it unset and benches everything; subset runs are for
+    // targeted scale decades (e.g. heavy families at sf10, where a
+    // full 188-query pass would take hours). Budget checks are skipped
+    // for subset runs — a partially-selected family's subtotal would
+    // trip its band spuriously.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
     if (warmup) {
       queries.foreach { case (_, fn) =>
         try run(fn, sfDir) catch { case _: Throwable => () }
@@ -103,7 +113,7 @@ object Bench {
     // ambient ±30% single-run variance), or when a family is new.
     // Budgets are recorded at one SF and only checked at that SF.
     val budgetsPath = java.nio.file.Paths.get("bench/family_budgets.tsv")
-    if (java.nio.file.Files.exists(budgetsPath)) {
+    if (only.isEmpty && java.nio.file.Files.exists(budgetsPath)) {
       val lines = scala.jdk.CollectionConverters
         .ListHasAsScala(java.nio.file.Files.readAllLines(budgetsPath)).asScala
       val budgetSf = lines.collectFirst {

@@ -19,18 +19,22 @@ import org.apache.spark.sql.functions._
   *    vec_id) — join fan-outs and group cardinalities scale the way a
   *    real bigger corpus would. region/nation stay fixed (TPC-H
   *    semantics: dimensions don't grow with SF).
-  *  - DOCUMENT text gets a deterministic per-replica token-prefix
-  *    substitution (every 5th token, offset by replica) so replicas of
-  *    the same document sit BELOW the near-dup thresholds (token-set
-  *    Jaccard ≈ 0.67 < 4/5 between any two replicas): without this,
-  *    every doc would acquire 9 synthetic near-duplicates and the
-  *    output-bound dedup families would measure the replication
-  *    artifact, not scaling. n_chars is recomputed.
-  *  - EMBEDDINGS rotate their coordinates by replica (a permutation of
-  *    an isotropic vector is equally distributed; cosine between a
-  *    vector and its rotation is ≈ 0): intra-replica similarity
-  *    structure is preserved exactly, cross-replica pairs look like
-  *    fresh random vectors — a 10× ANN corpus, not 10 copies.
+  *  - DOCUMENT text gets a per-replica BIJECTIVE VOCABULARY RENAME
+  *    (replica i prefixes every token) so cross-replica token sets
+  *    are DISJOINT — Jaccard exactly 0 between any two replicas at
+  *    any factor — while intra-replica similarity structure is
+  *    preserved exactly (a bijective rename commutes with Jaccard,
+  *    shingling, minhash banding): without this, docs acquire
+  *    synthetic cross-replica near-duplicates and the output-bound
+  *    dedup families measure the replication artifact, not scaling
+  *    (two weaker schemes measurably leaked — see the substitution
+  *    site). n_chars is recomputed.
+  *  - EMBEDDINGS permute their coordinates by replica with per-replica
+  *    affine index maps (a permutation of an isotropic vector is
+  *    equally distributed; cosine between distinct permutations is
+  *    ≈ 0): intra-replica similarity structure is preserved exactly,
+  *    cross-replica pairs look like fresh random vectors — a
+  *    factor× ANN corpus, not factor copies.
   *  - Everything else (timestamps, values, statuses) replicates
   *    verbatim: the value distributions ARE the workload.
   */
@@ -63,8 +67,31 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, srcDir, destDir, factor)
+    println(s"""{"scaleup":"done","src":"$srcDir","dest":"$destDir","factor":$factor}""")
+    spark.stop()
+  }
 
+  /** The whole build, on a caller-owned session (main wraps this;
+    * ScaleUpSpec drives it on the shared test session). */
+  def run(spark: SparkSession, srcDir: String, destDir: String,
+          factor: Int): Unit = {
     def read(t: String) = spark.read.parquet(s"$srcDir/$t.parquet")
+    // Replica i occupies key band [i*off, i*off + srcMax]; bands are
+    // disjoint iff srcMax < off. A source that is itself a ScaleUp
+    // output (keys already shifted toward factor*off) would silently
+    // collide — fail loudly instead (scale from the ORIGINAL SF with a
+    // larger factor; the replica discipline composes that way, not by
+    // re-scaling an output).
+    def assertBands(df: DataFrame, table: String, keys: (String, Long)*): DataFrame = {
+      keys.foreach { case (k, off) =>
+        val mx = df.agg(max(col(k)).cast("long")).head.getLong(0)
+        require(mx < off,
+          s"$table.$k max $mx >= replica offset $off: key bands would overlap" +
+            " (source looks like a ScaleUp output; scale from the original SF)")
+      }
+      df
+    }
     def write(df: DataFrame, t: String, parts: Int): Unit =
       df.repartition(parts).write.mode("overwrite")
         .parquet(s"$destDir/$t.parquet")
@@ -77,54 +104,82 @@ object ScaleUp {
     write(read("region"), "region", 1)
     write(read("nation"), "nation", 1)
 
-    write(replicate(read("customer"), factor)(shift(_, _, "c_custkey" -> C)),
+    write(replicate(assertBands(read("customer"), "customer",
+      "c_custkey" -> C), factor)(shift(_, _, "c_custkey" -> C)),
       "customer", 4)
-    write(replicate(read("supplier"), factor)(shift(_, _, "s_suppkey" -> S)),
+    write(replicate(assertBands(read("supplier"), "supplier",
+      "s_suppkey" -> S), factor)(shift(_, _, "s_suppkey" -> S)),
       "supplier", 1)
-    write(replicate(read("part"), factor)(shift(_, _, "p_partkey" -> P)),
+    write(replicate(assertBands(read("part"), "part",
+      "p_partkey" -> P), factor)(shift(_, _, "p_partkey" -> P)),
       "part", 2)
-    write(replicate(read("orders"), factor)(
+    write(replicate(assertBands(read("orders"), "orders",
+      "o_orderkey" -> O, "o_custkey" -> C), factor)(
       shift(_, _, "o_orderkey" -> O, "o_custkey" -> C)), "orders", 8)
-    write(replicate(read("lineitem"), factor)(
+    write(replicate(assertBands(read("lineitem"), "lineitem",
+      "l_orderkey" -> O, "l_partkey" -> P, "l_suppkey" -> S), factor)(
       shift(_, _, "l_orderkey" -> O, "l_partkey" -> P, "l_suppkey" -> S)),
       "lineitem", 16)
-    write(replicate(read("events"), factor)(
+    write(replicate(assertBands(read("events"), "events",
+      "event_id" -> E, "user_id" -> U), factor)(
       shift(_, _, "event_id" -> E, "user_id" -> U)), "events", 8)
 
-    // documents: shift doc_id; per-replica token-prefix substitution
-    // (replica 0 verbatim) keeps cross-replica Jaccard under the
-    // near-dup thresholds; n_chars recomputed from the new text
-    write(replicate(read("documents"), factor) { (df, i) =>
+    // documents: shift doc_id; per-replica BIJECTIVE VOCABULARY RENAME
+    // (replica 0 verbatim; replica i prefixes EVERY token with zr$i):
+    // cross-replica token sets are DISJOINT (Jaccard exactly 0, at any
+    // factor, for every doc — no probabilistic tail), while
+    // intra-replica structure is preserved exactly (a bijective type
+    // rename commutes with token-set Jaccard, shingles, minhash
+    // banding), so the dedup/fuzzy families measure factor× the SAME
+    // workload — the cleanest scaling semantics. n_chars recomputed.
+    // History of this discipline (both prior schemes caught by
+    // ScaleUpSpec's cross-replica gate): tagging every 5th POSITION
+    // bounded position overlap but not TYPE overlap — the generator's
+    // ~31-type/lang vocabulary put nearly every type at some untagged
+    // position too, and measured cross-replica Jaccard hit 0.9, above
+    // the 4/5 dedup gate; hash-parity TYPE tagging fixed the bulk but
+    // left a binomial tail (a doc with few types in the tagged class
+    // measured 0.69). Vocabulary growth is ~types/replica either way
+    // (the fq01 k-sizing margin already budgets it).
+    write(replicate(assertBands(read("documents"), "documents",
+      "doc_id" -> D), factor) { (df, i) =>
       val tagged =
         if (i == 0) df
         else df.withColumn("text",
           array_join(
-            // positions idx % 5 == i % 5 get a replica prefix: any two
-            // replicas differ on >= 1/5 of tokens (different positions
-            // or different tags), dropping token-set Jaccard to ~0.67
-            transform(split(col("text"), " "),
-              (t, idx) => when(idx % 5 === lit(i % 5),
-                concat(lit(s"zr$i"), t)).otherwise(t)),
+            transform(split(col("text"), " "), t => concat(lit(s"zr$i"), t)),
             " "))
           .withColumn("n_chars", length(col("text")))
       shift(tagged, i, "doc_id" -> D)
     }, "documents", 8)
 
-    // embeddings: shift vec_id; rotate coordinates by replica (i*7 mod
-    // dim, coprime-ish stride so all replicas rotate differently)
-    write(replicate(read("embeddings"), factor) { (df, i) =>
-      val rotated =
+    // embeddings: shift vec_id; permute coordinates by replica with an
+    // AFFINE index map idx -> (a·idx + b) mod n, a odd (hence coprime
+    // to the power-of-two dim, so it IS a permutation). A permutation
+    // of an isotropic vector is equally distributed, and distinct
+    // permutations make cross-replica cosines look like fresh random
+    // pairs. Affine (not plain rotation, the factor<=10 original):
+    // rotations repeat at factor > dim (replica 64's i*7 mod 64 = 0
+    // would have been a verbatim coordinate copy of replica 0 —
+    // cross-replica EXACT dup vectors), while (a,b) pairs give
+    // 32*64 = 2048 distinct maps at dim 64 — enforced below.
+    val dim = 64
+    require(factor.toLong * 2 <= (dim / 2).toLong * dim,
+      s"factor=$factor exceeds the ${dim / 2 * dim} distinct affine " +
+        "coordinate permutations at dim 64 — raise the map family first")
+    write(replicate(assertBands(read("embeddings"), "embeddings",
+      "vec_id" -> V), factor) { (df, i) =>
+      val a = 2 * (i % (dim / 2)) + 1     // odd stride, 32 values
+      val b = (7 * i + i / (dim / 2)) % dim // shift, varies across i
+      val permuted =
         if (i == 0) df
         else df.withColumn("embedding", {
           val n = size(col("embedding"))
           transform(col("embedding"),
             (_, idx) => element_at(col("embedding"),
-              (pmod(idx + lit(i * 7), n) + lit(1)).cast("int")))
+              (pmod(idx * lit(a) + lit(b), n) + lit(1)).cast("int")))
         })
-      shift(rotated, i, "vec_id" -> V)
+      shift(permuted, i, "vec_id" -> V)
     }, "embeddings", 4)
-
-    println(s"""{"scaleup":"done","src":"$srcDir","dest":"$destDir","factor":$factor}""")
-    spark.stop()
   }
 }
