@@ -150,8 +150,16 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val stamp = java.time.Instant.now().toString
+    // Subset runs (SPARK_GRAFT_BENCH_ONLY) are recorded WITH their
+    // selector: a partial total in history.jsonl was previously
+    // distinguishable from a full run only by n_queries, which
+    // contaminated cross-round drift analysis; "only" makes the subset
+    // explicit and filterable. "iters" records the min-of-N discipline
+    // the number was taken under (the host is measurably bimodal —
+    // NOTES_r9; single-pass and min-of-2 totals are not comparable).
+    val onlyJson = only.map(_.map("\"" + _ + "\"").mkString(",\"only\":[", ",", "]")).getOrElse("")
     val fullLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","ts":"$stamp","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"families":$famJson,"queries":$all,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","ts":"$stamp","iters":$iters$onlyJson,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"families":$famJson,"queries":$all,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_full.json"), fullLine)
     try {
@@ -163,7 +171,7 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] history append failed: ${e.getMessage}")
     }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"queries":$top,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","iters":$iters$onlyJson,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"queries":$top,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

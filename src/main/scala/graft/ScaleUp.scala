@@ -35,6 +35,12 @@ import org.apache.spark.sql.functions._
   *    ≈ 0): intra-replica similarity structure is preserved exactly,
   *    cross-replica pairs look like fresh random vectors — a
   *    factor× ANN corpus, not factor copies.
+  *  - SUPPLIER NAMES get a per-replica substitution cipher (letter /
+  *    digit alphabet rotation): character bijections commute with
+  *    Levenshtein and Jaro-Winkler, so the fuzzy-join families measure
+  *    factor× the same edit-distance workload with NO cross-replica
+  *    identical-name cliques (the verbatim replication they'd otherwise
+  *    inflate output with).
   *  - Everything else (timestamps, values, statuses) replicates
   *    verbatim: the value distributions ARE the workload.
   */
@@ -53,6 +59,30 @@ object ScaleUp {
   private def replicate(src: DataFrame, factor: Int)
                        (mod: (DataFrame, Int) => DataFrame): DataFrame =
     (0 until factor).map(i => mod(src, i)).reduce(_.unionByName(_))
+
+  // Per-replica SUBSTITUTION CIPHER over [a-z][A-Z][0-9] (letters
+  // rotate by i mod 26 case-preserving, digits by i mod 10, everything
+  // else fixed): a character bijection commutes with Levenshtein and
+  // Jaro-Winkler EXACTLY (both depend only on per-position character
+  // equality), so intra-replica edit structure — the fuzzy-join
+  // workload — is preserved bit-for-bit while cross-replica copies of
+  // the same source name differ in EVERY rotated position (distance ≥ 8
+  // on the supplier domain; JW ≤ ~0.80, far under the 0.985 gate).
+  // Without this the names replicated verbatim and every source name
+  // grew a factor-sized identical clique — fz01/fz03 then measured the
+  // replication artifact (~45 zero-distance pairs per clique at
+  // factor 10), not scaling. Two replicas share the identity map iff
+  // i ≡ j (mod lcm(26,10) = 130) — enforced by the factor bound.
+  private val Lower = "abcdefghijklmnopqrstuvwxyz"
+  private val Upper = Lower.toUpperCase
+  private val Digits = "0123456789"
+  private[graft] def cipherAlphabets(i: Int): (String, String) = {
+    val li = i % 26
+    val di = i % 10
+    def rot(s: String, n: Int) = s.drop(n) + s.take(n)
+    (Lower + Upper + Digits,
+      rot(Lower, li) + rot(Upper, li) + rot(Digits, di))
+  }
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: ScaleUp <srcDir> <destDir> [factor]")
@@ -76,6 +106,21 @@ object ScaleUp {
     * ScaleUpSpec drives it on the shared test session). */
   def run(spark: SparkSession, srcDir: String, destDir: String,
           factor: Int): Unit = {
+    // ALL factor bounds up front — an oversized factor must fail before
+    // the first table is written, not leave a half-built destDir:
+    //  - names: the letter/digit rotation family repeats at
+    //    lcm(26,10) = 130 (two replicas would share the identity map →
+    //    verbatim name cliques, the exact artifact the cipher removes);
+    //  - embeddings: (a,b) affine index maps give 32·64 = 2048 distinct
+    //    coordinate permutations at dim 64.
+    require(factor <= 130,
+      s"factor=$factor exceeds the 130 distinct name-cipher maps " +
+        "(letter rotation mod 26 x digit rotation mod 10) - replicas " +
+        "would repeat verbatim supplier names; extend the map family first")
+    val dim = 64
+    require(factor.toLong * 2 <= (dim / 2).toLong * dim,
+      s"factor=$factor exceeds the ${dim / 2 * dim} distinct affine " +
+        "coordinate permutations at dim 64 — raise the map family first")
     def read(t: String) = spark.read.parquet(s"$srcDir/$t.parquet")
     // Replica i occupies key band [i*off, i*off + srcMax]; bands are
     // disjoint iff srcMax < off. A source that is itself a ScaleUp
@@ -107,9 +152,20 @@ object ScaleUp {
     write(replicate(assertBands(read("customer"), "customer",
       "c_custkey" -> C), factor)(shift(_, _, "c_custkey" -> C)),
       "customer", 4)
+    // supplier: shift key AND cipher the name (replica 0 verbatim) —
+    // keys alone left every s_name replicated verbatim, and the fuzzy
+    // families (fz01/fz03) then measured factor-sized identical-name
+    // cliques instead of scaling; see cipherAlphabets.
     write(replicate(assertBands(read("supplier"), "supplier",
-      "s_suppkey" -> S), factor)(shift(_, _, "s_suppkey" -> S)),
-      "supplier", 1)
+      "s_suppkey" -> S), factor) { (df, i) =>
+      val renamed =
+        if (i == 0) df
+        else {
+          val (from, to) = cipherAlphabets(i)
+          df.withColumn("s_name", translate(col("s_name"), from, to))
+        }
+      shift(renamed, i, "s_suppkey" -> S)
+    }, "supplier", 1)
     write(replicate(assertBands(read("part"), "part",
       "p_partkey" -> P), factor)(shift(_, _, "p_partkey" -> P)),
       "part", 2)
@@ -146,8 +202,13 @@ object ScaleUp {
       val tagged =
         if (i == 0) df
         else df.withColumn("text",
+          // delimited prefix zr${i}_ — self-delimiting for ANY token
+          // vocabulary: the replica id is the digit run before the
+          // first '_', so zr1_ + "1x" can never equal zr11_ + "x"
+          // (the undelimited zr$i form relied on the generator's
+          // purely-alphabetic vocab for i-vs-j disjointness)
           array_join(
-            transform(split(col("text"), " "), t => concat(lit(s"zr$i"), t)),
+            transform(split(col("text"), " "), t => concat(lit(s"zr${i}_"), t)),
             " "))
           .withColumn("n_chars", length(col("text")))
       shift(tagged, i, "doc_id" -> D)
@@ -163,12 +224,23 @@ object ScaleUp {
     // would have been a verbatim coordinate copy of replica 0 —
     // cross-replica EXACT dup vectors), while (a,b) pairs give
     // 32*64 = 2048 distinct maps at dim 64 — enforced below.
-    val dim = 64
-    require(factor.toLong * 2 <= (dim / 2).toLong * dim,
-      s"factor=$factor exceeds the ${dim / 2 * dim} distinct affine " +
-        "coordinate permutations at dim 64 — raise the map family first")
-    write(replicate(assertBands(read("embeddings"), "embeddings",
-      "vec_id" -> V), factor) { (df, i) =>
+    // The affine-map coprimality argument (odd a, power-of-two modulus)
+    // and the factor bound both assume dim = 64; the permutation is
+    // applied mod the RUNTIME array length, so a corpus with any other
+    // dimension would silently break the bijection (odd a need not be
+    // coprime to a non-power-of-two n). Verify the assumption against
+    // the data before writing anything.
+    val srcEmb = assertBands(read("embeddings"), "embeddings", "vec_id" -> V)
+    val (minDim, maxDim) = {
+      val r = srcEmb.agg(min(size(col("embedding"))),
+        max(size(col("embedding")))).head
+      (r.getInt(0), r.getInt(1))
+    }
+    require(minDim == dim && maxDim == dim,
+      s"embeddings dim in [$minDim,$maxDim] != $dim: the affine index " +
+        "maps assume 64-dim vectors (odd stride coprime to a power of " +
+        "two) — re-derive the map family for this corpus first")
+    write(replicate(srcEmb, factor) { (df, i) =>
       val a = 2 * (i % (dim / 2)) + 1     // odd stride, 32 values
       val b = (7 * i + i / (dim / 2)) % dim // shift, varies across i
       val permuted =

@@ -528,13 +528,12 @@ object TextQueries {
            |WHERE CAST(i AS DOUBLE) / (n1.n + n2.n - i) >= 0.3
            |ORDER BY id1, id2""".stripMargin))
 
-  /** MinHash+LSH near-dup candidates (est. Jaccard from 32 minhashes,
-    * 8 bands × 4 rows). Hash permutations aren't SQL-portable →
-    * rows-only; recall vs exact Jaccard asserted in ScalaTest. */
-  val dd04MinHash = QueryDef("dd04_minhash_candidates",
-    (s, d) => TextDedup.minHashCandidates(Tables.documents(s, d))
-      .orderBy("id1", "id2"),
-    None)
+  // dd04 (xxhash64-permutation MinHash+LSH candidates, rows-only) was
+  // demoted to TextDedupSpec in round 10: the production
+  // minHashCandidates path stays benched/oracle-bounded through dd08
+  // (same code, capture-sized params, full-capture oracle) and dd11 is
+  // its value-exact portable twin, so the registered rows-only variant
+  // carried no verification the spec doesn't — see NOTES_r10.
 
   /** MinHash RECALL against exact ground truth, as a registered query
     * the oracle can bound: exact (hashed-shingle) Jaccard pairs ≥ 0.5
@@ -593,12 +592,12 @@ object TextQueries {
            |  CAST(1.0 AS DOUBLE) AS recall
            |FROM truth GROUP BY 1 ORDER BY bucket""".stripMargin))
 
-  /** SimHash near-dup pairs (hamming ≤ 3 via 4-chunk blocking). */
-  val dd05SimHash = QueryDef("dd05_simhash_pairs",
-    (s, d) => TextDedup.simHashPairs(Tables.documents(s, d))
-      .withColumn("hamming", col("hamming").cast(LongType))
-      .orderBy("id1", "id2"),
-    None)
+  // dd05 (xxhash64-token SimHash pairs, rows-only) was demoted to
+  // TextDedupSpec in round 10: the production simHashPairs machinery
+  // stays benched/oracle-gated through dd09 (value-exact portable
+  // fingerprints, same SimHashExpr + blocking) and dd10 (pair-level
+  // portable hamming join), so the registered rows-only variant
+  // carried no verification the spec doesn't — see NOTES_r10.
 
   /** SimHash with a PORTABLE token hash, value-exact under the oracle —
     * the companion that was missing for the dd05 family: production
@@ -1274,7 +1273,7 @@ object TextQueries {
     sm03KFold, sm04LeakageSafeSplit, ws01PpsSample, ds01DupSpans,
     oov01VocabCoverage,
     cp01CorpusCuration, cp02CurationPipeline,
-    dd01ExactGroups, dd02ExactKept, dd03Jaccard, dd04MinHash, dd05SimHash,
+    dd01ExactGroups, dd02ExactKept, dd03Jaccard,
     dd07HashedJaccard, dd08MinHashRecall, dc01Decontamination,
     dc02BloomDecontamination, dc03FuzzyDecontamination,
     is01ImportanceScore, pii01Redaction,

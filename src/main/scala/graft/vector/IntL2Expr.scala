@@ -21,8 +21,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   *
   * Inputs must be non-null-element bigint arrays of equal length (the
   * quantized-embedding contract — [[QuantizedKMeans.quantize]] output);
-  * a length mismatch throws loudly (zip_with would emit nulls
-  * silently) because it's always a data bug.
+  * a length mismatch OR a null element throws loudly (zip_with would
+  * emit nulls silently; getLong on a null slot would read a plausible
+  * 0) because either is always a data bug.
   */
 case class IntL2Expr(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -49,6 +50,14 @@ case class IntL2Expr(left: Expression, right: Expression)
     var acc = 0L
     var i = 0
     while (i < n) {
+      // getLong on a null slot silently reads 0 — a plausible-but-wrong
+      // distance (the zip_with formulation this replaced propagated
+      // null instead). The quantize contract guarantees non-null
+      // elements, so a null here is always a data bug: throw loudly.
+      if (x.isNullAt(i) || y.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"int_l2: null element at index $i - inputs must be " +
+            "non-null-element bigint arrays (the quantized-embedding contract)")
       val d = x.getLong(i) - y.getLong(i)
       acc += d * d
       i += 1
@@ -70,6 +79,11 @@ case class IntL2Expr(left: Expression, right: Expression)
          |}
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |    throw new IllegalArgumentException(
+         |      "int_l2: null element at index " + $i + " - inputs must be"
+         |        + " non-null-element bigint arrays");
+         |  }
          |  final long $d = $a.getLong($i) - $b.getLong($i);
          |  $acc += $d * $d;
          |}

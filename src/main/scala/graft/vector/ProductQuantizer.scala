@@ -30,12 +30,18 @@ import org.apache.spark.sql.functions._
   *    (sub_id, cell, dim) whose output is m×k×(dim/m) = k×dim rows
   *    regardless of corpus size.
   *  - ENCODE: one scan, one broadcast argmin — m codes per vector.
-  * At 100 TB you'd train codebooks on a capped sample (the IvfIndex
-  * recipe) and run ONE full-corpus encode pass; the long format is
-  * exactly that pass, m× fewer scans than the branch-per-subspace
-  * plan at identical results (bit-for-bit: ProductQuantizerSpec pins
-  * m=1 ≡ plain k-means, and vq02/nn08/nn09/nn11 hash-match the same
-  * DuckDB replays as before the redesign).
+  * At 100 TB you'd train codebooks on a capped sample and run ONE
+  * full-corpus encode pass — that recipe is the `trainMod` parameter
+  * of [[encode]]/[[adcTopK]] (train on the deterministic 1/trainMod
+  * id-slice, encode everything; the IvfIndex.build pattern, but as a
+  * DETERMINISTIC slice rather than file-order limit, so the sampled
+  * path stays replayable cross-engine — nn12 oracle-matches it in
+  * DuckDB, and ProductQuantizerSpec pins recall parity vs full
+  * training). The long format is exactly that encode pass, m× fewer
+  * scans than the branch-per-subspace plan at identical results
+  * (bit-for-bit: ProductQuantizerSpec pins m=1 ≡ plain k-means, and
+  * vq02/nn08/nn09/nn11 hash-match the same DuckDB replays as before
+  * the redesign).
   */
 object ProductQuantizer {
 
@@ -134,11 +140,26 @@ object ProductQuantizer {
     * row per vector per subspace. `dims` must be the vector length and
     * divide evenly by `m` (slice would silently truncate otherwise —
     * guarded in-plan on every row). */
+  /** Deterministic 1/trainMod training slice (ids ≡ 0 mod trainMod) —
+    * the 100 TB sample cap as a filter, not a sort+limit: no global
+    * order, no single-partition pull, and the sample is a pure function
+    * of ids so the whole capped pipeline replays cross-engine (the
+    * nn12 oracle). trainMod = 1 is full-corpus training, bit-identical
+    * to the unsampled path. */
+  private def trainSlice(guarded: DataFrame, trainMod: Long,
+                         idCol: String): DataFrame = {
+    require(trainMod >= 1, s"trainMod=$trainMod must be >= 1")
+    if (trainMod == 1) guarded
+    else guarded.filter(pmod(col(idCol), lit(trainMod)) === 0)
+  }
+
   def encode(df: DataFrame, dims: Int, m: Int, k: Int, iters: Int,
-             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             trainMod: Long = 1): DataFrame = {
     require(m >= 1 && dims % m == 0, s"m=$m must divide dims=$dims")
     val guarded = dimsGuarded(df, dims, vecCol)
-    val cents = centroidsAll(guarded, dims, m, k, iters, idCol, vecCol)
+    val cents = centroidsAll(trainSlice(guarded, trainMod, idCol),
+      dims, m, k, iters, idCol, vecCol)
     assignAll(subspaces(guarded, dims, m, idCol, vecCol), cents, idCol)
       .select(col(idCol), col("sub_id"), col("cell_id").as("code"), col("d2"))
   }
@@ -165,12 +186,13 @@ object ProductQuantizer {
   def adcTopK(corpus: DataFrame, queries: DataFrame, dims: Int, m: Int,
               k: Int, iters: Int, topK: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              qIdCol: String = "q_id"): DataFrame = {
+              qIdCol: String = "q_id", trainMod: Long = 1): DataFrame = {
     require(m >= 1 && dims % m == 0, s"m=$m must divide dims=$dims")
     require(topK >= 1)
     val guarded = dimsGuarded(corpus, dims, vecCol)
     val cents = org.apache.spark.sql.graftbridge.GraftSqlBridge.sharedInPlan(
-      centroidsAll(guarded, dims, m, k, iters, idCol, vecCol))
+      centroidsAll(trainSlice(guarded, trainMod, idCol),
+        dims, m, k, iters, idCol, vecCol))
     val codes = assignAll(subspaces(guarded, dims, m, idCol, vecCol), cents, idCol)
       .select(col("sub_id"), col(idCol), col("cell_id"))
     val lut = subspaces(dimsGuarded(queries, dims, vecCol), dims, m, qIdCol, vecCol)

@@ -26,13 +26,14 @@ class LazinessSpec extends SparkSpec {
   }
 
   /** Eager BY DESIGN, not by accident: dd06 and sd01 run an iterative
-    * fixpoint (each round materializes via localCheckpoint), nn04
-    * trains its coarse quantizer on a sample at build, j03 prepares
+    * fixpoint (each round materializes via localCheckpoint), nn06
+    * trains its coarse quantizer on a sample at build (IvfIndex — as
+    * did nn04 before its r10 demotion to SimilaritySpec), j03 prepares
     * its bucketed warehouse copies on first use (a memoized CREATE
     * TABLE, not a per-run action). Everything else must be a single
     * lazy plan. */
   private val eagerByDesign =
-    Set("dd06_dup_clusters", "sd01_semantic_dedup", "nn04_ivf_topk",
+    Set("dd06_dup_clusters", "sd01_semantic_dedup",
       "dd13_best_of_cluster", // runStars CC fixpoint, like dd06/sd01
       "nn06_ivf_allprobe", "j03_bucketed_join", "j04_clustered_range",
       "zo01_zorder_range",

@@ -10,4 +10,20 @@ class PlanSpec extends SparkSpec {
     val fails = Plans.failures(spark, sfDir)
     assert(fails.isEmpty, s"plan pins violated:\n  ${fails.mkString("\n  ")}")
   }
+
+  test("unpartitioned windows are exactly the audited small-frame set") {
+    // The bench tail's "Moving all data to a single partition" warnings
+    // were audited r6–r9 to post-aggregation / post-limit frames; this
+    // pin makes the audit STRUCTURAL — a new global window anywhere in
+    // the registry (the scale bug class the noise could hide) fails
+    // here with its query name, and a query leaving the set prompts
+    // shrinking the allowlist.
+    val live = Plans.unpartitionedWindowQueries(spark, sfDir).toSet
+    val unexpected = live -- Plans.auditedUnpartitionedWindows
+    val stale = Plans.auditedUnpartitionedWindows -- live
+    assert(unexpected.isEmpty && stale.isEmpty,
+      s"NEW unpartitioned window(s) — audit the frame size or add a " +
+        s"partition key: ${unexpected.toSeq.sorted.mkString(", ")}; " +
+        s"stale audited entries — remove: ${stale.toSeq.sorted.mkString(", ")}")
+  }
 }

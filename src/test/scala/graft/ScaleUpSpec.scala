@@ -68,4 +68,63 @@ class ScaleUpSpec extends SparkSpec {
       s"cross-replica Jaccard $maxJ != 0 - the bijective rename " +
         "no longer makes replica vocabularies disjoint")
   }
+
+  test("documents: token sets are disjoint between NON-ZERO replica pairs too (i vs j)") {
+    // The 0-vs-i gate alone would miss an i-vs-j collision (replica 0
+    // is the only un-prefixed one, so 0-vs-i disjointness is trivially
+    // strong). The delimited zr${i}_ prefix makes the replica id
+    // parseable up to the first '_' for ANY token vocabulary — gate it
+    // on every (i, j) pair over a source-doc sample.
+    val docs = t("documents")
+    val d = 1000000L
+    val sets = docs
+      .filter(col("doc_id") >= d)               // non-zero replicas only
+      .filter(pmod(col("doc_id"), lit(d)) % 25 === 0) // source-doc sample
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(d)).as("src_id"),
+        array_distinct(split(col("text"), " ")).as("toks"))
+    val pairs = sets.select(col("src_id"), col("doc_id").as("ida"), col("toks").as("ta"))
+      .join(sets.select(col("src_id"), col("doc_id").as("idb"), col("toks").as("tb")),
+        "src_id")
+      .filter(col("ida") < col("idb"))
+      .select(size(array_intersect(col("ta"), col("tb"))).as("inter"))
+    val maxInter = pairs.agg(max(col("inter"))).head.getInt(0)
+    assert(maxInter == 0,
+      s"replica i-vs-j token overlap $maxInter != 0 - the delimited " +
+        "prefix no longer separates non-zero replica vocabularies")
+  }
+
+  test("supplier: names are globally unique and cipher preserves intra-replica edit structure") {
+    val sup = t("supplier")
+    val n = sup.count()
+    // any verbatim cross-replica name copy collapses the distinct count
+    val distinctNames = sup.select("s_name").distinct().count()
+    assert(distinctNames == n,
+      s"$n suppliers but only $distinctNames distinct names - the " +
+        "per-replica cipher repeated an alphabet rotation")
+    // a substitution cipher is a bijection on characters, so each
+    // replica's name multiset has the same length profile as replica 0
+    val lens = sup.groupBy((col("s_suppkey") / 100000L).cast("long").as("rep"))
+      .agg(countDistinct(length(col("s_name"))).as("nl"),
+        min(length(col("s_name"))).as("lo"), max(length(col("s_name"))).as("hi"))
+      .select("nl", "lo", "hi").distinct().collect()
+    assert(lens.length == 1, s"replicas disagree on name-length profile: ${lens.toSeq}")
+  }
+
+  test("supplier: fuzzy matches (Levenshtein<=1) never cross replicas") {
+    // THE semantic gate for the fz family: on the scaled corpus every
+    // within-distance-1 pair must be intra-replica — cross-replica
+    // copies of a source name differ in every rotated position
+    // (distance >= 8), so any cross-replica pair here means the cipher
+    // leaked a near-identical name and the fz exponents would measure
+    // the replication artifact again.
+    val sup = t("supplier")
+    val pairs = graft.text.FuzzyJoin.pairsWithin1(sup, "s_suppkey", "s_name")
+    val cross = pairs
+      .filter((col("id1") / 100000L).cast("long") =!=
+        (col("id2") / 100000L).cast("long"))
+      .count()
+    assert(cross == 0, s"$cross cross-replica fuzzy pairs - verbatim or " +
+      "near-verbatim names leaked across replicas")
+  }
 }

@@ -175,6 +175,37 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("demoted dd04 shape: production MinHash+LSH candidates on the documents table") {
+    // The former registered query dd04_minhash_candidates (rows-only —
+    // xxhash64 permutations aren't SQL-portable) lives here since r10:
+    // dd08 oracle-bounds the same code at capture params and dd11 is
+    // the value-exact portable twin; this pin keeps the PRODUCTION
+    // parameterization (32 hashes, 8 bands, est >= 0.5, Star pairing)
+    // running against the real table.
+    val cand = TextDedup.minHashCandidates(Tables.documents(spark, sfDir))
+      .orderBy("id1", "id2").collect()
+    assert(cand.forall(r => r.getLong(0) < r.getLong(1)),
+      "candidate pairs must be ordered id1 < id2")
+    assert(cand.forall { r =>
+      val j = r.getDouble(r.fieldIndex("est_jaccard"))
+      j >= 0.5 && j <= 1.0
+    }, "est_jaccard outside [minEstJaccard, 1]")
+  }
+
+  test("demoted dd05 shape: production SimHash pairs on the documents table") {
+    // The former registered query dd05_simhash_pairs (rows-only —
+    // xxhash64 token hashes) lives here since r10: dd09 replays the
+    // full portable fingerprint under the oracle and dd10 the pair
+    // join; this pin keeps the production xxhash64 path + pigeonhole
+    // blocking running against the real table.
+    val pairs = TextDedup.simHashPairs(Tables.documents(spark, sfDir))
+      .orderBy("id1", "id2").collect()
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)),
+      "pairs must be ordered id1 < id2")
+    assert(pairs.forall(r => r.getAs[Number]("hamming").intValue <= 3),
+      "pair beyond maxHamming=3 leaked through blocking+verify")
+  }
+
   test("rolling hash: matches JVM reference implementation") {
     val ref = (s: String) => {
       val norm = s.toLowerCase.replaceAll("[.,!?;:]", "").replaceAll("\\s+", " ").trim

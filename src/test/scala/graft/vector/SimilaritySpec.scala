@@ -51,6 +51,9 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("LSH top-k recall ≥ 0.4 vs brute force at k=5") {
+    // since r10 this is also the home of the demoted nn02_lsh_topk
+    // (production SplitMix64 signatures, default bands): nn05 oracle-
+    // bounds the same code at capture params, nn07 is the portable twin
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.filter($"vec_id" % 100 === 0)
     val exact = SimilaritySearch.bruteForceTopK(emb, queries, 5)
@@ -99,6 +102,9 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("IVF top-k recall ≥ 0.5 vs brute force at k=5, nProbe=4/16") {
+    // since r10 this is also the home of the demoted nn04_ivf_topk
+    // (production nList=16/nProbe=4): nn06 oracle-gates the same build/
+    // topK code all-probe, nn10 is the value-exact portable twin
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.filter($"vec_id" % 100 === 0)
     val exact = SimilaritySearch.bruteForceTopK(emb, queries, 5)
