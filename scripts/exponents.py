@@ -27,10 +27,21 @@ def latest(basename):
     hit = None
     for line in open(HISTORY):
         d = json.loads(line)
-        if os.path.basename(d.get("sf", "").rstrip("/")) == basename:
-            hit = d
+        if os.path.basename(d.get("sf", "").rstrip("/")) != basename:
+            continue
+        # Aborted/partial runs are recorded for the audit trail but are
+        # not measurements: a run with failures (e.g. the 2026-08-14 sf1
+        # line where a harness SIGTERM stopped the SparkContext mid-pass
+        # and every later query failed fast) or a SPARK_GRAFT_BENCH_ONLY
+        # subset would silently poison the exponent table.
+        if d.get("n_failed", 0) > 0 or d.get("only"):
+            print(f"# skipping {d.get('ts')} ({basename}): "
+                  f"n_failed={d.get('n_failed')} only={d.get('only')}",
+                  file=sys.stderr)
+            continue
+        hit = d
     if hit is None:
-        sys.exit(f"no history entry with sf basename {basename!r}")
+        sys.exit(f"no clean history entry with sf basename {basename!r}")
     return hit
 
 
