@@ -60,9 +60,18 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+    // Per-query progress lines to stderr in EVERY pass (incl. warmup):
+    // a query that hangs or dies at a big SF must be identifiable from
+    // the live log, not reconstructed from stage numbers after the
+    // fact (an sf10 warmup query once ran 58 min and died on a spilled
+    // sort with nothing in the log naming it).
+    def progress(tag: String, name: String, secs: Double, ok: Boolean): Unit =
+      System.err.println(f"[bench] $tag $name ${secs}%.1f s${if (ok) "" else " FAILED"}")
     if (warmup) {
-      queries.foreach { case (_, fn) =>
-        try run(fn, sfDir) catch { case _: Throwable => () }
+      queries.foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { run(fn, sfDir); true } catch { case _: Throwable => false }
+        progress("warmup", name, (System.nanoTime() - t0) / 1e9, ok)
       }
       spark.catalog.clearCache()
       graft.vector.ProductQuantizer.releaseCentroids()
@@ -72,7 +81,7 @@ object Bench {
     // understate while masking breakage
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "2").toInt.max(1)
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
-    val passes = (1 to iters).map { _ =>
+    val passes = (1 to iters).map { it =>
       val pass = queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
@@ -82,7 +91,9 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             false
           }
-        name -> ((System.nanoTime() - t0) / 1e9, ok)
+        val secs = (System.nanoTime() - t0) / 1e9
+        progress(s"pass$it", name, secs, ok)
+        name -> (secs, ok)
       }
       spark.catalog.clearCache()
       graft.vector.ProductQuantizer.releaseCentroids()
