@@ -109,9 +109,14 @@ object IvfIndex {
       .withColumn("sim_r", round(VectorFunctions.cosinePrenormed(
         VectorFunctions.dot(col("q_vec"), col("c_vec")),
         col("q_norm"), col("c_norm")), 6))
-    val w = Window.partitionBy("query_id").orderBy(col("sim_r").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "sim_r")
+    // per-query top-k as the map-side heap (TopKAgg: sim DESC, id ASC —
+    // the same selection as the rank<=k window it replaced, without
+    // sorting the scored stream: at all-probe (nn06) that stream is
+    // queries×corpus, and the windowed sort spilled at sf10)
+    scored.groupBy("query_id")
+      .agg(graft.topk.TopKAgg.top_k(col("sim_r"), col("neighbor_id"), k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__pair")))
+      .select(col("query_id"), (col("__pos") + 1).as("rank"),
+        col("__pair.tag").as("neighbor_id"), col("__pair.value").as("sim_r"))
   }
 }

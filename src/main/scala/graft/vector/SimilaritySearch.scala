@@ -1,6 +1,6 @@
 package graft.vector
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
@@ -24,6 +24,22 @@ import org.apache.spark.sql.types.DoubleType
   */
 object SimilaritySearch {
 
+  /** Per-query top-k over a scored candidate stream via [[graft.topk.TopKAgg]]
+    * (value DESC, tag ASC — identical selection and tie-break to
+    * `row_number() OVER (PARTITION BY query_id ORDER BY sim_r DESC,
+    * neighbor_id) <= k`, which this replaced). The windowed form SORTS
+    * the whole stream — at sf10 the brute-force side's queries×corpus
+    * scored rows became a spilling SMJ sort that once filled the disk;
+    * the heap form combines map-side (partial aggregation) and ships at
+    * most k pairs per query per partition, so the shuffle is
+    * queries-sized regardless of candidate volume. */
+  private def heapTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(graft.topk.TopKAgg.top_k(col("sim_r"), col("neighbor_id"), k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__pair")))
+      .select(col("query_id"), (col("__pos") + 1).as("rank"),
+        col("__pair.tag").as("neighbor_id"), col("__pair.value").as("sim_r"))
+
   /** Exact top-k neighbors for each query vector (excluding self).
     * Output: (query_id, rank, neighbor_id, sim_r) with sim rounded to
     * 6dp and id tie-breaks — deterministic across engines. */
@@ -37,17 +53,34 @@ object SimilaritySearch {
       VectorFunctions.dot(col("q_vec"), col("c_vec")), col("q_norm"), col("c_norm"))
     val scored = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("sim_r", round(sim, 6))
-    val w = Window.partitionBy("query_id").orderBy(col("sim_r").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "sim_r")
+    heapTopK(scored, k)
+  }
+
+  /** Emit-once band pairing: a pair that agrees on several bands comes
+    * out of the band join once per agreeing band; keeping only the
+    * occurrence from the FIRST agreeing band (computable row-locally
+    * from the two signatures' XOR) makes the candidate set exactly
+    * once-per-pair with NO dropDuplicates shuffle. With capture-sized
+    * banding (nn05's 24 single-bit bands: ~half the corpus agrees on
+    * every band) the dedup shuffle used to carry ~nBands/2 copies of
+    * queries×corpus — the sf10 disk bomb; now the duplicates die in the
+    * join's output iterator before touching a shuffle. */
+  private def firstAgreeingBand(qSig: Column, cSig: Column,
+                                nBands: Int, bandWidth: Int): Column = {
+    val x = qSig.bitwiseXOR(cSig)
+    val agrees = array((0 until nBands).map(b =>
+      shiftright(x, b * bandWidth)
+        .bitwiseAND(lit((1L << bandWidth) - 1)) === 0): _*)
+    array_position(agrees, lit(true)) - 1
   }
 
   /** LSH-bucketed approximate top-k: candidates must share the signature
     * of at least one of `nBands` bit-bands before scoring. Only
-    * (id, band) rows travel through the candidate join — vectors and
-    * norms re-join by id AFTER pair dedup, so the band explode never
-    * multiplies vector payloads through a shuffle. */
+    * (id, band, sig) rows travel through the candidate join — vectors
+    * and norms re-join by id AFTER pairing, so the band explode never
+    * multiplies vector payloads through a shuffle; each pair survives
+    * the join exactly once (its first agreeing band), and the final
+    * top-k is the map-side heap, not a sorted window. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nBits: Int = 24, nBands: Int = 6,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -57,29 +90,27 @@ object SimilaritySearch {
       df.select(col(idCol).as(id), col(vecCol).as(vec),
         VectorFunctions.normSq(col(vecCol)).as(norm))
         .transform(org.apache.spark.sql.graftbridge.GraftSqlBridge.sharedInPlan)
-    def bands(df: DataFrame, id: String): DataFrame = {
+    def bands(df: DataFrame, id: String, sigName: String): DataFrame = {
       val sig = VectorFunctions.hyperplaneSignature(col(vecCol), nBits)
-      df.select(col(idCol).as(id), sig.as("__sig"))
+      df.select(col(idCol).as(id), sig.as(sigName))
         .withColumn("band", explode(array((0 until nBands).map(b =>
           struct(lit(b).as("band_id"),
-            (shiftright(col("__sig"), b * bandWidth)
+            (shiftright(col(sigName), b * bandWidth)
               .bitwiseAND(lit((1L << bandWidth) - 1))).as("band_val"))): _*)))
-        .select(col(id), col("band.band_id"), col("band.band_val"))
+        .select(col(id), col(sigName), col("band.band_id"), col("band.band_val"))
     }
     val cPay = payload(corpus, "neighbor_id", "c_vec", "c_norm")
     val qPay = payload(queries, "query_id", "q_vec", "q_norm")
-    val pairs = bands(queries, "query_id").join(bands(corpus, "neighbor_id"),
-      Seq("band_id", "band_val"))
+    val pairs = bands(queries, "query_id", "__qsig")
+      .join(bands(corpus, "neighbor_id", "__csig"), Seq("band_id", "band_val"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id").dropDuplicates("query_id", "neighbor_id")
+      .filter(firstAgreeingBand(col("__qsig"), col("__csig"),
+        nBands, bandWidth) === col("band_id"))
+      .select("query_id", "neighbor_id")
     val cands = pairs.join(qPay, Seq("query_id")).join(cPay, Seq("neighbor_id"))
     val sim = VectorFunctions.cosinePrenormed(
       VectorFunctions.dot(col("q_vec"), col("c_vec")), col("q_norm"), col("c_norm"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim_r").desc, col("neighbor_id"))
-    cands.withColumn("sim_r", round(sim, 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "sim_r")
+    heapTopK(cands.withColumn("sim_r", round(sim, 6)), k)
   }
 
   /** Deterministic ±1 hyperplane matrix derived from md5 — the portable
@@ -123,29 +154,27 @@ object SimilaritySearch {
         lit(0.0), (acc, e) => acc + e)
       when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
-    def bands(df: DataFrame, id: String): DataFrame =
-      df.select(col(idCol).as(id), sig.as("__sig"))
+    def bands(df: DataFrame, id: String, sigName: String): DataFrame =
+      df.select(col(idCol).as(id), sig.as(sigName))
         .withColumn("band", explode(array((0 until nBands).map(b =>
           struct(lit(b).as("band_id"),
-            (shiftright(col("__sig"), b * bandWidth)
+            (shiftright(col(sigName), b * bandWidth)
               .bitwiseAND(lit((1L << bandWidth) - 1))).as("band_val"))): _*)))
-        .select(col(id), col("band.band_id"), col("band.band_val"))
+        .select(col(id), col(sigName), col("band.band_id"), col("band.band_val"))
     def payload(df: DataFrame, id: String, vec: String, norm: String): DataFrame =
       df.select(col(idCol).as(id), col(vecCol).as(vec),
         VectorFunctions.normSq(col(vecCol)).as(norm))
-    val pairs = bands(queries, "query_id").join(bands(corpus, "neighbor_id"),
-      Seq("band_id", "band_val"))
+    val pairs = bands(queries, "query_id", "__qsig")
+      .join(bands(corpus, "neighbor_id", "__csig"), Seq("band_id", "band_val"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id").dropDuplicates("query_id", "neighbor_id")
+      .filter(firstAgreeingBand(col("__qsig"), col("__csig"),
+        nBands, bandWidth) === col("band_id"))
+      .select("query_id", "neighbor_id")
     val cands = pairs.join(payload(queries, "query_id", "q_vec", "q_norm"), Seq("query_id"))
       .join(payload(corpus, "neighbor_id", "c_vec", "c_norm"), Seq("neighbor_id"))
     val sim = VectorFunctions.cosinePrenormed(
       VectorFunctions.dot(col("q_vec"), col("c_vec")), col("q_norm"), col("c_norm"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim_r").desc, col("neighbor_id"))
-    cands.withColumn("sim_r", round(sim, 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "sim_r")
+    heapTopK(cands.withColumn("sim_r", round(sim, 6)), k)
   }
 
   /** Exact near-duplicate pairs (cosine ≥ threshold) between a probe
