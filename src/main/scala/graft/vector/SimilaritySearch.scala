@@ -1,7 +1,6 @@
 package graft.vector
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -75,39 +74,45 @@ object SimilaritySearch {
   }
 
   /** LSH-bucketed approximate top-k: candidates must share the signature
-    * of at least one of `nBands` bit-bands before scoring. Only
-    * (id, band, sig) rows travel through the candidate join — vectors
-    * and norms re-join by id AFTER pairing, so the band explode never
-    * multiplies vector payloads through a shuffle; each pair survives
-    * the join exactly once (its first agreeing band), and the final
-    * top-k is the map-side heap, not a sorted window. */
+    * of at least one of `nBands` bit-bands before scoring.
+    *
+    * Shuffle-free on the corpus side BY CONSTRUCTION: the query side
+    * (small per the same contract `bruteForceTopK` relies on) explodes
+    * to (band, payload) rows and BROADCASTS; the corpus explodes to its
+    * band rows in-stage and hash-joins the broadcast — so candidate
+    * generation, the emit-once band filter, scoring, and the partial
+    * top-k heap all ride ONE streaming pass over the corpus scan, and
+    * the only shuffle anywhere is the queries-sized heap merge. Two
+    * earlier shapes died at sf10 before this one: the rank-window
+    * top-k (sorts the scored stream — disk-full spill), and pair-id
+    * re-join payloads (shuffles a candidates-sized pair list — with
+    * capture-sized 1-bit bands that is queries×corpus rows of shuffle
+    * write). Each pair is scored exactly once: only its FIRST agreeing
+    * band's copy survives (row-local XOR test), replacing the old
+    * dropDuplicates shuffle. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nBits: Int = 24, nBands: Int = 6,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(nBits % nBands == 0, "nBits must divide into nBands")
     val bandWidth = nBits / nBands
-    def payload(df: DataFrame, id: String, vec: String, norm: String): DataFrame =
-      df.select(col(idCol).as(id), col(vecCol).as(vec),
-        VectorFunctions.normSq(col(vecCol)).as(norm))
-        .transform(org.apache.spark.sql.graftbridge.GraftSqlBridge.sharedInPlan)
-    def bands(df: DataFrame, id: String, sigName: String): DataFrame = {
+    def bands(df: DataFrame, id: String, vec: String, norm: String,
+              sigName: String): DataFrame = {
       val sig = VectorFunctions.hyperplaneSignature(col(vecCol), nBits)
-      df.select(col(idCol).as(id), sig.as(sigName))
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+          VectorFunctions.normSq(col(vecCol)).as(norm), sig.as(sigName))
         .withColumn("band", explode(array((0 until nBands).map(b =>
           struct(lit(b).as("band_id"),
             (shiftright(col(sigName), b * bandWidth)
               .bitwiseAND(lit((1L << bandWidth) - 1))).as("band_val"))): _*)))
-        .select(col(id), col(sigName), col("band.band_id"), col("band.band_val"))
+        .select(col(id), col(vec), col(norm), col(sigName),
+          col("band.band_id"), col("band.band_val"))
     }
-    val cPay = payload(corpus, "neighbor_id", "c_vec", "c_norm")
-    val qPay = payload(queries, "query_id", "q_vec", "q_norm")
-    val pairs = bands(queries, "query_id", "__qsig")
-      .join(bands(corpus, "neighbor_id", "__csig"), Seq("band_id", "band_val"))
+    val cands = broadcast(bands(queries, "query_id", "q_vec", "q_norm", "__qsig"))
+      .join(bands(corpus, "neighbor_id", "c_vec", "c_norm", "__csig"),
+        Seq("band_id", "band_val"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .filter(firstAgreeingBand(col("__qsig"), col("__csig"),
         nBands, bandWidth) === col("band_id"))
-      .select("query_id", "neighbor_id")
-    val cands = pairs.join(qPay, Seq("query_id")).join(cPay, Seq("neighbor_id"))
     val sim = VectorFunctions.cosinePrenormed(
       VectorFunctions.dot(col("q_vec"), col("c_vec")), col("q_norm"), col("c_norm"))
     heapTopK(cands.withColumn("sim_r", round(sim, 6)), k)
@@ -154,24 +159,26 @@ object SimilaritySearch {
         lit(0.0), (acc, e) => acc + e)
       when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
-    def bands(df: DataFrame, id: String, sigName: String): DataFrame =
-      df.select(col(idCol).as(id), sig.as(sigName))
+    // the lshTopK shape: payloads ride the band explode, the query side
+    // broadcasts, each pair survives only from its first agreeing band,
+    // and the top-k is the map-side heap — one streaming corpus pass,
+    // queries-sized shuffle only
+    def bands(df: DataFrame, id: String, vec: String, norm: String,
+              sigName: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+          VectorFunctions.normSq(col(vecCol)).as(norm), sig.as(sigName))
         .withColumn("band", explode(array((0 until nBands).map(b =>
           struct(lit(b).as("band_id"),
             (shiftright(col(sigName), b * bandWidth)
               .bitwiseAND(lit((1L << bandWidth) - 1))).as("band_val"))): _*)))
-        .select(col(id), col(sigName), col("band.band_id"), col("band.band_val"))
-    def payload(df: DataFrame, id: String, vec: String, norm: String): DataFrame =
-      df.select(col(idCol).as(id), col(vecCol).as(vec),
-        VectorFunctions.normSq(col(vecCol)).as(norm))
-    val pairs = bands(queries, "query_id", "__qsig")
-      .join(bands(corpus, "neighbor_id", "__csig"), Seq("band_id", "band_val"))
+        .select(col(id), col(vec), col(norm), col(sigName),
+          col("band.band_id"), col("band.band_val"))
+    val cands = broadcast(bands(queries, "query_id", "q_vec", "q_norm", "__qsig"))
+      .join(bands(corpus, "neighbor_id", "c_vec", "c_norm", "__csig"),
+        Seq("band_id", "band_val"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .filter(firstAgreeingBand(col("__qsig"), col("__csig"),
         nBands, bandWidth) === col("band_id"))
-      .select("query_id", "neighbor_id")
-    val cands = pairs.join(payload(queries, "query_id", "q_vec", "q_norm"), Seq("query_id"))
-      .join(payload(corpus, "neighbor_id", "c_vec", "c_norm"), Seq("neighbor_id"))
     val sim = VectorFunctions.cosinePrenormed(
       VectorFunctions.dot(col("q_vec"), col("c_vec")), col("q_norm"), col("c_norm"))
     heapTopK(cands.withColumn("sim_r", round(sim, 6)), k)
