@@ -342,14 +342,22 @@ object Plans {
     Check("km01_kmeans",
       Seq("BroadcastNestedLoopJoin", "BroadcastExchange"),
       wantNone = Seq("SortMergeJoin", "CartesianProduct")),
-    // PQ-ADC (long format, r9): codebook and LUT rides are KEYED
-    // broadcast hash joins — sub_id for the Lloyd/argmin stages,
-    // (sub_id, code) for the scoring join — never a nested loop; the
-    // only window partitions by query id (bounded top-k per query);
-    // no cartesian anywhere
+    // PQ-ADC (streaming-heap scoring, r10): codebook rides are KEYED
+    // broadcast hash joins (sub_id for the Lloyd/argmin stages);
+    // scoring is the bruteForceTopK shape — corpus code-arrays stream
+    // through ONE BroadcastNestedLoopJoin against the dense per-query
+    // LUT arrays with the adist element_at chain in its output
+    // projection, into the partial min-heap (ObjectHashAggregate).
+    // The pre-r10 (sub_id, code)-keyed scoring join is BANNED: with
+    // m×k distinct keys it emitted corpus×queries×m rows into a
+    // corpus×queries-group aggregate + rank-window sort (the sf10
+    // "failed to allocate page" storms; nn08 680 s / nn11 999 s at
+    // sf10 pass-1). No rank window, no sort-merge join, no unguarded
+    // cartesian anywhere.
     Check("nn08_pq_adc",
-      Seq("BroadcastHashJoin", "windowspecdefinition(q_id"),
-      wantNone = Seq("CartesianProduct", "BroadcastNestedLoopJoin",
+      Seq("BroadcastHashJoin", "BroadcastNestedLoopJoin",
+        "ObjectHashAggregate"),
+      wantNone = Seq("CartesianProduct", "windowspecdefinition(q_id",
         "SortMergeJoin")))
 
   /** The AUDITED set of registered queries whose plans contain an

@@ -501,14 +501,17 @@ object VectorQueries {
       val corpus = QuantizedKMeans.quantize(emb, "vec_id", "embedding")
       val queries = QuantizedKMeans.quantize(qs, "q_id", "embedding")
         .withColumnRenamed("q", "qv")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("q_id").orderBy(col("d2"), col("vec_id"))
+      // exact side: queries×corpus scored stream into the map-side
+      // min-heap (same selection/tie-break as the rank<=5 window it
+      // replaced — which sorted the whole queries×corpus stream and
+      // was the sf10 spill bomb alongside the old adcTopK join)
       val exact = corpus.crossJoin(broadcast(queries))
         .select(col("q_id"), col("vec_id"),
           QuantizedKMeans.dist2(col("q"), col("qv")).as("d2"))
-        .withColumn("__rk", row_number().over(w))
-        .filter(col("__rk") <= 5)
-        .select("q_id", "vec_id")
+        .groupBy("q_id")
+        .agg(graft.topk.TopKAgg.min_k_long(col("d2"), col("vec_id"), 5).as("__top"))
+        .select(col("q_id"), explode(col("__top")).as("__pair"))
+        .select(col("q_id"), col("__pair.tag").as("vec_id"))
       exact.join(adc, Seq("q_id", "vec_id"), "left")
         .groupBy("q_id")
         .agg(count(lit(1)).as("n_exact"),
@@ -710,12 +713,15 @@ object VectorQueries {
         .withColumn("__rk", row_number().over(wTop))
         .filter(col("__rk") <= 5)
         .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+      // exact side via the map-side min-heap — the queries×corpus
+      // stream never touches a sort (nn09's r10 fix, same shape)
       val exact = cz.crossJoin(broadcast(qz))
         .select(col("q_id"), col("vec_id"),
           QuantizedKMeans.dist2(col("q"), col("qv")).as("d2"))
-        .withColumn("__rk", row_number().over(wTop))
-        .filter(col("__rk") <= 5)
-        .select("q_id", "vec_id")
+        .groupBy("q_id")
+        .agg(graft.topk.TopKAgg.min_k_long(col("d2"), col("vec_id"), 5).as("__top"))
+        .select(col("q_id"), explode(col("__top")).as("__pair"))
+        .select(col("q_id"), col("__pair.tag").as("vec_id"))
       exact.join(reranked, Seq("q_id", "vec_id"), "left")
         .groupBy("q_id")
         .agg(count(lit(1)).as("n_exact"),

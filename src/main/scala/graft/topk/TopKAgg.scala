@@ -132,4 +132,21 @@ object TopKAgg {
     GraftSqlBridge.column(TopKAgg(
       GraftSqlBridge.expression(value),
       GraftSqlBridge.expression(tag), k).toAggregateExpression())
+
+  /** k-SMALLEST by (dist ASC, tag ASC) for exact integer distances —
+    * the ascending twin of [[top_k]], for the quantized-L2 ANN paths
+    * (same selection and tie-break as `row_number() OVER (PARTITION BY
+    * group ORDER BY dist, tag) <= k`, without sorting the scored
+    * stream). Rides the same max-heap by negating the distance into
+    * the value slot: every graft quantized distance is a micro-unit
+    * integer ≤ ~1e14 (|coord| ≤ 1e6 ⇒ per-dim sq ≤ 4e12, ≤ 64 dims),
+    * far under 2^53, so the long→double round-trip is exact and the
+    * heap's ordering decisions are bit-identical to long comparison.
+    * Returns array<struct<dist:bigint, tag:bigint>> in rank order. */
+  def min_k_long(dist: Column, tag: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions.{struct, transform}
+    transform(top_k((-dist).cast("double"), tag, k),
+      p => struct((-p.getField("value")).cast("long").as("dist"),
+        p.getField("tag").as("tag")))
+  }
 }

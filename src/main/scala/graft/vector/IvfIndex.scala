@@ -104,7 +104,11 @@ object IvfIndex {
     val c = index.cells.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("c_vec"), col("cell_id"),
       VectorFunctions.normSq(col(vecCol)).as("c_norm"))
-    val scored = probed.join(c, Seq("cell_id"))
+    // probed is queries×nProbe rows (tiny) — broadcast it so the
+    // candidate join streams the corpus in place; the equi-join key
+    // has only nList distinct values, so a shuffled join would hash
+    // the whole corpus into nList-way-skewed partitions
+    val scored = broadcast(probed).join(c, Seq("cell_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim_r", round(VectorFunctions.cosinePrenormed(
         VectorFunctions.dot(col("q_vec"), col("c_vec")),

@@ -169,20 +169,42 @@ object ProductQuantizer {
     * distance to a database vector is the sum over subspaces of the
     * exact quantized distance from the query's subvector to the
     * centroid the vector's code names. Per query that is an m×k
-    * LOOKUP TABLE (computed once, k-bounded), and scoring the corpus
-    * is one (sub_id, code)-keyed broadcast join + one sum — never a
-    * full-vector distance per pair. Returns (qIdCol, idCol, adist) —
-    * the `topK` nearest by approximate distance per query, ties by id.
+    * LOOKUP TABLE (computed once, k-bounded), and scoring is a
+    * row-local m-fold array lookup — never a full-vector distance per
+    * pair. Returns (qIdCol, idCol, adist) — the `topK` nearest by
+    * approximate distance per query, ties by id.
+    *
+    * Scale shape (the r10 redesign): the pre-r10 plan joined the
+    * corpus code rows against the LUT on (sub_id, cell_id) — with
+    * only m×k distinct join keys EVERY query matches every code row,
+    * so the join emitted corpus×queries×m rows into a
+    * corpus×queries-group hash aggregate and a rank window sorted the
+    * result: at sf10 that was a multi-billion-row shuffle (the
+    * "failed to allocate page" GC storms) and ADC measured 4× SLOWER
+    * than brute force. Now the corpus codes fold to ONE array<long>
+    * row per vector, each query's LUT flattens to ONE dense
+    * m×k array<long> (indexed sub·k + code; cells KMeans emptied stay
+    * null and are never indexed), the queries side broadcasts, and
+    * adist = Σ_s lut[s·k + codes[s]] is an unrolled codegen
+    * element_at chain evaluated in the broadcast-nested-loop join's
+    * output iterator — the bruteForceTopK shape, but m lookups per
+    * pair instead of dims multiplies. The per-query top-k is
+    * [[graft.topk.TopKAgg.min_k_long]] (map-side bounded heaps), so
+    * the ONLY shuffles anywhere are the corpus-sized encode
+    * aggregations and a queries×topK heap merge — the intermediate
+    * pair stream never touches a shuffle at any corpus size. All
+    * arithmetic stays in exact micro-unit longs: bit-identical
+    * results to the joined form (nn08/nn09/nn11/nn12 hash-match the
+    * same DuckDB replays).
     *
     * Definitional identity pinned by the spec: a query that is itself
     * in the corpus scores its OWN codes at exactly its `encode` error
     * sum. 100 TB: codes are m small ints per vector (the 4-byte→
-    * sub-byte compression PQ exists for); the LUT is queries×m×k rows
-    * and broadcast; the only corpus-sized stages are the encode scan
-    * and the code-keyed join, and the final top-k is a bounded window
-    * per query. The codebook frame is persisted via the shared-plan
-    * registry (codes and LUT both consume it; one m×k-row frame per
-    * call — Bench/Verify drop it via [[releaseCentroids]]). */
+    * sub-byte compression PQ exists for); the LUT frame is
+    * queries×(m×k) longs and broadcast. The codebook frame is
+    * persisted via the shared-plan registry (codes and LUT both
+    * consume it; one m×k-row frame per call — Bench/Verify drop it
+    * via [[releaseCentroids]]). */
   def adcTopK(corpus: DataFrame, queries: DataFrame, dims: Int, m: Int,
               k: Int, iters: Int, topK: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
@@ -193,18 +215,38 @@ object ProductQuantizer {
     val cents = org.apache.spark.sql.graftbridge.GraftSqlBridge.sharedInPlan(
       centroidsAll(trainSlice(guarded, trainMod, idCol),
         dims, m, k, iters, idCol, vecCol))
+    // corpus side: m codes per vector folded to one array row,
+    // ordered by sub_id (collect_list is unordered pre-sort;
+    // sort_array on the (sub_id, cell_id) struct restores it)
     val codes = assignAll(subspaces(guarded, dims, m, idCol, vecCol), cents, idCol)
-      .select(col("sub_id"), col(idCol), col("cell_id"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("sub_id"), col("cell_id")))).as("__sc"))
+      .select(col(idCol),
+        transform(col("__sc"), s => s.getField("cell_id")).as("__codes"))
+    // query side: dense per-query LUT array, position = sub_id·k + cell_id
+    // (scattered through a map so codebook cells KMeans emptied leave
+    // nulls — codes never name an empty cell, so null slots are dead)
     val lut = subspaces(dimsGuarded(queries, dims, vecCol), dims, m, qIdCol, vecCol)
       .join(broadcast(cents), "sub_id")
-      .select(col("sub_id"), col("cell_id"), col(qIdCol),
+      .select(col(qIdCol),
+        (col("sub_id") * k + col("cell_id")).as("__pos"),
         QuantizedKMeans.dist2(col("q"), col("c")).as("d2"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(qIdCol)).orderBy(col("adist"), col(idCol))
-    codes.join(broadcast(lut), Seq("sub_id", "cell_id"))
-      .groupBy(col(qIdCol), col(idCol))
-      .agg(sum(col("d2")).as("adist"))
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= topK).drop("__rk")
+      .groupBy(col(qIdCol))
+      .agg(sort_array(collect_list(struct(col("__pos"), col("d2")))).as("__pd"))
+      .withColumn("__pm", map_from_entries(col("__pd")))
+      .select(col(qIdCol),
+        transform(sequence(lit(0L), lit((m.toLong * k) - 1L)),
+          i => element_at(col("__pm"), i)).as("__lut"))
+    val adist = (0 until m).map { s =>
+      element_at(col("__lut"),
+        (element_at(col("__codes"), lit(s + 1)) + lit(s.toLong * k) + 1L).cast("int"))
+    }.reduce(_ + _)
+    codes.crossJoin(broadcast(lut))
+      .select(col(qIdCol), col(idCol), adist.as("adist"))
+      .groupBy(col(qIdCol))
+      .agg(graft.topk.TopKAgg.min_k_long(col("adist"), col(idCol), topK).as("__top"))
+      .select(col(qIdCol), explode(col("__top")).as("__pair"))
+      .select(col(qIdCol), col("__pair.tag").as(idCol),
+        col("__pair.dist").as("adist"))
   }
 }
