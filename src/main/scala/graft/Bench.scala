@@ -58,6 +58,29 @@ object Bench {
     // trip its band spuriously.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    // Corpus fingerprint (relative path + size of every file under
+    // sfDir, sorted, md5'd): scale corpora are rebuilt artifacts shared
+    // across rounds, and two history lines are only comparable if they
+    // ran the SAME corpus build — the id makes a silent rebuild (or an
+    // accidental write-through by a query, checked again after the
+    // timed passes) detectable from the history line alone.
+    def corpusFingerprint(dir: String): (String, Long, Long) = {
+      val root = java.nio.file.Paths.get(dir)
+      val files = {
+        val s = java.nio.file.Files.walk(root)
+        try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator())
+          .asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(p => root.relativize(p).toString -> java.nio.file.Files.size(p))
+          .toSeq.sortBy(_._1)
+        finally s.close()
+      }
+      val md = java.security.MessageDigest.getInstance("MD5")
+      files.foreach { case (p, sz) => md.update(s"$p:$sz\n".getBytes("UTF-8")) }
+      (md.digest().take(4).map("%02x".format(_)).mkString,
+        files.size.toLong, files.map(_._2).sum)
+    }
+    val (corpusId, corpusFiles, corpusBytes) = corpusFingerprint(sfDir)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
     // Per-query progress lines to stderr in EVERY pass (incl. warmup):
@@ -169,8 +192,20 @@ object Bench {
     // the number was taken under (the host is measurably bimodal —
     // NOTES_r9; single-pass and min-of-2 totals are not comparable).
     val onlyJson = only.map(_.map("\"" + _ + "\"").mkString(",\"only\":[", ",", "]")).getOrElse("")
+    // Read-only-corpus gate: the fingerprint recomputed AFTER the timed
+    // passes must equal the start-of-run one — the sf corpora are shared
+    // across rounds, and a query that writes through into the corpus dir
+    // would silently corrupt every later decade measurement. A dirty
+    // corpus is recorded in the history line and fails the process.
+    val (corpusIdAfter, _, _) = corpusFingerprint(sfDir)
+    val corpusDirty = corpusIdAfter != corpusId
+    if (corpusDirty) System.err.println(
+      s"[bench] ERROR corpus dir $sfDir was MODIFIED during the run " +
+        s"($corpusId -> $corpusIdAfter) - a query wrote through into the corpus")
+    val corpusJson =
+      s""","corpus":{"id":"$corpusId","files":$corpusFiles,"bytes":$corpusBytes,"dirty":$corpusDirty}"""
     val fullLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","ts":"$stamp","iters":$iters$onlyJson,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"families":$famJson,"queries":$all,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","ts":"$stamp","iters":$iters$onlyJson,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"families":$famJson,"queries":$all$corpusJson,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_full.json"), fullLine)
     try {
@@ -184,5 +219,6 @@ object Bench {
     }
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","iters":$iters$onlyJson,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"queries":$top,"sf":"$sfDir"}""")
     spark.stop()
+    if (corpusDirty) sys.exit(1)
   }
 }

@@ -358,7 +358,25 @@ object Plans {
       Seq("BroadcastHashJoin", "BroadcastNestedLoopJoin",
         "ObjectHashAggregate"),
       wantNone = Seq("CartesianProduct", "windowspecdefinition(q_id",
-        "SortMergeJoin")))
+        "SortMergeJoin")),
+    // streaming LSH (r10 redesign, both the compiled and the portable
+    // path): query bands BROADCAST into the band equi-join
+    // (BroadcastHashJoin), each pair survives only from its FIRST
+    // agreeing band — the row-local array_position(XOR-band test) in
+    // the join output, NOT a pair-keyed dropDuplicates aggregate
+    // ("Keys [2]: [query_id" is the banned dedup shuffle's signature) —
+    // and per-query top-k is the map-side heap (ObjectHashAggregate),
+    // never a rank window over the scored stream. The banned shapes are
+    // the two that died at sf10 pre-r10 (disk-full dedup shuffle; the
+    // rank-window spill sort).
+    Check("nn05_lsh_recall",
+      Seq("BroadcastHashJoin", "ObjectHashAggregate", "array_position"),
+      wantNone = Seq("windowspecdefinition(query_id",
+        "Keys [2]: [query_id", "CartesianProduct")),
+    Check("nn07_lsh_portable",
+      Seq("BroadcastHashJoin", "ObjectHashAggregate", "array_position"),
+      wantNone = Seq("windowspecdefinition(query_id",
+        "Keys [2]: [query_id", "CartesianProduct")))
 
   /** The AUDITED set of registered queries whose plans contain an
     * unpartitioned Window (WindowExec's "Moving all data to a single

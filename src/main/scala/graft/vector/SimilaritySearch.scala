@@ -214,11 +214,73 @@ object SimilaritySearch {
     * `minHashCandidates` shapes) — the contraction only ever sees
     * (id1, id2) pairs and doesn't care who produced them. */
   def semanticDedup(corpus: DataFrame, threshold: Double,
-                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val edges = nearDupPairs(corpus, corpus, threshold, idCol, vecCol)
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    dedupFromEdges(corpus, nearDupPairs(corpus, corpus, threshold, idCol, vecCol), idCol)
+
+  /** BANDED near-duplicate pairs — the documented at-scale substitution
+    * for [[nearDupPairs]]'s exact all-pairs kernel: a pair is a
+    * candidate only if its two hyperplane signatures agree on at least
+    * one of `nBands` bit-bands, then the exact cosine verifies the
+    * threshold. The self band-join is an EQUI-join on
+    * (band_id, band_val): pairs form only inside band buckets — never
+    * corpus², never a nested loop — and each candidate survives exactly
+    * once via the same row-local first-agreeing-band test the
+    * streaming LSH uses (no pair-keyed dedup shuffle).
+    *
+    * Parameter shape: near-dup thresholds are HIGH (SemDeDup-style
+    * ≥ 0.9 ⇒ per-bit agree probability p = 1 − θ/π ≥ 0.857), so
+    * width-4 bands capture a qualifying pair with prob
+    * 1 − (1 − p⁴)^nBands ≥ 1 − 4·10⁻⁶ at the defaults, while a random
+    * cross pair (p ≈ 0.5) lands in a given bucket with prob ~2⁻⁴ per
+    * band — bucket sizes stay ~corpus/16 per band, and the exact-cosine
+    * verify prunes the rest. Low thresholds (sd01's synthetic 0.25)
+    * keep the exact kernel: LSH banding cannot separate
+    * barely-correlated pairs from noise — that trade is the point of
+    * the two kernels being swappable behind the same contraction. */
+  def bandedNearDupPairs(corpus: DataFrame, threshold: Double,
+                         nBits: Int = 64, nBands: Int = 16,
+                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nBits % nBands == 0, "nBits must divide into nBands")
+    val bandWidth = nBits / nBands
+    def bands(id: String, vec: String, norm: String, sigName: String): DataFrame =
+      corpus.select(col(idCol).as(id), col(vecCol).as(vec),
+          VectorFunctions.normSq(col(vecCol)).as(norm),
+          VectorFunctions.hyperplaneSignature(col(vecCol), nBits).as(sigName))
+        .withColumn("band", explode(array((0 until nBands).map(b =>
+          struct(lit(b).as("band_id"),
+            (shiftright(col(sigName), b * bandWidth)
+              .bitwiseAND(lit((1L << bandWidth) - 1))).as("band_val"))): _*)))
+        .select(col(id), col(vec), col(norm), col(sigName),
+          col("band.band_id"), col("band.band_val"))
+    val cands = bands("id1", "p_vec", "p_norm", "__s1")
+      .join(bands("id2", "c_vec", "c_norm", "__s2"), Seq("band_id", "band_val"))
+      .filter(col("id1") < col("id2"))
+      .filter(firstAgreeingBand(col("__s1"), col("__s2"),
+        nBands, bandWidth) === col("band_id"))
+    val sim = VectorFunctions.cosinePrenormed(
+      VectorFunctions.dot(col("p_vec"), col("c_vec")), col("p_norm"), col("c_norm"))
+    cands.withColumn("sim", sim).filter(col("sim") >= threshold)
+      .select(col("id1"), col("id2"), round(col("sim"), 6).as("sim_r"))
+  }
+
+  /** [[semanticDedup]] with the banded edge kernel — same contraction,
+    * same output contract, edges from [[bandedNearDupPairs]]. This is
+    * the 100 TB path: edge generation is banded-equi-join-bounded
+    * instead of probe×corpus, so the whole dedup (kernel + star
+    * contraction) carries no corpus²-shaped stage anywhere. */
+  def semanticDedupBanded(corpus: DataFrame, threshold: Double,
+                          nBits: Int = 64, nBands: Int = 16,
+                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    dedupFromEdges(corpus,
+      bandedNearDupPairs(corpus, threshold, nBits, nBands, idCol, vecCol), idCol)
+
+  /** The shared resolution stage: large/small-star contraction over
+    * whatever (id1, id2) edge set a kernel produced, min-id
+    * representative, full id→representative mapping out. */
+  private def dedupFromEdges(corpus: DataFrame, edges: DataFrame,
+                             idCol: String): DataFrame =
     graft.graph.ConnectedComponents.runStars(
       corpus.select(col(idCol).as("id")), edges.select("id1", "id2"))
       .select(col("id"), col("cluster_id").as("kept_as"),
         (col("id") === col("cluster_id")).as("is_kept"))
-  }
 }

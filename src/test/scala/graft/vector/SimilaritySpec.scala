@@ -144,4 +144,41 @@ class SimilaritySpec extends SparkSpec {
       (10L, 10L, true), (20L, 10L, false), (30L, 10L, false),
       (40L, 40L, true)))
   }
+
+  test("banded edge kernel: semanticDedupBanded == exact kernel on a near-dup corpus, no corpus² stage") {
+    // Production-shaped SemDeDup (threshold 0.9): a corpus where every
+    // base vector has one slightly-perturbed near-copy (coordinate-
+    // dependent ≤4% scaling ⇒ cosine ≈ 0.999) and random cross pairs
+    // sit at |cos| ~ 1/8. The banded kernel (width-4 bands, capture
+    // ≥ 1 − 4·10⁻⁶ per qualifying pair, deterministic planes) must
+    // reproduce the exact all-pairs kernel's FULL id→representative
+    // mapping — the swappability contract sd01's scaladoc documents.
+    val base = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").limit(120).cache()
+    val nBase = base.count()
+    val dupes = base.select((col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        (x.cast("double") * (lit(1.0) + pmod(i, lit(3)).cast("double") * lit(0.02)))
+          .cast("float")).as("embedding"))
+    val corpus = base.unionByName(dupes).cache()
+    val exact = SimilaritySearch.semanticDedup(corpus, 0.9)
+      .orderBy("id").as[(Long, Long, Boolean)].collect().toSeq
+    val banded = SimilaritySearch.semanticDedupBanded(corpus, 0.9)
+      .orderBy("id").as[(Long, Long, Boolean)].collect().toSeq
+    assert(banded == exact, "banded kernel diverged from the exact kernel")
+    // the dedup is real: exactly the base survives (each dup collapses
+    // onto its source; random 64-dim cross pairs never reach 0.9)
+    assert(banded.count(_._3) == nBase,
+      s"expected $nBase kept representatives, got ${banded.count(_._3)}")
+    // and the kernel shape is the scale contract: band EQUI-join with
+    // the row-local emit-once test — never a nested loop / cartesian
+    val plan = SimilaritySearch.bandedNearDupPairs(corpus, 0.9)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"banded kernel planned a corpus²-shaped join:\n$plan")
+    assert(plan.contains("array_position"),
+      "emit-once first-agreeing-band filter missing from the banded kernel plan")
+  }
 }
