@@ -56,6 +56,17 @@ def main():
     if small is big or small["sf"] == big["sf"]:
         sys.exit(f"small and big resolve to the same entry ({small['sf']}) "
                  "— pass two distinct sf basenames, e.g. sf0.1 sf1")
+    # Corpus fingerprints (round 11+): a dirty line (a query wrote into
+    # the corpus mid-run) is not a measurement; and print each side's
+    # corpus id so two exponent tables quoting the "same" SF are
+    # checkable against corpus rebuilds.
+    for side, d in (("small", small), ("big", big)):
+        c = d.get("corpus") or {}
+        if c.get("dirty"):
+            sys.exit(f"{side} entry {d['ts']} has corpus dirty=true "
+                     "— the corpus was modified during the run; remeasure")
+        print(f"# {side} corpus id: {c.get('id', '(pre-r11 line: none)')}",
+              file=sys.stderr)
     qs, qb = small["queries"], big["queries"]
     common = sorted(set(qs) & set(qb))
     print(f"# {len(common)} common queries; small={small['sf']} big={big['sf']}")
