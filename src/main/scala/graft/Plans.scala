@@ -377,6 +377,14 @@ object Plans {
       Seq("BroadcastHashJoin", "ObjectHashAggregate", "array_position"),
       wantNone = Seq("windowspecdefinition(query_id",
         "Keys [2]: [query_id", "CartesianProduct")))
+  // sd02 (banded semantic dedup) is NOT pinnable here: star
+  // contraction opens with a localCheckpoint, so the registered
+  // query's final plan is lineage-truncated and never shows the edge
+  // kernel. Its shape pin lives at kernel level in SimilaritySpec
+  // ("banded edge kernel" test): band EQUI-join + the row-local
+  // array_position emit-once test required, BroadcastNestedLoopJoin /
+  // CartesianProduct banned — asserted on bandedNearDupPairs' own
+  // plan, which is the stage the 100 TB claim is about.
 
   /** The AUDITED set of registered queries whose plans contain an
     * unpartitioned Window (WindowExec's "Moving all data to a single

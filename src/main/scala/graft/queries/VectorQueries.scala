@@ -260,6 +260,50 @@ object VectorQueries {
             |SELECT id, kept_as, id = kept_as AS is_kept
             |FROM lbl ORDER BY id""".stripMargin))
 
+  /** SEMANTIC DEDUP, BANDED KERNEL (the 100 TB path): same contraction
+    * and output contract as sd01, but edges come from
+    * `bandedNearDupPairs` — band EQUI-join on 16 independent width-16
+    * hyperplane band signatures (`array<long>`, 256 planes), row-local
+    * emit-once, exact-cosine verify at θ=0.9 — so candidate volume is
+    * qualifying pairs + ~2.4·10⁻⁴ of cross pairs, never corpus².
+    *
+    * The synthetic embeddings carry no natural ≥0.9 pairs (max
+    * pairwise cosine ≈ 0.44), so the query builds its own SemDeDup
+    * regime deterministically: each corpus vector gains one exact
+    * ×2-scaled twin (id + 10⁸). Doubling a float is exact (exponent
+    * bump), every plane sum scales exactly, so twin pairs have
+    * cosine 1, IDENTICAL band signatures, and capture probability 1 —
+    * the oracle's exact edge set is reproduced with no probabilistic
+    * slack, in both engines, which is what lets a banded kernel be
+    * hash-checked at all. Cross twin pairs inherit the base cosines
+    * (cos(x,2y) = cos(x,y) ≤ 0.44) and stay under θ. */
+  val sd02SemanticDedupBanded = QueryDef("sd02_semantic_dedup_banded",
+    (s, d) => {
+      val base = Tables.embeddings(s, d).filter(col("vec_id") % 4 === 0)
+        .select("vec_id", "embedding")
+      val twins = base.select((col("vec_id") + 100000000L).as("vec_id"),
+        transform(col("embedding"), x => (x * lit(2.0f)).cast("float"))
+          .as("embedding"))
+      SimilaritySearch.semanticDedupBanded(
+        base.unionByName(twins), threshold = 0.9).orderBy("id")
+    },
+    Some(s"""WITH RECURSIVE
+            |base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0),
+            |s AS (SELECT vec_id, embedding FROM base
+            |  UNION ALL
+            |  SELECT vec_id + 100000000,
+            |    list_transform(embedding, x -> CAST(x * 2 AS FLOAT))
+            |  FROM base),
+            |e(a, b) AS (SELECT a.vec_id, b.vec_id
+            |  FROM s a JOIN s b ON a.vec_id < b.vec_id
+            |  WHERE $sqlCos >= 0.9),
+            |bi(a, b) AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+            |walk(id, l) AS (SELECT vec_id, vec_id FROM s
+            |  UNION SELECT bi.b, walk.l FROM walk JOIN bi ON bi.a = walk.id),
+            |lbl AS (SELECT id, MIN(l) AS kept_as FROM walk GROUP BY id)
+            |SELECT id, kept_as, id = kept_as AS is_kept
+            |FROM lbl ORDER BY id""".stripMargin))
+
   /** EMBEDDING-COLUMN PROFILE (per-dimension mean/variance/min/max —
     * the dead-dimension and scale-drift audit run before any index
     * build or quantizer fit). Values quantize to integer micro-units
@@ -844,7 +888,8 @@ object VectorQueries {
 
   val all: Seq[QueryDef] = Seq(nn01BruteTopK, nn03NearDup,
     nn05LshRecall, nn06IvfAllProbe, nn07LshPortable,
-    dd06DupClusters, vq01ScalarQuant, sd01SemanticDedup, em01DimStats,
+    dd06DupClusters, vq01ScalarQuant, sd01SemanticDedup,
+    sd02SemanticDedupBanded, em01DimStats,
     km01KMeans, vq02ProductQuant, nn08PqAdc, nn09AdcRecall,
     nn10IvfPortable, nn11AdcRerank, nn12AdcSampledTrain)
 }

@@ -217,46 +217,84 @@ object SimilaritySearch {
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     dedupFromEdges(corpus, nearDupPairs(corpus, corpus, threshold, idCol, vecCol), idCol)
 
+  /** Emit-once test for ARRAY band signatures (the wide analogue of
+    * [[firstAgreeingBand]]'s packed-long XOR): index of the first
+    * position where the two `array<long>` signatures agree, 0-based —
+    * a candidate pair survives only from the copy whose band_id equals
+    * it, row-locally, with no pair-keyed dedup shuffle. */
+  private def firstAgreeingBandArr(s1: Column, s2: Column): Column =
+    array_position(zip_with(s1, s2, (a, b) => a === b), lit(true)) - 1
+
+  /** Choose (bandWidth, nBands) for [[bandedNearDupPairs]] from the
+    * similarity of the duplicates the kernel must capture. With
+    * per-plane agree probability p = 1 − arccos(s)/π, a width-w band
+    * agrees with probability p^w and L bands capture a sim-s pair with
+    * probability 1 − (1 − p^w)^L, while an uncorrelated pair (p ≈ ½)
+    * becomes a candidate with probability ≈ L·2⁻w. Both rates fall in
+    * w and rise in L, so the best plan under a band budget is the
+    * LARGEST w whose required L = ⌈ln(1−capture)/ln(1−p^w)⌉ still fits
+    * maxBands — giving the smallest false-candidate rate that meets
+    * the capture target. `dupSim` is the similarity of the DUPLICATES
+    * (the S-curve design point), not the verify threshold: verify can
+    * sit lower, the capture guarantee is quoted at dupSim. */
+  def bandPlan(dupSim: Double, targetCapture: Double = 1 - 1e-6,
+               maxBands: Int = 64): (Int, Int) = {
+    require(dupSim > 0 && dupSim < 1 && targetCapture > 0 && targetCapture < 1)
+    val p = 1.0 - math.acos(dupSim) / math.Pi
+    val lnMiss = math.log1p(-targetCapture)
+    def bandsFor(w: Int): Int =
+      math.ceil(lnMiss / math.log1p(-math.pow(p, w))).toInt.max(1)
+    val w = (1 to 63).takeWhile(w => bandsFor(w) <= maxBands).lastOption
+      .getOrElse(sys.error(
+        s"no band width reaches capture $targetCapture at sim $dupSim " +
+          s"within $maxBands bands — raise maxBands or the design point"))
+    (w, bandsFor(w))
+  }
+
   /** BANDED near-duplicate pairs — the documented at-scale substitution
     * for [[nearDupPairs]]'s exact all-pairs kernel: a pair is a
     * candidate only if its two hyperplane signatures agree on at least
-    * one of `nBands` bit-bands, then the exact cosine verifies the
-    * threshold. The self band-join is an EQUI-join on
+    * one of `nBands` width-`bandWidth` bands, then the exact cosine
+    * verifies the threshold. The self band-join is an EQUI-join on
     * (band_id, band_val): pairs form only inside band buckets — never
     * corpus², never a nested loop — and each candidate survives exactly
-    * once via the same row-local first-agreeing-band test the
-    * streaming LSH uses (no pair-keyed dedup shuffle).
+    * once via the row-local first-agreeing-band test the streaming LSH
+    * uses (no pair-keyed dedup shuffle).
     *
-    * Parameter shape: near-dup thresholds are HIGH (SemDeDup-style
-    * ≥ 0.9 ⇒ per-bit agree probability p = 1 − θ/π ≥ 0.857), so
-    * width-4 bands capture a qualifying pair with prob
-    * 1 − (1 − p⁴)^nBands ≥ 1 − 4·10⁻⁶ at the defaults, while a random
-    * cross pair (p ≈ 0.5) lands in a given bucket with prob ~2⁻⁴ per
-    * band — bucket sizes stay ~corpus/16 per band, and the exact-cosine
-    * verify prunes the rest. Low thresholds (sd01's synthetic 0.25)
-    * keep the exact kernel: LSH banding cannot separate
-    * barely-correlated pairs from noise — that trade is the point of
-    * the two kernels being swappable behind the same contraction. */
+    * The pruning lives or dies on band WIDTH: an uncorrelated pair
+    * (per-plane agree probability ≈ ½) collides on some band with
+    * probability ≈ nBands·2^−bandWidth, so the defaults (16 bands of
+    * width 16, 256 planes as an `array<long>` of independent per-band
+    * signatures — no longer capped by one packed 64-bit word) admit
+    * ~2.4·10⁻⁴ of cross pairs (≈4000× pruning) while capturing a
+    * SemDeDup-regime near-copy (sim ≥ 0.99, p ≥ 0.955) with
+    * probability 1 − (1 − p¹⁶)¹⁶ ≥ 0.9999 — and an exact positive
+    * scaling (sim = 1) with probability 1, every plane sum scaling
+    * exactly. For lower design points use [[bandPlan]]: capture at
+    * sim 0.9 needs narrower bands (width 10 → 58 bands at 1−10⁻⁶),
+    * bought with a weaker 17× prune — and BELOW that (sd01's synthetic
+    * 0.25) banding cannot separate barely-correlated pairs from noise
+    * at any width, so the exact kernel stays the right tool. That
+    * trade is the point of the two kernels being swappable behind the
+    * same contraction. */
   def bandedNearDupPairs(corpus: DataFrame, threshold: Double,
-                         nBits: Int = 64, nBands: Int = 16,
+                         nBands: Int = 16, bandWidth: Int = 16,
                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(nBits % nBands == 0, "nBits must divide into nBands")
-    val bandWidth = nBits / nBands
+    require(nBands >= 1 && bandWidth >= 1 && bandWidth <= 63,
+      "need nBands >= 1 and bandWidth in 1..63")
     def bands(id: String, vec: String, norm: String, sigName: String): DataFrame =
       corpus.select(col(idCol).as(id), col(vecCol).as(vec),
           VectorFunctions.normSq(col(vecCol)).as(norm),
-          VectorFunctions.hyperplaneSignature(col(vecCol), nBits).as(sigName))
+          VectorFunctions.bandSignatures(col(vecCol), nBands, bandWidth).as(sigName))
         .withColumn("band", explode(array((0 until nBands).map(b =>
           struct(lit(b).as("band_id"),
-            (shiftright(col(sigName), b * bandWidth)
-              .bitwiseAND(lit((1L << bandWidth) - 1))).as("band_val"))): _*)))
+            element_at(col(sigName), b + 1).as("band_val"))): _*)))
         .select(col(id), col(vec), col(norm), col(sigName),
           col("band.band_id"), col("band.band_val"))
     val cands = bands("id1", "p_vec", "p_norm", "__s1")
       .join(bands("id2", "c_vec", "c_norm", "__s2"), Seq("band_id", "band_val"))
       .filter(col("id1") < col("id2"))
-      .filter(firstAgreeingBand(col("__s1"), col("__s2"),
-        nBands, bandWidth) === col("band_id"))
+      .filter(firstAgreeingBandArr(col("__s1"), col("__s2")) === col("band_id"))
     val sim = VectorFunctions.cosinePrenormed(
       VectorFunctions.dot(col("p_vec"), col("c_vec")), col("p_norm"), col("c_norm"))
     cands.withColumn("sim", sim).filter(col("sim") >= threshold)
@@ -266,13 +304,14 @@ object SimilaritySearch {
   /** [[semanticDedup]] with the banded edge kernel — same contraction,
     * same output contract, edges from [[bandedNearDupPairs]]. This is
     * the 100 TB path: edge generation is banded-equi-join-bounded
-    * instead of probe×corpus, so the whole dedup (kernel + star
-    * contraction) carries no corpus²-shaped stage anywhere. */
+    * (candidate volume ≈ qualifying pairs + nBands·2^−bandWidth of
+    * cross pairs) instead of probe×corpus, so the whole dedup (kernel
+    * + star contraction) carries no corpus²-shaped stage anywhere. */
   def semanticDedupBanded(corpus: DataFrame, threshold: Double,
-                          nBits: Int = 64, nBands: Int = 16,
+                          nBands: Int = 16, bandWidth: Int = 16,
                           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     dedupFromEdges(corpus,
-      bandedNearDupPairs(corpus, threshold, nBits, nBands, idCol, vecCol), idCol)
+      bandedNearDupPairs(corpus, threshold, nBands, bandWidth, idCol, vecCol), idCol)
 
   /** The shared resolution stage: large/small-star contraction over
     * whatever (id1, id2) edge set a kernel produced, min-id

@@ -48,4 +48,15 @@ object VectorFunctions {
     * no stored matrix, reproducible on any cluster). */
   def hyperplaneSignature(vec: Column, nBits: Int): Column =
     HyperplaneSigExpr.signature(vec, nBits)
+
+  /** Wide banded signature as `array<long>`: element b is an
+    * INDEPENDENT `bandWidth`-bit hyperplane signature over plane
+    * window [b·bandWidth, (b+1)·bandWidth) of the global SplitMix64
+    * plane family — nBands·bandWidth planes total, so band width is no
+    * longer capped by the 64 bits of one packed long. For
+    * nBands·bandWidth ≤ 64 element b equals the b-th width-w slice of
+    * [[hyperplaneSignature]] bit-for-bit (same planes, same order). */
+  def bandSignatures(vec: Column, nBands: Int, bandWidth: Int): Column =
+    array((0 until nBands).map(b =>
+      HyperplaneSigExpr.signature(vec, bandWidth, b * bandWidth)): _*)
 }

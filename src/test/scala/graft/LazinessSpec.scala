@@ -34,6 +34,7 @@ class LazinessSpec extends SparkSpec {
     * lazy plan. */
   private val eagerByDesign =
     Set("dd06_dup_clusters", "sd01_semantic_dedup",
+      "sd02_semantic_dedup_banded", // runStars CC fixpoint, like sd01
       "dd13_best_of_cluster", // runStars CC fixpoint, like dd06/sd01
       "nn06_ivf_allprobe", "j03_bucketed_join", "j04_clustered_range",
       "zo01_zorder_range",

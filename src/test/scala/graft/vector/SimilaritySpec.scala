@@ -148,11 +148,13 @@ class SimilaritySpec extends SparkSpec {
   test("banded edge kernel: semanticDedupBanded == exact kernel on a near-dup corpus, no corpus² stage") {
     // Production-shaped SemDeDup (threshold 0.9): a corpus where every
     // base vector has one slightly-perturbed near-copy (coordinate-
-    // dependent ≤4% scaling ⇒ cosine ≈ 0.999) and random cross pairs
-    // sit at |cos| ~ 1/8. The banded kernel (width-4 bands, capture
-    // ≥ 1 − 4·10⁻⁶ per qualifying pair, deterministic planes) must
-    // reproduce the exact all-pairs kernel's FULL id→representative
-    // mapping — the swappability contract sd01's scaladoc documents.
+    // dependent ≤4% scaling ⇒ cosine ≈ 0.9999, per-plane agree
+    // p ≈ 0.995) and random cross pairs sit at |cos| ~ 1/8. The banded
+    // kernel (default 16 independent width-16 bands: capture
+    // 1 − (1−p¹⁶)¹⁶ ≈ 1 − 10⁻¹⁵ per near-copy pair, ~2.4·10⁻⁴ cross-
+    // pair false-candidate rate, deterministic planes) must reproduce
+    // the exact all-pairs kernel's FULL id→representative mapping —
+    // the swappability contract sd01's scaladoc documents.
     val base = Tables.embeddings(spark, sfDir)
       .select("vec_id", "embedding").limit(120).cache()
     val nBase = base.count()
@@ -180,5 +182,40 @@ class SimilaritySpec extends SparkSpec {
       s"banded kernel planned a corpus²-shaped join:\n$plan")
     assert(plan.contains("array_position"),
       "emit-once first-agreeing-band filter missing from the banded kernel plan")
+  }
+
+  test("bandPlan picks the widest band that meets the capture target") {
+    // sim 0.9 ⇒ p = 1 − arccos(.9)/π ≈ 0.8572: width 10 needs 58 bands
+    // for capture 1−10⁻⁶, width 11 would need 69 (> 64) — so the plan
+    // is (10, 58), and its quoted guarantees must actually hold.
+    val (w, l) = SimilaritySearch.bandPlan(0.9)
+    assert((w, l) == (10, 58), s"got ($w, $l)")
+    val p = 1.0 - math.acos(0.9) / math.Pi
+    val capture = 1.0 - math.pow(1.0 - math.pow(p, w), l)
+    assert(capture >= 1 - 1e-6)
+    // false-candidate rate ≈ L·2⁻w stays under 6% — real pruning
+    assert(l * math.pow(2.0, -w) < 0.06)
+    // SemDeDup regime (dup sim ≥ .99) affords much wider bands: the
+    // default-shaped plans prune 3 orders of magnitude
+    val (w99, l99) = SimilaritySearch.bandPlan(0.99)
+    assert(w99 >= 16, s"width $w99 at sim .99")
+    assert(l99 * math.pow(2.0, -w99) < 1e-3)
+  }
+
+  test("band signature words equal the packed-long slices for nBands*width <= 64") {
+    // the wide array<long> formulation must be the SAME plane family:
+    // element b of bandSignatures(v, 16, 4) == bits [4b, 4b+4) of
+    // hyperplaneSignature(v, 64) — pins that widening the signature
+    // didn't re-seed the planes existing oracles depend on
+    val got = Tables.embeddings(spark, sfDir).limit(64)
+      .select(
+        VectorFunctions.bandSignatures(col("embedding"), 16, 4).as("words"),
+        VectorFunctions.hyperplaneSignature(col("embedding"), 64).as("packed"))
+      .as[(Seq[Long], Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (words, packed) =>
+      val slices = (0 until 16).map(b => (packed >>> (b * 4)) & 0xfL)
+      assert(words == slices, s"words $words != slices $slices of $packed")
+    }
   }
 }
