@@ -282,22 +282,36 @@ object SimilaritySearch {
                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(nBands >= 1 && bandWidth >= 1 && bandWidth <= 63,
       "need nBands >= 1 and bandWidth in 1..63")
-    def bands(id: String, vec: String, norm: String, sigName: String): DataFrame =
-      corpus.select(col(idCol).as(id), col(vecCol).as(vec),
-          VectorFunctions.normSq(col(vecCol)).as(norm),
+    // NARROW ride through the pair shuffle (SCALE principle 2): the
+    // band explode carries only (id, sig-array, band key) — the
+    // sig-array because the row-local emit-once test needs both sides'
+    // full band vectors — never the embedding itself. Vectors join
+    // back BY ID onto the candidate set, which the banding has already
+    // cut to ~qualifying + nBands·2^−bandWidth of cross pairs, so the
+    // wide rows cross one candidates-sized exchange instead of
+    // nBands× corpus-sized ones.
+    def bands(id: String, sigName: String): DataFrame =
+      corpus.select(col(idCol).as(id),
           VectorFunctions.bandSignatures(col(vecCol), nBands, bandWidth).as(sigName))
         .withColumn("band", explode(array((0 until nBands).map(b =>
           struct(lit(b).as("band_id"),
             element_at(col(sigName), b + 1).as("band_val"))): _*)))
-        .select(col(id), col(vec), col(norm), col(sigName),
+        .select(col(id), col(sigName),
           col("band.band_id"), col("band.band_val"))
-    val cands = bands("id1", "p_vec", "p_norm", "__s1")
-      .join(bands("id2", "c_vec", "c_norm", "__s2"), Seq("band_id", "band_val"))
+    val cands = bands("id1", "__s1")
+      .join(bands("id2", "__s2"), Seq("band_id", "band_val"))
       .filter(col("id1") < col("id2"))
       .filter(firstAgreeingBandArr(col("__s1"), col("__s2")) === col("band_id"))
+      .select("id1", "id2")
+    def vecs(id: String, vec: String, norm: String): DataFrame =
+      corpus.select(col(idCol).as(id), col(vecCol).as(vec),
+        VectorFunctions.normSq(col(vecCol)).as(norm))
     val sim = VectorFunctions.cosinePrenormed(
       VectorFunctions.dot(col("p_vec"), col("c_vec")), col("p_norm"), col("c_norm"))
-    cands.withColumn("sim", sim).filter(col("sim") >= threshold)
+    cands
+      .join(vecs("id1", "p_vec", "p_norm"), "id1")
+      .join(vecs("id2", "c_vec", "c_norm"), "id2")
+      .withColumn("sim", sim).filter(col("sim") >= threshold)
       .select(col("id1"), col("id2"), round(col("sim"), 6).as("sim_r"))
   }
 
