@@ -1,0 +1,56 @@
+#!/usr/bin/env python3
+"""Three-point decade table from bench/history.jsonl.
+
+Usage: python3 scripts/decade_table.py sf0.1 sf1 sf10
+
+Prints the totals row (markdown) for SCALE.md plus per-query exponents
+for both decades, reusing exponents.py's clean-line selection (skips
+partial/failed/dirty lines).
+"""
+import sys
+import math
+import os.path
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import exponents as ex
+
+
+def main():
+    names = sys.argv[1:4]
+    entries = [ex.latest(bn) for bn in names]
+    for side, d in zip(names, entries):
+        c = d.get("corpus") or {}
+        if c.get("dirty"):
+            sys.exit(f"{side} entry {d['ts']} is corpus-dirty; remeasure")
+        print(f"# {side}: ts={d['ts']} total={d['value']} "
+              f"n={len(d['queries'])} iters={d.get('iters')} "
+              f"corpus={c.get('id', '(none)')}")
+    qmaps = [d["queries"] for d in entries]
+    common = sorted(set(qmaps[0]) & set(qmaps[1]) & set(qmaps[2]))
+    tots = [sum(q[k] for k in common) for q in qmaps]
+    e01 = ex.exp(tots[0], tots[1], 1.0)
+    e12 = ex.exp(tots[1], tots[2], 1.0)
+    e02 = ex.exp(tots[0], tots[2], 2.0)
+    print(f"\n| | {names[0]} (min of 2) | {names[1]} (min of 2) | "
+          f"{names[2]} (min of 2) | exp/decade |")
+    print("|---|---|---|---|---|")
+    print(f"| total ({len(common)} queries) | {tots[0]:.1f} s | "
+          f"{tots[1]:.1f} s | {tots[2]:.1f} s | "
+          f"{e01:.2f} then {e12:.2f} (two-decade {e02:.2f}) |")
+    print("\n## slowest 25 at", names[2], "(t_sf0.1, t_sf1, t_sf10, "
+          "exp d1, exp d2, exp 2dec)")
+    for q in sorted(common, key=lambda q: -qmaps[2][q])[:25]:
+        a, b, c = (m[q] for m in qmaps)
+        print(f"{q}\t{a:.2f}\t{b:.2f}\t{c:.2f}\t"
+              f"{ex.exp(a, b, 1):.2f}\t{ex.exp(b, c, 1):.2f}\t{ex.exp(a, c, 2):.2f}")
+    print("\n## worst two-decade exponents (>= 0.55)")
+    for q in sorted(common, key=lambda q: -ex.exp(qmaps[0][q], qmaps[2][q], 2)):
+        a, b, c = (m[q] for m in qmaps)
+        e = ex.exp(a, c, 2)
+        if e < 0.55:
+            break
+        print(f"{q}\t{a:.2f}\t{b:.2f}\t{c:.2f}\texp {e:.2f}")
+
+
+if __name__ == "__main__":
+    main()

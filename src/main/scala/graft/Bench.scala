@@ -42,6 +42,16 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // A full-suite decade run keeps one JVM alive for hours across
+      // ~550 query executions, and broadcast/shuffle state is only
+      // reclaimed when the DRIVER GCs the referencing objects — with a
+      // large quiet heap that can lag by many queries. The default
+      // 30min periodic-GC cadence let execution memory starve late in
+      // the r11 sf10 run (nn11 pass2 OOM'd in a sorter after 2.7 h and
+      // ~460 executions, having passed warmup and pass1 at identical
+      // sizes). 5min keeps the ContextCleaner fed without touching any
+      // timed region (the GC runs on the cleaner's own thread).
+      .config("spark.cleaner.periodicGC.interval", "5min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
