@@ -376,6 +376,13 @@ object Plans {
     Check("nn07_lsh_portable",
       Seq("BroadcastHashJoin", "ObjectHashAggregate", "array_position"),
       wantNone = Seq("windowspecdefinition(query_id",
+        "Keys [2]: [query_id", "CartesianProduct")),
+    // the fixed-serving-batch LSH probe (nn13) must keep the exact
+    // r10 streaming shape nn05 pins — its whole point is measuring
+    // that shape against a growing corpus at constant batch size
+    Check("nn13_lsh_fixed_batch",
+      Seq("BroadcastHashJoin", "ObjectHashAggregate", "array_position"),
+      wantNone = Seq("windowspecdefinition(query_id",
         "Keys [2]: [query_id", "CartesianProduct")))
   // sd02 (banded semantic dedup) is NOT pinnable here: star
   // contraction opens with a localCheckpoint, so the registered

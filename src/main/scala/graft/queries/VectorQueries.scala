@@ -101,6 +101,37 @@ object VectorQueries {
             |  CAST(1.0 AS DOUBLE) AS recall
             |FROM topk GROUP BY query_id ORDER BY query_id""".stripMargin))
 
+  /** SERVING-SHAPE scaling probe: the same capture-sized streaming LSH
+    * as nn05, but with a FIXED 50-query batch (`vec_id < 5000`, the
+    * sf0.1 probe set — present verbatim at every larger SF, since
+    * ScaleUp replicas only shift ids up). nn05/nn07's `%100` probe
+    * convention grows the query set with the corpus, so their decade
+    * exponents (≥1.3 at sf1→sf10) measure the convention — Θ(q·n)
+    * with q ∝ n — not the engine. This query pins the PRODUCTION
+    * regime: a bounded serving batch against a growing corpus, where
+    * the one corpus-sized cost is the scan+signature pass and the only
+    * shuffle is queries-sized, so time must stay ~linear in corpus.
+    * Oracle is the exact top-5 (nn01's shape) on the capped batch:
+    * sound because nn05 hash-verifies full top-5 capture at these
+    * exact banding params every round. */
+  val nn13LshFixedBatch = QueryDef("nn13_lsh_fixed_batch",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < 5000)
+      SimilaritySearch.lshTopK(emb, qs, k = 5, nBits = 24, nBands = 24)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH scored AS (
+            |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+            |    round($sqlCos, 6) AS sim_r
+            |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+            |  WHERE a.vec_id % 100 = 0 AND a.vec_id < 5000)
+            |SELECT query_id, rank, neighbor_id, sim_r FROM (
+            |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            |    ORDER BY sim_r DESC, neighbor_id) AS rank FROM scored) t
+            |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+
   /** IVF partition-completeness: probing ALL cells must reproduce the
     * exact brute-force frame bit-for-bit — cells partition the corpus,
     * scoring uses the same rounding, and ranking uses the same
@@ -891,5 +922,6 @@ object VectorQueries {
     dd06DupClusters, vq01ScalarQuant, sd01SemanticDedup,
     sd02SemanticDedupBanded, em01DimStats,
     km01KMeans, vq02ProductQuant, nn08PqAdc, nn09AdcRecall,
-    nn10IvfPortable, nn11AdcRerank, nn12AdcSampledTrain)
+    nn10IvfPortable, nn11AdcRerank, nn12AdcSampledTrain,
+    nn13LshFixedBatch)
 }
