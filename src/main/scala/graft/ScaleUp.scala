@@ -85,9 +85,11 @@ object ScaleUp {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: ScaleUp <srcDir> <destDir> [factor]")
+    require(args.length >= 2,
+      "usage: ScaleUp <srcDir> <destDir> [factor] [stretch-time]")
     val (srcDir, destDir) = (args(0), args(1))
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val stretchTime = args.lift(3).contains("stretch-time")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -97,15 +99,17 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, srcDir, destDir, factor)
-    println(s"""{"scaleup":"done","src":"$srcDir","dest":"$destDir","factor":$factor}""")
+    run(spark, srcDir, destDir, factor, stretchTime)
+    println(s"""{"scaleup":"done","src":"$srcDir","dest":"$destDir","factor":$factor,"stretchTime":$stretchTime}""")
     spark.stop()
   }
 
   /** The whole build, on a caller-owned session (main wraps this;
-    * ScaleUpSpec drives it on the shared test session). */
+    * ScaleUpSpec drives it on the shared test session). `stretchTime`
+    * switches the events table from density replication to
+    * time-axis translation — see the events block below. */
   def run(spark: SparkSession, srcDir: String, destDir: String,
-          factor: Int): Unit = {
+          factor: Int, stretchTime: Boolean = false): Unit = {
     // ALL factor bounds up front — an oversized factor must fail before
     // the first table is written, not leave a half-built destDir:
     //  - names: the letter/digit rotation family repeats at
@@ -176,9 +180,38 @@ object ScaleUp {
       "l_orderkey" -> O, "l_partkey" -> P, "l_suppkey" -> S), factor)(
       shift(_, _, "l_orderkey" -> O, "l_partkey" -> P, "l_suppkey" -> S)),
       "lineitem", 16)
-    write(replicate(assertBands(read("events"), "events",
-      "event_id" -> E, "user_id" -> U), factor)(
-      shift(_, _, "event_id" -> E, "user_id" -> U)), "events", 8)
+    // events: key shift; optionally TIME-STRETCHED (stretchTime=true):
+    // replica i's timestamps translate by i·(spanDays+1) DAYS, so the
+    // event axis grows with the corpus at CONSTANT density — how real
+    // event volume accumulates — instead of multiplying density over a
+    // fixed span. Density replication is why fixed-eps proximity /
+    // overlap pair counts (bj01/ov01) measured ~quadratic at sf10: a
+    // corpus-construction artifact, not those operators (SCALE.md
+    // §round 11 triage). Day-granular translation keeps replica
+    // windows disjoint for any source span, preserves the source ts
+    // type (day-time interval addition is type-preserving incl.
+    // TIMESTAMP_NTZ), and commutes exactly with session windows,
+    // eps-buckets, and
+    // inter-event deltas (a pure translation). Default OFF: the
+    // recorded decade corpora are density-scaled, and flipping the
+    // default would silently invalidate every fingerprint in
+    // bench/history.jsonl mid-record.
+    val srcEv = assertBands(read("events"), "events",
+      "event_id" -> E, "user_id" -> U)
+    val evStrideDays: Int =
+      if (!stretchTime) 0
+      else {
+        val r = srcEv.agg(
+          datediff(max(col("ts").cast("date")), min(col("ts").cast("date")))).head
+        r.getInt(0) + 1
+      }
+    write(replicate(srcEv, factor) { (df, i) =>
+      val moved =
+        if (!stretchTime || i == 0) df
+        else df.withColumn("ts",
+          col("ts") + make_dt_interval(lit(i * evStrideDays)))
+      shift(moved, i, "event_id" -> E, "user_id" -> U)
+    }, "events", 8)
 
     // documents: shift doc_id; per-replica BIJECTIVE VOCABULARY RENAME
     // (replica 0 verbatim; replica i prefixes EVERY token with zr$i):

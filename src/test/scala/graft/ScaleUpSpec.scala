@@ -127,4 +127,45 @@ class ScaleUpSpec extends SparkSpec {
     assert(cross == 0, s"$cross cross-replica fuzzy pairs - verbatim or " +
       "near-verbatim names leaked across replicas")
   }
+
+  test("stretch-time mode: replicas translate the event axis at constant density") {
+    // the round-12 corpus proposal, pinned on landing: with
+    // stretchTime=true each replica's events are a PURE TIME
+    // TRANSLATION of the source — disjoint day windows (so fixed-eps
+    // proximity pairs can never cross replicas), identical per-replica
+    // row counts and span (constant density), identical event-type
+    // histograms (translation touches nothing else). Default-off mode
+    // is what every recorded corpus fingerprint was built with.
+    val dir = java.nio.file.Files.createTempDirectory("scaleup_stretch").toString
+    ScaleUp.run(spark, sfDir, dir, factor = 3, stretchTime = true)
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("rep", (col("event_id") / 10000000L).cast("long"))
+    val src = spark.read.parquet(s"$sfDir/events.parquet")
+    val windows = ev.groupBy("rep").agg(
+        min(col("ts")).as("lo"), max(col("ts")).as("hi"),
+        count(lit(1)).as("n"),
+        datediff(max(col("ts").cast("date")), min(col("ts").cast("date"))).as("spanDays"))
+      .orderBy("rep").collect()
+    assert(windows.length == 3)
+    // constant density: every replica has the source's count and span
+    val srcN = src.count()
+    val srcSpan = src.agg(datediff(max(col("ts").cast("date")),
+      min(col("ts").cast("date")))).head.getInt(0)
+    windows.foreach { r =>
+      assert(r.getAs[Long]("n") == srcN, s"replica ${r.get(0)} lost rows")
+      assert(r.getAs[Int]("spanDays") == srcSpan,
+        s"replica ${r.get(0)} span ${r.getAs[Int]("spanDays")} != source $srcSpan")
+    }
+    // disjoint windows, in replica order
+    windows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[java.time.LocalDateTime]("hi")
+        .isBefore(b.getAs[java.time.LocalDateTime]("lo")),
+        s"replica windows overlap: ${a.toSeq} vs ${b.toSeq}")
+    }
+    // translation-only: per-type counts identical across replicas
+    val hist = ev.groupBy("rep", "event_type").count()
+      .groupBy("event_type").agg(countDistinct(col("count")).as("variants"))
+      .filter(col("variants") =!= 1).count()
+    assert(hist == 0, "event-type histogram differs across replicas")
+  }
 }
