@@ -15,14 +15,25 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import exponents as ex
 
 
+# A line with more than this many failed queries is an ABORTED run
+# (SIGTERM cascade, dead session), not a measurement with a blemish;
+# Bench records a FAILING time when every pass of a query failed, and
+# those bogus times must never reach the totals.
+MAX_ACCEPTED_FAILURES = 3
+
+
 def latest_allow_failed(basename):
-    """Like exponents.latest but accepts lines with n_failed > 0,
-    WARNING loudly per failed query (its recorded time is the min over
-    SUCCESSFUL passes — Bench only reports a failing time when every
-    pass failed). Needed to reproduce the r11 sf10 table, whose line
-    carries nn11's pass-2 environmental OOM (standalone re-run clean —
-    see SCALE.md §round 11). Subset (`only`) and corpus-dirty lines
-    are still refused."""
+    """Like exponents.latest but accepts lines with
+    0 < n_failed <= MAX_ACCEPTED_FAILURES, WARNING loudly per failed
+    query. Fully-aborted lines (e.g. the recorded sf10 SIGTERM cascade
+    with n_failed 183) are skipped like subset lines. Needed to
+    reproduce the r11 sf10 table, whose line carries nn11's pass-2
+    environmental OOM (standalone re-run clean — see SCALE.md §round
+    11). The failed queries themselves are EXCLUDED from the
+    common-set totals by main(): their recorded time may be the min
+    over successful passes (fine) or a failing-pass time (bogus), and
+    the history line doesn't distinguish. Subset (`only`) and
+    corpus-dirty lines are still refused."""
     import json
     hit = None
     for line in open(ex.HISTORY):
@@ -31,12 +42,16 @@ def latest_allow_failed(basename):
             continue
         if d.get("only"):
             continue
+        if len(d.get("failed") or []) > MAX_ACCEPTED_FAILURES:
+            print(f"# skipping aborted line {d['ts']} "
+                  f"({len(d['failed'])} failures)", file=sys.stderr)
+            continue
         hit = d
     if hit is None:
         sys.exit(f"no full-suite history entry with sf basename {basename!r}")
     for q in hit.get("failed") or []:
         print(f"# WARNING {basename} {hit['ts']}: {q} failed in >=1 pass; "
-              "its time is the min over successful passes", file=sys.stderr)
+              "excluded from the common-set totals", file=sys.stderr)
     return hit
 
 
@@ -56,6 +71,12 @@ def main():
               f"corpus={c.get('id', '(none)')}")
     qmaps = [d["queries"] for d in entries]
     common = sorted(set(qmaps[0]) & set(qmaps[1]) & set(qmaps[2]))
+    dropped = sorted({q for d in entries for q in (d.get("failed") or [])}
+                     & set(common))
+    if dropped:
+        print(f"# excluded from totals (failed in >=1 pass on >=1 side): "
+              f"{', '.join(dropped)}")
+        common = [q for q in common if q not in dropped]
     tots = [sum(q[k] for k in common) for q in qmaps]
     e01 = ex.exp(tots[0], tots[1], 1.0)
     e12 = ex.exp(tots[1], tots[2], 1.0)

@@ -134,7 +134,10 @@ object ScaleUp {
     // re-scaling an output).
     def assertBands(df: DataFrame, table: String, keys: (String, Long)*): DataFrame = {
       keys.foreach { case (k, off) =>
-        val mx = df.agg(max(col(k)).cast("long")).head.getLong(0)
+        val r = df.agg(max(col(k)).cast("long")).head
+        require(!r.isNullAt(0),
+          s"$table at $srcDir is empty (or $k all-null): nothing to scale")
+        val mx = r.getLong(0)
         require(mx < off,
           s"$table.$k max $mx >= replica offset $off: key bands would overlap" +
             " (source looks like a ScaleUp output; scale from the original SF)")
@@ -148,6 +151,24 @@ object ScaleUp {
     def shift(df: DataFrame, i: Int, shifts: (String, Long)*): DataFrame =
       shifts.foldLeft(df) { case (d, (c, off)) =>
         d.withColumn(c, col(c) + lit(i * off)) }
+
+    // stretch-time stride — derived UP FRONT, before the first table is
+    // written, so an empty or all-null-ts events source fails with an
+    // explicit message like the factor bounds above (the aggregate
+    // returns a null row in that case; .getInt on it was an NPE
+    // mid-build that left a half-written destDir).
+    val srcEv = assertBands(read("events"), "events",
+      "event_id" -> E, "user_id" -> U)
+    val evStrideDays: Int =
+      if (!stretchTime) 0
+      else {
+        val r = srcEv.agg(
+          datediff(max(col("ts").cast("date")), min(col("ts").cast("date")))).head
+        require(!r.isNullAt(0),
+          s"stretch-time: events at $srcDir has no non-null ts rows - " +
+            "cannot derive the replica time stride")
+        r.getInt(0) + 1
+      }
 
     // dimensions: fixed, verbatim
     write(read("region"), "region", 1)
@@ -196,15 +217,6 @@ object ScaleUp {
     // recorded decade corpora are density-scaled, and flipping the
     // default would silently invalidate every fingerprint in
     // bench/history.jsonl mid-record.
-    val srcEv = assertBands(read("events"), "events",
-      "event_id" -> E, "user_id" -> U)
-    val evStrideDays: Int =
-      if (!stretchTime) 0
-      else {
-        val r = srcEv.agg(
-          datediff(max(col("ts").cast("date")), min(col("ts").cast("date")))).head
-        r.getInt(0) + 1
-      }
     write(replicate(srcEv, factor) { (df, i) =>
       val moved =
         if (!stretchTime || i == 0) df
@@ -286,5 +298,17 @@ object ScaleUp {
         })
       shift(permuted, i, "vec_id" -> V)
     }, "embeddings", 4)
+
+    // Completion marker — the LAST artifact of the build. Rebuild
+    // guards key on this ONE file: a destDir without it is a partial
+    // build to be wiped and re-run (per-table _SUCCESS heuristics let
+    // a mid-write death masquerade as a finished corpus — ADVICE r11).
+    val marker = new org.apache.hadoop.fs.Path(destDir, "_GRAFT_SCALEUP_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(marker, true)
+    try out.write(
+      s"""{"src":"$srcDir","factor":$factor,"stretchTime":$stretchTime}\n"""
+        .getBytes("UTF-8"))
+    finally out.close()
   }
 }

@@ -167,5 +167,36 @@ class ScaleUpSpec extends SparkSpec {
       .groupBy("event_type").agg(countDistinct(col("count")).as("variants"))
       .filter(col("variants") =!= 1).count()
     assert(hist == 0, "event-type histogram differs across replicas")
+    // completion marker: the LAST artifact of a build — rebuild guards
+    // key on this one file, so a finished run must have written it
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "_GRAFT_SCALEUP_SUCCESS")),
+      "finished ScaleUp.run left no _GRAFT_SCALEUP_SUCCESS marker")
+  }
+
+  test("stretch-time on an all-null-ts events source fails fast, before any write") {
+    // ADVICE r11: the stride aggregate returned a null row on an
+    // empty/all-null ts column and .getInt NPE'd mid-build, leaving a
+    // half-written destDir. Now it must be an explicit require BEFORE
+    // the first table is written.
+    val srcDir = java.nio.file.Files.createTempDirectory("scaleup_nullts").toString
+    for (tbl <- Seq("region", "nation", "customer", "supplier", "part",
+                    "orders", "lineitem", "events", "documents", "embeddings")) {
+      val df = spark.read.parquet(s"$sfDir/$tbl.parquet")
+      val out =
+        if (tbl == "events")
+          df.withColumn("ts", lit(null).cast(df.schema("ts").dataType))
+        else df
+      out.write.parquet(s"$srcDir/$tbl.parquet")
+    }
+    val destDir = java.nio.file.Files.createTempDirectory("scaleup_nullts_out").toString
+    val e = intercept[IllegalArgumentException] {
+      ScaleUp.run(spark, srcDir, destDir, factor = 2, stretchTime = true)
+    }
+    assert(e.getMessage.contains("no non-null ts rows"), e.getMessage)
+    // fail-fast means fail BEFORE the first table write
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(destDir, "region.parquet")),
+      "guard fired only after tables were already written")
   }
 }
