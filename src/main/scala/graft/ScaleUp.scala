@@ -213,10 +213,12 @@ object ScaleUp {
     // type (day-time interval addition is type-preserving incl.
     // TIMESTAMP_NTZ), and commutes exactly with session windows,
     // eps-buckets, and
-    // inter-event deltas (a pure translation). Default OFF: the
-    // recorded decade corpora are density-scaled, and flipping the
-    // default would silently invalidate every fingerprint in
-    // bench/history.jsonl mid-record.
+    // inter-event deltas (a pure translation). Default OFF as a flag
+    // (callers must opt in explicitly so a corpus's construction is
+    // visible at the call site and in the completion marker); the
+    // round-12 decade corpora are built WITH stretch-time — the
+    // pre-r12 fingerprints in bench/history.jsonl are density-scaled,
+    // so cross-round event-family comparisons must mind the corpus id.
     write(replicate(srcEv, factor) { (df, i) =>
       val moved =
         if (!stretchTime || i == 0) df
