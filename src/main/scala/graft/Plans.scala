@@ -198,6 +198,11 @@ object Plans {
     // EQUI-join on __b — a nested-loop must never appear
     Check("ov01_interval_overlap", Seq("Join", "Generate"),
       wantNone = Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+    // the events-axis companion runs the SAME kernel shape — pin it to
+    // the same contract so the constant-density measurement can never
+    // silently degrade to the nested-loop theta form
+    Check("ov02_interval_overlap_events", Seq("Join", "Generate"),
+      wantNone = Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
     // winsorized stats: the per-group bound table joins back by
     // BROADCAST (corpus rows never shuffle to learn their bounds);
     // no window anywhere

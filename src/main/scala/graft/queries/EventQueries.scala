@@ -492,6 +492,55 @@ object EventQueries {
            |FROM a JOIN b ON a.lo <= b.hi AND b.lo <= a.hi
            |GROUP BY a.o_orderkey ORDER BY a.o_orderkey""".stripMargin))
 
+  /** INTERVAL-OVERLAP on the EVENTS time axis — the constant-density
+    * companion to ov01 (same [[graft.events.IntervalJoin]] bucketized
+    * equi-join kernel, same 30d×21d cohort shape), with intervals
+    * anchored at each user's FIRST ACTIVITY DAY instead of order
+    * dates. The point is a measurement, not a new operator (the nn13
+    * pattern): ov01's order-date axis is stacked `factor` deep by the
+    * scale corpora, so its overlap-pair count — the OUTPUT — grows
+    * ~quadratically and the query measures output size, not the
+    * kernel. The stretch-time corpora grow the events axis at
+    * constant density, so ov02's pair count is linear in corpus and
+    * the decade exponent isolates the kernel itself: bucket explode +
+    * equi-join + left-edge emit-once, one shuffle keyed by an 8-byte
+    * bucket, never a nested loop (plan-pinned like ov01). */
+  val ov02IntervalOverlapEvents = QueryDef("ov02_interval_overlap_events",
+    (s, d) => {
+      import graft.events.IntervalJoin
+      def cohort(rem: Int, len: Int) = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("fd"))
+        .filter(col("user_id") % 100 === rem)
+        .select(col("user_id"),
+          datediff(col("fd"), lit("1970-01-01").cast("date"))
+            .cast("long").as("lo"))
+        .withColumn("hi", col("lo") + (len - 1))
+      val a = cohort(0, 30)
+      val b = cohort(1, 21).select(col("user_id").as("b_user_id"),
+        col("lo").as("b_lo"), col("hi").as("b_hi"))
+      IntervalJoin.overlapPairs(a, b, "lo", "hi", "b_lo", "b_hi", bucketWidth = 32)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_overlaps"),
+          sum(least(col("hi"), col("b_hi")) - greatest(col("lo"), col("b_lo")) + 1)
+            .as("overlap_days"))
+        .orderBy("user_id")
+    },
+    Some("""WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS fd
+           |  FROM events GROUP BY user_id),
+           |a AS (SELECT user_id,
+           |    date_diff('day', DATE '1970-01-01', fd) AS lo,
+           |    date_diff('day', DATE '1970-01-01', fd) + 29 AS hi
+           |  FROM f WHERE user_id % 100 = 0),
+           |b AS (SELECT user_id,
+           |    date_diff('day', DATE '1970-01-01', fd) AS lo,
+           |    date_diff('day', DATE '1970-01-01', fd) + 20 AS hi
+           |  FROM f WHERE user_id % 100 = 1)
+           |SELECT a.user_id, COUNT(*) AS n_overlaps,
+           |  CAST(SUM(LEAST(a.hi, b.hi) - GREATEST(a.lo, b.lo) + 1) AS BIGINT) AS overlap_days
+           |FROM a JOIN b ON a.lo <= b.hi AND b.lo <= a.hi
+           |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin))
+
   /** EXACT-INTEGER STREAMING-STYLE ANOMALY DETECTION: flag events whose
     * value deviates > 3σ from the TRAILING window of the user's 10
     * preceding events (self-exclusive frame — the score never sees the
@@ -780,7 +829,8 @@ object EventQueries {
   val all: Seq[QueryDef] = Seq(s01SessionCounts, s02SessionWindow, s03DailyByType,
     s04TopPaths,
     aj01AsOf, aj02AsOfForward, aj03AsOfTolerance, pt01PointInTime,
-    bj01BandJoin, ov01IntervalOverlap, ts01GapFill, ts02Ewma, ts03Anomaly,
+    bj01BandJoin, ov01IntervalOverlap, ov02IntervalOverlapEvents,
+    ts01GapFill, ts02Ewma, ts03Anomaly,
     ts04Twap,
     fn01Funnel, fn02FunnelSteps, co02CohortRetention, mk01MarkovTransitions,
     ab01AbTest, wa01RollingActive, ts05Drawdown)
