@@ -203,6 +203,33 @@ object Plans {
     // silently degrade to the nested-loop theta form
     Check("ov02_interval_overlap_events", Seq("Join", "Generate"),
       wantNone = Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+    // ---- round 12: pin the remaining unpinned heavy hitters ----
+    // best-of-cluster: the per-cluster representative is a rank window
+    // PARTITIONED BY cluster_id (bounded work per cluster, never a
+    // global sort); edges/members arrive via equi-joins only
+    Check("dd13_best_of_cluster",
+      Seq("row_number() windowspecdefinition(cluster_id"),
+      wantNone = Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+    // leakage-safe split: contraction edges are equi-join pairs and
+    // the split assignment is an aggregate — no window sort, no
+    // nested-loop pair generation anywhere
+    Check("sm04_leakage_safe_split", Seq("HashAggregate"),
+      wantNone = Seq("BroadcastNestedLoopJoin", "CartesianProduct", "Window")),
+    // profile: ONE scan fanned through Expand into all per-column
+    // aggregates — N-column profiling must never become N scans or
+    // acquire a join
+    Check("dp01_profile", Seq("Expand"), wantNone = Seq("Join")),
+    // portable minhash: band explode (Generate) feeds hash equi-joins;
+    // the only BNLJ is the 1-row corpus-doubling offset scalar (Cross
+    // BuildRight on a single-row side — required, cannot be banned).
+    // A Window or CartesianProduct is the all-pairs regression smell
+    Check("dd11_minhash_portable", Seq("Generate", "BroadcastHashJoin"),
+      wantNone = Seq("CartesianProduct", "Window")),
+    // dup clusters (star contraction): each round is equi-join +
+    // aggregate; a window/nested-loop means the contraction degraded
+    // to a sorted or all-pairs form
+    Check("dd06_dup_clusters", Seq("HashAggregate"),
+      wantNone = Seq("BroadcastNestedLoopJoin", "CartesianProduct", "Window")),
     // winsorized stats: the per-group bound table joins back by
     // BROADCAST (corpus rows never shuffle to learn their bounds);
     // no window anywhere
