@@ -86,10 +86,14 @@ object ScaleUp {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: ScaleUp <srcDir> <destDir> [factor] [stretch-time]")
+      "usage: ScaleUp <srcDir> <destDir> [factor] [stretch-time|stretch-all]")
     val (srcDir, destDir) = (args(0), args(1))
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
-    val stretchTime = args.lift(3).contains("stretch-time")
+    val mode = args.lift(3)
+    require(mode.forall(m => m == "stretch-time" || m == "stretch-all"),
+      s"unknown mode ${mode.get}: expected stretch-time or stretch-all")
+    val stretchTime = mode.contains("stretch-time")
+    val stretchAll = mode.contains("stretch-all")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -99,17 +103,27 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, srcDir, destDir, factor, stretchTime)
-    println(s"""{"scaleup":"done","src":"$srcDir","dest":"$destDir","factor":$factor,"stretchTime":$stretchTime}""")
+    run(spark, srcDir, destDir, factor, stretchTime, stretchAll)
+    println(s"""{"scaleup":"done","src":"$srcDir","dest":"$destDir","factor":$factor,"stretchTime":$stretchTime,"stretchAll":$stretchAll}""")
     spark.stop()
   }
 
   /** The whole build, on a caller-owned session (main wraps this;
     * ScaleUpSpec drives it on the shared test session). `stretchTime`
     * switches the events table from density replication to
-    * time-axis translation — see the events block below. */
+    * time-axis translation — see the events block below. `stretchAll`
+    * extends the SAME per-replica translation (one COMMON stride) to
+    * every transactional date column — o_orderdate, l_shipdate, and
+    * events ts — so the whole calendar grows at constant density while
+    * within-replica cross-column relationships (ship lag, order↔event
+    * alignment) are preserved exactly (equal translation commutes with
+    * differences). This is the round-12 proposal for retiring ov01's
+    * stacked-order-date artifact; adopting it re-shapes weekly-
+    * aggregate outputs (a04/a08/t02/…), so it ships default-OFF and
+    * unadopted until a round budgets the one-time re-baselining. */
   def run(spark: SparkSession, srcDir: String, destDir: String,
-          factor: Int, stretchTime: Boolean = false): Unit = {
+          factor: Int, stretchTime: Boolean = false,
+          stretchAll: Boolean = false): Unit = {
     // ALL factor bounds up front — an oversized factor must fail before
     // the first table is written, not leave a half-built destDir:
     //  - names: the letter/digit rotation family repeats at
@@ -152,23 +166,37 @@ object ScaleUp {
       shifts.foldLeft(df) { case (d, (c, off)) =>
         d.withColumn(c, col(c) + lit(i * off)) }
 
-    // stretch-time stride — derived UP FRONT, before the first table is
-    // written, so an empty or all-null-ts events source fails with an
-    // explicit message like the factor bounds above (the aggregate
-    // returns a null row in that case; .getInt on it was an NPE
-    // mid-build that left a half-written destDir).
+    // stretch stride — derived UP FRONT, before the first table is
+    // written, so an empty or all-null source fails with an explicit
+    // message like the factor bounds above (the aggregate returns a
+    // null row in that case; .getInt on it was an NPE mid-build that
+    // left a half-written destDir). stretch-all uses ONE stride over
+    // the union of every date axis (events ts, o_orderdate,
+    // l_shipdate): a stride covering the widest combined span keeps
+    // every table's replica windows disjoint, and translating all
+    // columns by the SAME amount preserves within-replica
+    // cross-column relationships exactly.
     val srcEv = assertBands(read("events"), "events",
       "event_id" -> E, "user_id" -> U)
+    val stretchEvents = stretchTime || stretchAll
     val evStrideDays: Int =
-      if (!stretchTime) 0
+      if (!stretchEvents) 0
       else {
-        val r = srcEv.agg(
-          datediff(max(col("ts").cast("date")), min(col("ts").cast("date")))).head
+        val axes = srcEv.select(col("ts").cast("date").as("d")) +:
+          (if (!stretchAll) Seq.empty
+           else Seq(
+             read("orders").select(col("o_orderdate").cast("date").as("d")),
+             read("lineitem").select(col("l_shipdate").cast("date").as("d"))))
+        val r = axes.reduce(_ unionAll _)
+          .agg(datediff(max(col("d")), min(col("d")))).head
         require(!r.isNullAt(0),
-          s"stretch-time: events at $srcDir has no non-null ts rows - " +
+          s"stretch: date axes at $srcDir have no non-null rows - " +
             "cannot derive the replica time stride")
         r.getInt(0) + 1
       }
+    def stretchDate(df: DataFrame, i: Int, c: String): DataFrame =
+      if (!stretchAll || i == 0) df
+      else df.withColumn(c, col(c) + make_dt_interval(lit(i * evStrideDays)))
 
     // dimensions: fixed, verbatim
     write(read("region"), "region", 1)
@@ -195,12 +223,15 @@ object ScaleUp {
       "p_partkey" -> P), factor)(shift(_, _, "p_partkey" -> P)),
       "part", 2)
     write(replicate(assertBands(read("orders"), "orders",
-      "o_orderkey" -> O, "o_custkey" -> C), factor)(
-      shift(_, _, "o_orderkey" -> O, "o_custkey" -> C)), "orders", 8)
+      "o_orderkey" -> O, "o_custkey" -> C), factor) { (df, i) =>
+      shift(stretchDate(df, i, "o_orderdate"), i,
+        "o_orderkey" -> O, "o_custkey" -> C)
+    }, "orders", 8)
     write(replicate(assertBands(read("lineitem"), "lineitem",
-      "l_orderkey" -> O, "l_partkey" -> P, "l_suppkey" -> S), factor)(
-      shift(_, _, "l_orderkey" -> O, "l_partkey" -> P, "l_suppkey" -> S)),
-      "lineitem", 16)
+      "l_orderkey" -> O, "l_partkey" -> P, "l_suppkey" -> S), factor) { (df, i) =>
+      shift(stretchDate(df, i, "l_shipdate"), i,
+        "l_orderkey" -> O, "l_partkey" -> P, "l_suppkey" -> S)
+    }, "lineitem", 16)
     // events: key shift; optionally TIME-STRETCHED (stretchTime=true):
     // replica i's timestamps translate by i·(spanDays+1) DAYS, so the
     // event axis grows with the corpus at CONSTANT density — how real
@@ -221,7 +252,7 @@ object ScaleUp {
     // so cross-round event-family comparisons must mind the corpus id.
     write(replicate(srcEv, factor) { (df, i) =>
       val moved =
-        if (!stretchTime || i == 0) df
+        if (!stretchEvents || i == 0) df
         else df.withColumn("ts",
           col("ts") + make_dt_interval(lit(i * evStrideDays)))
       shift(moved, i, "event_id" -> E, "user_id" -> U)
@@ -309,7 +340,7 @@ object ScaleUp {
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(marker, true)
     try out.write(
-      s"""{"src":"$srcDir","factor":$factor,"stretchTime":$stretchTime}\n"""
+      s"""{"src":"$srcDir","factor":$factor,"stretchTime":$stretchTime,"stretchAll":$stretchAll}\n"""
         .getBytes("UTF-8"))
     finally out.close()
   }

@@ -193,10 +193,68 @@ class ScaleUpSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       ScaleUp.run(spark, srcDir, destDir, factor = 2, stretchTime = true)
     }
-    assert(e.getMessage.contains("no non-null ts rows"), e.getMessage)
+    assert(e.getMessage.contains("cannot derive the replica time stride"),
+      e.getMessage)
     // fail-fast means fail BEFORE the first table write
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(destDir, "region.parquet")),
       "guard fired only after tables were already written")
+  }
+
+  test("stretch-all mode: one common stride translates every date axis coherently") {
+    // the round-12 proposal for ov01's stacked-order-date artifact,
+    // landed default-off like stretch-time was in r11: ALL
+    // transactional date columns (o_orderdate, l_shipdate, events ts)
+    // translate by the SAME i·stride days, so every table's replica
+    // windows are disjoint AND within-replica cross-column
+    // relationships (ship lag) are preserved exactly.
+    val dir = java.nio.file.Files.createTempDirectory("scaleup_stretchall").toString
+    ScaleUp.run(spark, sfDir, dir, factor = 3, stretchAll = true)
+    val axes = Seq(
+      ("events", "event_id", 10000000L, "ts"),
+      ("orders", "o_orderkey", 10000000L, "o_orderdate"),
+      ("lineitem", "l_orderkey", 10000000L, "l_shipdate"))
+    // the common stride, recomputed the way run() derives it
+    val stride = axes.map { case (t, _, _, dc) =>
+        spark.read.parquet(s"$sfDir/$t.parquet")
+          .select(col(dc).cast("date").as("d"))
+      }.reduce(_ unionAll _)
+      .agg(datediff(max(col("d")), min(col("d")))).head.getInt(0) + 1
+    for ((t, key, band, dc) <- axes) {
+      val lo = spark.read.parquet(s"$sfDir/$t.parquet")
+        .agg(date_format(min(col(dc).cast("date")), "yyyy-MM-dd")).head.getString(0)
+      val hi = spark.read.parquet(s"$sfDir/$t.parquet")
+        .agg(date_format(max(col(dc).cast("date")), "yyyy-MM-dd")).head.getString(0)
+      val offs = spark.read.parquet(s"$dir/$t.parquet")
+        .withColumn("rep", (col(key) / band).cast("long"))
+        .groupBy("rep").agg(
+          datediff(min(col(dc).cast("date")), to_date(lit(lo))).as("offLo"),
+          datediff(max(col(dc).cast("date")), to_date(lit(hi))).as("offHi"))
+        .orderBy("rep").collect()
+      assert(offs.length == 3, s"$t: expected 3 replicas")
+      offs.foreach { r =>
+        val i = r.getAs[Long]("rep")
+        // min AND max shift by exactly i*stride: pure translation,
+        // constant span, disjoint windows (stride covers every axis)
+        assert(r.getAs[Int]("offLo") == i * stride,
+          s"$t replica $i: min($dc) offset ${r.getAs[Int]("offLo")} != ${i * stride}")
+        assert(r.getAs[Int]("offHi") == i * stride,
+          s"$t replica $i: max($dc) offset ${r.getAs[Int]("offHi")} != ${i * stride}")
+      }
+    }
+    // cross-column coherence: the ship-lag (l_shipdate − o_orderdate)
+    // histogram is IDENTICAL across replicas — equal translation
+    // commutes with differences, so the join semantics are untouched
+    val lag = spark.read.parquet(s"$dir/lineitem.parquet").alias("l")
+      .join(spark.read.parquet(s"$dir/orders.parquet").alias("o"),
+        col("l.l_orderkey") === col("o.o_orderkey"))
+      .select((col("l.l_orderkey") / 10000000L).cast("long").as("rep"),
+        datediff(col("l.l_shipdate").cast("date"),
+          col("o.o_orderdate").cast("date")).as("lag"))
+    val bad = lag.groupBy("rep", "lag").count()
+      .groupBy("lag").agg(countDistinct(col("count")).as("variants"),
+        count(lit(1)).as("reps"))
+      .filter(col("variants") =!= 1 || col("reps") =!= 3).count()
+    assert(bad == 0, "ship-lag histogram differs across replicas")
   }
 }
