@@ -391,6 +391,50 @@ object Plans {
         "ObjectHashAggregate"),
       wantNone = Seq("CartesianProduct", "windowspecdefinition(q_id",
         "SortMergeJoin")),
+    // the other ADC consumers ride the same r10 streaming-heap chain;
+    // each keeps the heap aggregate and the LUT-stream BNLJ, and bans
+    // the unguarded-cartesian regression. Differences from nn08 are
+    // deliberate: nn09's truth-compare joins result sets (SMJ legal),
+    // nn11's exact re-rank top-k is a group-LIMITED window
+    // (WindowGroupLimit must stay — losing the limit pushdown means
+    // the full rank materializes, the sf10 page-storm shape)
+    Check("nn09_adc_recall",
+      Seq("ObjectHashAggregate", "BroadcastNestedLoopJoin"),
+      wantNone = Seq("CartesianProduct", "windowspecdefinition(q_id")),
+    Check("nn11_adc_rerank",
+      Seq("ObjectHashAggregate", "BroadcastNestedLoopJoin",
+        "WindowGroupLimit"),
+      wantNone = Seq("CartesianProduct")),
+    Check("nn12_adc_sampled_train",
+      Seq("ObjectHashAggregate", "BroadcastNestedLoopJoin"),
+      wantNone = Seq("CartesianProduct", "windowspecdefinition(q_id",
+        "SortMergeJoin")),
+    // portable IVF: probe-cell candidates rank through group-limited
+    // windows only; heap merge stays ObjectHashAggregate
+    Check("nn10_ivf_portable",
+      Seq("WindowGroupLimit", "ObjectHashAggregate"),
+      wantNone = Seq("CartesianProduct")),
+    // brute-force truth probes: corpus×queries BNLJ is their
+    // DEFINITION, but the top-k must stay the map-side heap — a rank
+    // window over the pair space is the memory blowup that killed the
+    // pre-r10 LSH at sf10
+    Check("nn01_cosine_topk",
+      Seq("BroadcastNestedLoopJoin", "ObjectHashAggregate"),
+      wantNone = Seq("Window", "SortMergeJoin")),
+    Check("nn03_embedding_neardup", Seq("BroadcastNestedLoopJoin"),
+      wantNone = Seq("Window")),
+    // fuzzy decontamination: shingle explode into hash equi-joins —
+    // never a nested loop over docs×benchmark
+    Check("dc03_fuzzy_decontamination", Seq("Generate", "BroadcastHashJoin"),
+      wantNone = Seq("CartesianProduct", "BroadcastNestedLoopJoin", "Window")),
+    // covariance matrix: row-local pair explode into ONE partial-agg
+    // shuffle keyed by (i,j); join- and window-free
+    Check("cv01_covariance_matrix", Seq("Generate", "HashAggregate"),
+      wantNone = Seq("Join", "Window")),
+    // rolling hash: a single scan-side pass — no join, no window, no
+    // explode may ever attach to the fingerprint kernel
+    Check("x14_rolling_hash", Seq("Scan"),
+      wantNone = Seq("Join", "Window", "Generate")),
     // streaming LSH (r10 redesign, both the compiled and the portable
     // path): query bands BROADCAST into the band equi-join
     // (BroadcastHashJoin), each pair survives only from its FIRST
