@@ -43,7 +43,7 @@ def latest_allow_failed(basename):
         if d.get("only"):
             continue
         if len(d.get("failed") or []) > MAX_ACCEPTED_FAILURES:
-            print(f"# skipping aborted line {d['ts']} "
+            print(f"# skipping aborted line {d.get('ts')} "
                   f"({len(d['failed'])} failures)", file=sys.stderr)
             continue
         hit = d

@@ -18,8 +18,13 @@ export SPARK_GRAFT_CPUS=32
 mkdir -p corpora
 for sf in 10 1; do
   factor=$((sf * 10))
+  # ADVICE r12: the marker must also record the expected factor and
+  # source — mode alone would let a stale corpus built at a different
+  # factor or from a different source be silently reused
   if [ ! -f "corpora/sf$sf/_GRAFT_SCALEUP_SUCCESS" ] \
-     || ! grep -q '"stretchTime":true' "corpora/sf$sf/_GRAFT_SCALEUP_SUCCESS"; then
+     || ! grep -q '"stretchTime":true' "corpora/sf$sf/_GRAFT_SCALEUP_SUCCESS" \
+     || ! grep -q "\"factor\":$factor," "corpora/sf$sf/_GRAFT_SCALEUP_SUCCESS" \
+     || ! grep -q '"src":"/root/testdata/sf0.1"' "corpora/sf$sf/_GRAFT_SCALEUP_SUCCESS"; then
     rm -rf "corpora/sf$sf"
     scripts/run_main.sh graft.ScaleUp /root/testdata/sf0.1 "corpora/sf$sf" \
       "$factor" stretch-time > "/tmp/scaleup_sf${sf}_r12.log" 2>&1 || exit 1

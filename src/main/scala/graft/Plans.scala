@@ -10,8 +10,21 @@ import org.apache.spark.sql.execution.ExplainMode
   *   sbt "runMain graft.Plans [sfDir]"
   */
 object Plans {
+  /** `shuffles`: when set, the formatted plan must contain EXACTLY this
+    * many shuffle Exchange nodes (BroadcastExchange and ReusedExchange
+    * do not count). This is the guard substring pins can't express: a
+    * ReusedExchange regression — the same subtree silently exchanged
+    * twice — changes no node names, only the COUNT. */
   final case class Check(query: String, wantAll: Seq[String],
-                         wantNone: Seq[String] = Seq.empty)
+                         wantNone: Seq[String] = Seq.empty,
+                         shuffles: Option[Int] = None)
+
+  /** Shuffle Exchanges in a formatted plan: detail-section entries
+    * "(n) Exchange" — the word boundary excludes BroadcastExchange,
+    * and ReusedExchange (a reference, not a second shuffle) never
+    * matches either. */
+  private val shuffleRe = """\(\d+\) Exchange\b""".r
+  def shuffleCount(plan: String): Int = shuffleRe.findAllIn(plan).size
 
   /** Plan properties that must hold (substring match on formatted plan). */
   val checks: Seq[Check] = Seq(
@@ -142,9 +155,13 @@ object Plans {
       wantNone = Seq("Window")),
     // pagerank: the damping base is a lazy 1-row broadcast-scalar frame
     // (never a plan-build-time count()); rank flow per round is plain
-    // hash aggregation
+    // hash aggregation. Shuffle count pinned (r13): 79 Exchanges for
+    // the six unrolled rounds — the loop-invariant edge subtrees dedupe
+    // via ReusedExchange, and losing that reuse (the silent 2× shuffle)
+    // changes the COUNT long before any node name changes
     Check("pr01_pagerank",
-      Seq("BroadcastNestedLoopJoin", "HashAggregate")),
+      Seq("BroadcastNestedLoopJoin", "HashAggregate"),
+      shuffles = Some(79)),
     // grouping sets: ONE scan fans out through Expand into partial/final
     // hash aggregation — not a union of per-set scans
     Check("g04_grouping_sets", Seq("Expand", "HashAggregate")),
@@ -209,12 +226,14 @@ object Plans {
     // global sort); edges/members arrive via equi-joins only
     Check("dd13_best_of_cluster",
       Seq("row_number() windowspecdefinition(cluster_id"),
-      wantNone = Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+      wantNone = Seq("BroadcastNestedLoopJoin", "CartesianProduct"),
+      shuffles = Some(6)),
     // leakage-safe split: contraction edges are equi-join pairs and
     // the split assignment is an aggregate — no window sort, no
     // nested-loop pair generation anywhere
     Check("sm04_leakage_safe_split", Seq("HashAggregate"),
-      wantNone = Seq("BroadcastNestedLoopJoin", "CartesianProduct", "Window")),
+      wantNone = Seq("BroadcastNestedLoopJoin", "CartesianProduct", "Window"),
+      shuffles = Some(4)),
     // profile: ONE scan fanned through Expand into all per-column
     // aggregates — N-column profiling must never become N scans or
     // acquire a join
@@ -292,8 +311,11 @@ object Plans {
       wantNone = Seq("Window")),
     // inverted index: explode feeds partial aggregation; the df-band
     // stats join is term-keyed — no window, no nested loop
+    // Shuffle count pinned (r13): 4 — the shared corpus base dedupes
+    // via ReusedExchange across the df-band and postings passes
     Check("ix01_inverted_index", Seq("Generate", "HashAggregate"),
-      wantNone = Seq("Window", "BroadcastNestedLoopJoin")),
+      wantNone = Seq("Window", "BroadcastNestedLoopJoin"),
+      shuffles = Some(4)),
     // containment: shingle-keyed equi-joins only — the probe×corpus
     // pairing must never plan as a nested loop
     Check("dd12_containment", Seq("Generate", "HashAggregate"),
@@ -303,11 +325,20 @@ object Plans {
     // surprisal: the per-term qbits table broadcasts back onto the
     // occurrence stream (vocab-sized build side)
     Check("ppx01_quantized_surprisal",
-      Seq("BroadcastHashJoin", "BroadcastExchange")),
+      Seq("BroadcastHashJoin", "BroadcastExchange"),
+      shuffles = Some(8)),
     // Gini: one global window over the AGGREGATED vocab-sized frame,
     // no join anywhere
     Check("gn01_gini_concentration", Seq("Window", "HashAggregate"),
       wantNone = Seq("Join")),
+    // bucketed Gini (the billion-term shape): ranks AND the head share
+    // collapse to the histogram closed form — the only rank-carrying
+    // window PARTITIONS by the log2 bucket, and no global rank window
+    // over the vocab exists anywhere
+    Check("gn02_gini_bucketed",
+      Seq("windowspecdefinition(bl", "HashAggregate"),
+      wantNone = Seq("CartesianProduct", "SortMergeJoin"),
+      shuffles = Some(6)),
     // vocab growth: min-per-term partial agg; cumulative window rides
     // the tiny per-batch frame; join-free
     Check("vg01_vocab_growth", Seq("Generate", "HashAggregate", "Window"),
@@ -427,6 +458,12 @@ object Plans {
     // never a nested loop over docs×benchmark
     Check("dc03_fuzzy_decontamination", Seq("Generate", "BroadcastHashJoin"),
       wantNone = Seq("CartesianProduct", "BroadcastNestedLoopJoin", "Window")),
+    // portable HLL state: bucket/rho are scan-side string/integer
+    // projections feeding ONE partial max-aggregate (the distributed
+    // HLL build shape) — no join, no window, no explode
+    Check("x06_portable_hll_state", Seq("md5", "HashAggregate"),
+      wantNone = Seq("Join", "Window", "Generate"),
+      shuffles = Some(2)),
     // covariance matrix: row-local pair explode into ONE partial-agg
     // shuffle keyed by (i,j); join- and window-free
     Check("cv01_covariance_matrix", Seq("Generate", "HashAggregate"),
@@ -547,11 +584,13 @@ object Plans {
     * shared by the CLI main below and PlanSpec so the pins run under
     * `sbt test`, not only when someone remembers the main. */
   def failures(spark: SparkSession, sfDir: String): Seq[String] =
-    checks.flatMap { case Check(name, wants, nones) =>
+    checks.flatMap { case Check(name, wants, nones, shuf) =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.explainString(ExplainMode.fromString("formatted"))
       wants.filterNot(plan.contains).map(w => s"$name :: missing($w)") ++
-        nones.filter(plan.contains).map(w => s"$name :: present($w)")
+        nones.filter(plan.contains).map(w => s"$name :: present($w)") ++
+        shuf.toSeq.collect { case n if n != shuffleCount(plan) =>
+          s"$name :: shuffles(${shuffleCount(plan)} != pinned $n)" }
     }
 
   def main(args: Array[String]): Unit = {
@@ -567,6 +606,18 @@ object Plans {
     val fails = failures(spark, sfDir)
     val failed = fails.size
     fails.foreach(f => println(s"PLAN_FAIL $f"))
+    if (args.contains("--shuffles")) {
+      // measurement mode for seeding `shuffles` pins: print the shuffle
+      // Exchange count of every registered query's formatted plan
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        spark.catalog.clearCache()
+        graft.vector.ProductQuantizer.releaseCentroids()
+        val n = try shuffleCount(fn(spark, sfDir).queryExecution
+          .explainString(ExplainMode.fromString("formatted")))
+        catch { case _: Throwable => -1 }
+        println(s"SHUFFLES $name $n")
+      }
+    }
     if (args.contains("--dump")) {
       checks.foreach { c =>
         println(s"\n===== ${c.query} =====")

@@ -46,15 +46,18 @@ import org.apache.spark.sql.functions._
   */
 object ScaleUp {
 
-  // round offsets comfortably above every source max key
-  private val C = 1000000L   // custkey
-  private val O = 10000000L  // orderkey
-  private val P = 1000000L   // partkey
-  private val S = 100000L    // suppkey
-  private val E = 10000000L  // event_id
-  private val U = 100000L    // user_id
-  private val D = 1000000L   // doc_id
-  private val V = 100000L    // vec_id
+  // round offsets comfortably above every source max key.
+  // private[graft] (not private): ScaleUpSpec derives each row's
+  // replica id as key/offset and must reference THESE constants, not
+  // re-typed literals that could drift (ADVICE r12).
+  private[graft] val C = 1000000L   // custkey
+  private[graft] val O = 10000000L  // orderkey
+  private[graft] val P = 1000000L   // partkey
+  private[graft] val S = 100000L    // suppkey
+  private[graft] val E = 10000000L  // event_id
+  private[graft] val U = 100000L    // user_id
+  private[graft] val D = 1000000L   // doc_id
+  private[graft] val V = 100000L    // vec_id
 
   private def replicate(src: DataFrame, factor: Int)
                        (mod: (DataFrame, Int) => DataFrame): DataFrame =

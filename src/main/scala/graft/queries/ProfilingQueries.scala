@@ -436,7 +436,74 @@ object ProfilingQueries {
            |    SQRT((n_weeks * sxx - sx * sx) * (n_weeks * syy - sy * sy)), 6) AS r
            |FROM s ORDER BY n_name""".stripMargin))
 
+  /** The bucketed-rank Gini gn01's own scaladoc promises for a
+    * billion-term vocab: IDENTICAL output (same oracle), but the
+    * vocab-sized global rank window is ELIMINATED, not bucketed —
+    * two observations make per-term ranks unnecessary:
+    *  1. In the (c desc, term desc) order, all m terms sharing a count
+    *     c occupy the contiguous rank run [J+1, J+m] (J = terms with a
+    *     strictly greater count), so the rank-weighted sum over the
+    *     group has the closed form Σ j·c = c·(J·m + m·(m+1) div 2) —
+    *     only the count HISTOGRAM (c, m) is needed, never a row rank.
+    *  2. J itself is a prefix sum over that histogram, two-phased
+    *     sh01-style: integer log2 buckets via length(bin(c)) (exact —
+    *     no libm log2, whose 2.999… at powers of two would misbucket),
+    *     ≤64 buckets, contiguous in the c order; cross-bucket offsets
+    *     come from a ≤64×64 triangle self-join (window-free, so the
+    *     audited unpartitioned-window set is untouched); the
+    *     within-bucket prefix window PARTITIONS by bucket. Band
+    *     [2^b, 2^(b+1)) holds ≤ min(2^b, Σc/2^b) distinct counts, so
+    *     no bucket partition can blow up.
+    * The top-10 head share collapses to the SAME closed form: the tie
+    * group at c occupies ranks (J, J+m], of which max(0, min(m, 10−J))
+    * fall in the head, so top10 = Σ c·clamp(10−J, 0, m) — the per-term
+    * tie-break never changes which COUNT VALUES land in the head, so
+    * no rank, no TakeOrdered, no second corpus-scale branch at all.
+    * 100 TB: one explode + one term-keyed shuffle (as gn01), then ONE
+    * histogram-keyed shuffle — the histogram is #distinct-count-values
+    * rows, Zipf-tiny vs the vocab, and it is sharedInPlan so its two
+    * small-frame consumers (bucket totals, ranked rows) hit one
+    * materialization instead of re-running the corpus scan (Spark's
+    * exchange reuse does NOT dedupe this diamond: downstream pruning
+    * differentiates the subtrees) — the billion-term vocab never
+    * sorts or windows anywhere in the plan. */
+  val gn02GiniBucketed = QueryDef("gn02_gini_bucketed",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.documents(s, d)
+        .select(explode(graft.text.TextFunctions.shinglesAll(col("text"), 2)).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("c"))
+      val hist = org.apache.spark.sql.graftbridge.GraftSqlBridge.sharedInPlan(
+        counts.groupBy("c").agg(count(lit(1)).as("m"))
+          .withColumn("bl", length(bin(col("c")))))
+      // terms strictly above bucket bl — window-free ≤64×64 triangle
+      val bTot = hist.groupBy("bl").agg(sum(col("m")).as("bm"))
+      val bOff = bTot.alias("a")
+        .join(bTot.alias("b"), col("b.bl") > col("a.bl"), "left")
+        .groupBy(col("a.bl").as("bl"))
+        .agg(coalesce(sum(col("b.bm")), lit(0L)).as("j0"))
+      // + terms strictly above c WITHIN the bucket (partitioned window)
+      val before = Window.partitionBy("bl").orderBy(col("c").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val withJ = hist.join(broadcast(bOff), "bl")
+        .withColumn("j_lo", col("j0") + coalesce(sum(col("m")).over(before), lit(0L)))
+      withJ.agg(
+          sum(col("m")).as("n_terms"),
+          sum(col("m") * col("c")).as("total"),
+          sum(expr("c * (j_lo * m + (m * (m + 1)) div 2)")).as("sjc"),
+          sum(col("c") * greatest(lit(0L),
+            least(col("m"), lit(10L) - col("j_lo")))).as("top10"))
+        .select(
+          col("n_terms"), col("total"),
+          round(((col("n_terms") + 1) * col("total") - lit(2) * col("sjc"))
+            .cast(DoubleType) / (col("n_terms") * col("total")).cast(DoubleType), 6)
+            .as("gini"),
+          round(col("top10").cast(DoubleType) / col("total").cast(DoubleType), 6)
+            .as("top10_share"))
+    },
+    gn01GiniConcentration.oracle)
+
   val all: Seq[QueryDef] = Seq(dp01Profile, cv01CovarianceMatrix,
-    gn01GiniConcentration, vg01VocabGrowth, cs01TableChecksum,
-    lr01LinearFit)
+    gn01GiniConcentration, gn02GiniBucketed, vg01VocabGrowth,
+    cs01TableChecksum, lr01LinearFit)
 }

@@ -753,6 +753,55 @@ object RelationalQueries {
     Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n, true AS ranks_within_bound
            |FROM orders""".stripMargin))
 
+  /** The x02 endgame (VERDICT r12 #8): an HLL register STATE that is
+    * engine-portable and therefore hash-checkable — strictly stronger
+    * than comparing estimates. Spark's own HLL++ blob can never match
+    * DuckDB's (different hash, different encoding), but the sketch
+    * CONTENT is just "per bucket, the max leading-zero run of the
+    * hashed suffix", and with md5 as the hash (identical hex in both
+    * engines) every piece is exact integer/string arithmetic:
+    *   bucket = first 2 hex chars (p=8 → 256 registers),
+    *   rho    = leading zero BITS of the next 14 hex chars (56 bits)
+    *            + 1, via ltrim('0') + a 16-way nibble CASE — no libm,
+    *            no float, no engine-specific bit intrinsics.
+    * Output = the full 256-row register table. This IS the
+    * distributed HLL build shape at 100 TB: the bucket/rho pair is a
+    * scan-side projection, max-per-register is a partial aggregate
+    * (map-side max), and merging two corpora's states is the same
+    * max — mergeability witnessed bit-for-bit by the oracle hash.
+    * x02 keeps Spark's native (faster, estimate-corrected) HLL++ for
+    * the estimate path, bounded by x04; x03's GK state stays
+    * rows-only BY NATURE — GK compress is merge-order-dependent, so
+    * no cross-engine state equality exists to check (bounded by x05
+    * instead; closed in COVERAGE.md). */
+  val x06PortableHllState = QueryDef("x06_portable_hll_state",
+    (s, d) => {
+      val h = md5(col("l_partkey").cast("string"))
+      val suffix = substring(h, 3, 14)
+      val t = ltrim(suffix, "0")
+      val nibbleLz = when(substring(t, 1, 1) === "1", 3)
+        .when(substring(t, 1, 1).isin("2", "3"), 2)
+        .when(substring(t, 1, 1).isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+      val rho = when(t === "", lit(57))
+        .otherwise((lit(14) - length(t)) * 4 + nibbleLz + 1)
+      Tables.lineitem(s, d)
+        .select(substring(h, 1, 2).as("bucket"), rho.as("rho"))
+        .groupBy("bucket").agg(max(col("rho")).cast(LongType).as("register"))
+        .orderBy("bucket")
+    },
+    Some("""WITH r AS (
+           |  SELECT substring(md5(CAST(l_partkey AS VARCHAR)), 1, 2) AS bucket,
+           |    ltrim(substring(md5(CAST(l_partkey AS VARCHAR)), 3, 14), '0') AS t
+           |  FROM lineitem)
+           |SELECT bucket, CAST(MAX(CASE WHEN t = '' THEN 57
+           |  ELSE (14 - length(t)) * 4
+           |    + (CASE WHEN substring(t, 1, 1) = '1' THEN 3
+           |            WHEN substring(t, 1, 1) IN ('2', '3') THEN 2
+           |            WHEN substring(t, 1, 1) IN ('4', '5', '6', '7') THEN 1
+           |            ELSE 0 END) + 1 END) AS BIGINT) AS register
+           |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     p01CleanCast,
     v01ValidSplit, v02RejectSplit, v05RangeFilter, v06DropNa,
@@ -765,5 +814,5 @@ object RelationalQueries {
     sc01Scd2History, up02CdcApply,
     w01LagDelta, w02TopkPerGroup, w03RollingAvg, w05TopkHeap, w06RollingMedian,
     x01DistinctCount, x02ApproxDistinct, x03ApproxQuartiles,
-    x04ApproxDistinctBound, x05ApproxQuartileBound)
+    x04ApproxDistinctBound, x05ApproxQuartileBound, x06PortableHllState)
 }

@@ -139,7 +139,7 @@ class ScaleUpSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("scaleup_stretch").toString
     ScaleUp.run(spark, sfDir, dir, factor = 3, stretchTime = true)
     val ev = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("rep", (col("event_id") / 10000000L).cast("long"))
+      .withColumn("rep", (col("event_id") / ScaleUp.E).cast("long"))
     val src = spark.read.parquet(s"$sfDir/events.parquet")
     val windows = ev.groupBy("rep").agg(
         min(col("ts")).as("lo"), max(col("ts")).as("hi"),
@@ -211,9 +211,9 @@ class ScaleUpSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("scaleup_stretchall").toString
     ScaleUp.run(spark, sfDir, dir, factor = 3, stretchAll = true)
     val axes = Seq(
-      ("events", "event_id", 10000000L, "ts"),
-      ("orders", "o_orderkey", 10000000L, "o_orderdate"),
-      ("lineitem", "l_orderkey", 10000000L, "l_shipdate"))
+      ("events", "event_id", ScaleUp.E, "ts"),
+      ("orders", "o_orderkey", ScaleUp.O, "o_orderdate"),
+      ("lineitem", "l_orderkey", ScaleUp.O, "l_shipdate"))
     // the common stride, recomputed the way run() derives it
     val stride = axes.map { case (t, _, _, dc) =>
         spark.read.parquet(s"$sfDir/$t.parquet")
@@ -248,7 +248,7 @@ class ScaleUpSpec extends SparkSpec {
     val lag = spark.read.parquet(s"$dir/lineitem.parquet").alias("l")
       .join(spark.read.parquet(s"$dir/orders.parquet").alias("o"),
         col("l.l_orderkey") === col("o.o_orderkey"))
-      .select((col("l.l_orderkey") / 10000000L).cast("long").as("rep"),
+      .select((col("l.l_orderkey") / ScaleUp.O).cast("long").as("rep"),
         datediff(col("l.l_shipdate").cast("date"),
           col("o.o_orderdate").cast("date")).as("lag"))
     val bad = lag.groupBy("rep", "lag").count()

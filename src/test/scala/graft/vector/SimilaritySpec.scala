@@ -182,6 +182,15 @@ class SimilaritySpec extends SparkSpec {
       s"banded kernel planned a corpus²-shaped join:\n$plan")
     assert(plan.contains("array_position"),
       "emit-once first-agreeing-band filter missing from the banded kernel plan")
+    // shuffle COUNT pin (r13, the sd02 half of the heavy-family count
+    // pins): at most TWO shuffle Exchanges — the band equi-join's two
+    // sides at corpus scale; at THIS test's size the small side
+    // broadcasts and the count is 0. Either way a third Exchange is
+    // the silent-reshuffle regression (lost ReusedExchange, or an
+    // embeddings-sized shuffle sneaking into the band join) — the
+    // banned-node asserts above pin the SHAPE, this pins the VOLUME.
+    assert(graft.Plans.shuffleCount(plan) <= 2,
+      s"banded kernel shuffle count ${graft.Plans.shuffleCount(plan)} > 2:\n$plan")
   }
 
   test("bandPlan picks the widest band that meets the capture target") {
