@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.text.{TextDedup, TextFunctions}
+
+/** SKEW PROBE (round 13, VERDICT #4): measures the dedup kernels on a
+  * DELIBERATELY skewed corpus — one document's text copied into
+  * `hotFrac` (default 20%) of the corpus, which concentrates one hot
+  * fingerprint (exact dedup), one hot segment set (segment dedup) and
+  * one hot LSH bucket PER BAND (MinHash star pairing). The sk02/sk04
+  * salting pattern covers aggregation skew; this probe targets the
+  * dedup family's former weak shape — rank/min WINDOWS partitioned by
+  * a content key, which put the whole hot group in one task that no
+  * AQE rule can split.
+  *
+  * For each kernel it times the r12 WINDOW shape (reconstructed here,
+  * verbatim) against the r13 AGGREGATE shape now in [[TextDedup]]
+  * (groupBy partial-agg + semi/equi join back — map-side combine
+  * collapses the hot key per input partition; any residual join skew
+  * is AQE-splittable). Row counts are asserted equal, so the probe
+  * doubles as an equivalence check at probe scale (the real gates are
+  * dd02/pd01's oracles and TextDedupSpec's Star==AllPairs test).
+  *
+  * Usage: `runMain graft.SkewProbe [sfDir] [hotPct]` — prints one JSON
+  * line per (kernel, shape) with min-of-SPARK_GRAFT_ITERS seconds.
+  */
+object SkewProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val hotPct = args.lift(1).map(_.toInt).getOrElse(20)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "2").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // skewed corpus: hotPct% of docs carry doc 0's exact text. Written
+    // to parquet so every timed plan reads the same on-disk input (a
+    // lazily-recomputed join-in would distort the timings).
+    val docs = Tables.documents(spark, sfDir)
+    val hotText = docs.orderBy("doc_id").select("text").limit(1)
+    val skewDir = java.nio.file.Files.createTempDirectory("skewprobe").toString
+    docs.crossJoin(broadcast(hotText.select(col("text").as("__hot"))))
+      .select(col("doc_id"),
+        when(col("doc_id") % 100 < hotPct, col("__hot"))
+          .otherwise(col("text")).as("text"),
+        col("n_chars"))
+      .write.mode("overwrite").parquet(s"$skewDir/documents.parquet")
+    val corpus = spark.read.parquet(s"$skewDir/documents.parquet")
+
+    def time(name: String, shape: String)(mk: => DataFrame): Long = {
+      var best = Double.MaxValue
+      var rows = 0L
+      for (_ <- 1 to iters) {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        rows = mk.count()
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      println(f"""{"probe":"$name","shape":"$shape","sec":$best%.3f,"rows":$rows,"hotPct":$hotPct,"sf":"$sfDir"}""")
+      rows
+    }
+
+    // ---- 1. exact dedup: hot fingerprint ----
+    val w1 = Window.partitionBy(TextFunctions.fingerprint(col("text")))
+      .orderBy(col("doc_id"))
+    val r1w = time("exact_dedup", "window") {
+      corpus.withColumn("__rn", row_number().over(w1))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
+    val r1a = time("exact_dedup", "agg_semijoin") {
+      TextDedup.exactDedup(corpus)
+    }
+    require(r1w == r1a, s"exact dedup shapes disagree: $r1w vs $r1a")
+
+    // ---- 2. segment dedup: hot segments ----
+    // window shape on the same `segmented` intermediate the library
+    // builds internally (reconstructed: tokens → strided slices)
+    def segs = corpus
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col("doc_id"), col("__toks"),
+        posexplode(sequence(lit(0), size(col("__toks")) - 1, lit(10)))
+          .as(Seq("idx", "__start")))
+      .select(col("doc_id"), col("idx"),
+        concat_ws(" ", slice(col("__toks"), col("__start") + 1, lit(10))).as("s"))
+    val w2 = Window.partitionBy("s").orderBy(col("doc_id"), col("idx"))
+    val r2w = time("segment_first_wins", "window") {
+      segs.withColumn("rn", row_number().over(w2)).filter(col("rn") === 1)
+    }
+    val r2a = time("segment_first_wins", "agg") {
+      segs.groupBy("s")
+        .agg(min(struct(col("doc_id"), col("idx"))).as("__first"))
+        .select(col("__first.doc_id"), col("__first.idx"), col("s"))
+    }
+    require(r2w == r2a, s"segment shapes disagree: $r2w vs $r2a")
+
+    // ---- 3. star pairing: hot bucket in every band ----
+    val banded = TextDedup.withMinHashSig(corpus, k = 3, nHashes = 32)
+      .withColumn("band", explode(array((0 until 8).map(bId =>
+        struct(lit(bId).as("band_id"),
+          xxhash64(lit(bId) +: (0 until 4)
+            .map(r => element_at(col("sig"), bId * 4 + r + 1)): _*)
+            .as("band_sig"))): _*)))
+      .select(col("id"), col("band.band_id").as("band_id"),
+        col("band.band_sig").as("band_sig"))
+    val w3 = Window.partitionBy("band_id", "band_sig")
+    val r3w = time("star_pairing", "window") {
+      banded.withColumn("id1", min(col("id")).over(w3))
+        .filter(col("id") =!= col("id1"))
+        .select(col("id1"), col("id").as("id2"))
+        .dropDuplicates("id1", "id2")
+    }
+    val r3a = time("star_pairing", "agg_join") {
+      val mins = banded.groupBy("band_id", "band_sig")
+        .agg(min(col("id")).as("id1"))
+      banded.join(mins, Seq("band_id", "band_sig"))
+        .filter(col("id") =!= col("id1"))
+        .select(col("id1"), col("id").as("id2"))
+        .dropDuplicates("id1", "id2")
+    }
+    require(r3w == r3a, s"star shapes disagree: $r3w vs $r3a")
+
+    spark.stop()
+  }
+}

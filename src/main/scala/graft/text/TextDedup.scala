@@ -32,13 +32,26 @@ object TextDedup {
     docs.groupBy(TextFunctions.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Exact dedup: keep the min-id document per fingerprint. */
+  /** Exact dedup: keep the min-id document per fingerprint (ids must
+    * be unique, as in every caller).
+    *
+    * SKEW (r13): this was a row_number window partitioned by
+    * fingerprint — a duplicate-heavy corpus (one doc exactly copied
+    * into 20% of the corpus = one hot fingerprint) lands 20% of the
+    * rows, full text riding, in a single window task that no AQE rule
+    * can split. The groupBy(min) form is skew-immune — partial
+    * aggregation collapses the hot fingerprint to one row PER INPUT
+    * PARTITION before the shuffle — and the keep-set joins back
+    * left-semi on the UNIQUE id, a uniformly-distributed key.
+    * Measured on the 20%-hot-fingerprint probe (graft.SkewProbe):
+    * see NOTES_r13. */
   def exactDedup(docs: DataFrame, idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
-    val w = Window.partitionBy(TextFunctions.fingerprint(col(textCol)))
-      .orderBy(col(idCol))
-    docs.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    val keep = docs
+      .groupBy(TextFunctions.fingerprint(col(textCol)).as("__fp"))
+      .agg(min(col(idCol)).as("__keep_id"))
+      .select(col("__keep_id"))
+    docs.join(keep, col(idCol) === col("__keep_id"), "left_semi")
   }
 
   /** Distinct k-shingles per document: (id, shingle). The exploded form
@@ -241,8 +254,17 @@ object TextDedup {
         val r = banded.select(col("id").as("id2"), col("band_id"), col("band_sig"))
         l.join(r, Seq("band_id", "band_sig")).filter(col("id1") < col("id2"))
       case Star =>
-        val w = Window.partitionBy("band_id", "band_sig")
-        banded.withColumn("id1", min(col("id")).over(w))
+        // SKEW (r13): the bucket min was a window over (band_id,
+        // band_sig) — a duplicate-heavy corpus concentrates one hot
+        // bucket per band (B near-identical docs agree in EVERY band)
+        // and the window sorts all B rows in one task. groupBy(min) is
+        // the skew-immune form (map-side combine collapses the hot
+        // bucket per input partition), and the join back is a plain
+        // shuffled equi-join AQE's skew rule CAN split. Same output:
+        // each member pairs with its bucket's min id.
+        val mins = banded.groupBy("band_id", "band_sig")
+          .agg(min(col("id")).as("id1"))
+        banded.join(mins, Seq("band_id", "band_sig"))
           .filter(col("id") =!= col("id1"))
           .select(col("id1"), col("id").as("id2"))
     }
@@ -379,8 +401,19 @@ object TextDedup {
                           textCol: String = "text"): DataFrame = {
     require(segTokens > 0)
     val segs = segmented(docs, segTokens, idCol, textCol)
-    val w = Window.partitionBy("s").orderBy(col("doc_id"), col("idx"))
-    val kept = segs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    // SKEW (r13): first-occurrence-per-segment was a row_number window
+    // partitioned by segment content — a boilerplate-heavy corpus (one
+    // hot segment in 20% of documents) put all its copies in one
+    // window task. min(struct(doc_id, idx)) per segment is the SAME
+    // "first by (doc_id, idx)" choice (lexicographic struct ordering)
+    // as ONE skew-immune partial aggregate, and the kept row is
+    // reconstructed from the aggregate output directly — no join, no
+    // window, no sort. Measured on the hot-segment probe
+    // (graft.SkewProbe): see NOTES_r13.
+    val kept = segs.groupBy("s")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("__first"))
+      .select(col("__first.doc_id").as("doc_id"),
+        col("__first.idx").as("idx"), col("s"))
     rebuilt(segs, kept)
   }
 
