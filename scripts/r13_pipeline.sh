@@ -34,6 +34,17 @@ echo CORPORA_DONE
 # line on the NEW convention is the round's record), then sf1, then
 # sf0.1 — all three points from the same code revision. The sf0.1 run
 # doubles as the suite's post-gn02/x06 uncontended band.
+#
+# 48g heap (was the 24g run_main default): the first r13 sf10 attempt
+# died at warmup dd13 with a Java-heap OOM inside sort-page allocation
+# — the THIRD environmental-OOM episode of this class on the one-JVM
+# sf10 suite (r11 nn11 pass2, r12's periodic-GC fix, now dd13 at a
+# point r12 cleared in 138 s on identical input/code path). 32
+# concurrent sort tasks on a 24g local-mode heap is structurally thin;
+# the host has 128 GiB. All three SFs run at the same heap so the r13
+# decade exponents are internally consistent (documented in NOTES_r13;
+# cross-round totals comparability caveat noted there too).
+export SPARK_DRIVER_MEM=48g
 export SPARK_GRAFT_ITERS=2
 SPARK_GRAFT_SF_DIR=/root/repo/corpora/sf10 scripts/run_main.sh graft.Bench \
   > /tmp/bench_sf10_r13.log 2>&1
