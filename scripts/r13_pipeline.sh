@@ -36,14 +36,17 @@ echo CORPORA_DONE
 # doubles as the suite's post-gn02/x06 uncontended band.
 #
 # 48g heap (was the 24g run_main default): the first r13 sf10 attempt
-# died at warmup dd13 with a Java-heap OOM inside sort-page allocation
-# — the THIRD environmental-OOM episode of this class on the one-JVM
-# sf10 suite (r11 nn11 pass2, r12's periodic-GC fix, now dd13 at a
-# point r12 cleared in 138 s on identical input/code path). 32
-# concurrent sort tasks on a 24g local-mode heap is structurally thin;
-# the host has 128 GiB. All three SFs run at the same heap so the r13
-# decade exponents are internally consistent (documented in NOTES_r13;
-# cross-round totals comparability caveat noted there too).
+# died at warmup dd13 with a Java-heap OOM — and the 48g retry died
+# too (warmup fz02), which is what finally produced the diagnosis: the
+# gc log showed "Retried waiting for GCLocker too often allocating
+# 5 words" immediately above the throw. The whole three-round
+# "environmental OOM" class (r11 nn11, r12 dd13, r13 fz02) is the
+# JDK-8192647 SPURIOUS OOM: JNI critical regions (parquet native
+# decompression, 32 threads) starve the GCLocker and HotSpot throws
+# heap-space OOM after 2 failed retries regardless of heap occupancy.
+# run_main.sh now sets -XX:GCLockerRetryAllocationCount=64 (the fix);
+# 48g is kept for headroom. All three SFs run the same heap + flags so
+# the r13 decade exponents are internally consistent (NOTES_r13).
 export SPARK_DRIVER_MEM=48g
 export SPARK_GRAFT_ITERS=2
 SPARK_GRAFT_SF_DIR=/root/repo/corpora/sf10 scripts/run_main.sh graft.Bench \

@@ -15,6 +15,16 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
+# GCLockerRetryAllocationCount (default 2!): the one-JVM sf10 suite
+# died three rounds running with "environmental" heap OOMs that were
+# actually SPURIOUS — r13's 48g attempt finally caught the smoking gun
+# in the gc log: "Retried waiting for GCLocker too often allocating
+# 5 WORDS" → OutOfMemoryError. 32 executor threads in JNI critical
+# regions (parquet native decompression) starve the GC lock; after 2
+# failed retries HotSpot throws heap-space OOM no matter how empty the
+# heap is (JDK-8192647 class). Raising the retry count to 64 removes
+# the spurious throw; genuinely-full heaps still OOM normally.
 exec java -Xmx"${SPARK_DRIVER_MEM:-24g}" $ADD_OPENS \
+  -XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64 \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "$CP" "$@"

@@ -23,6 +23,20 @@ import graft.text.{TextDedup, TextFunctions}
   * doubles as an equivalence check at probe scale (the real gates are
   * dd02/pd01's oracles and TextDedupSpec's Star==AllPairs test).
   *
+  * ANN side (VERDICT #4 names "dd/nn"): the nn query kernels have no
+  * content-keyed shuffle or window AT ALL — `IvfIndex.topK` and
+  * `SimilaritySearch.lshTopK` broadcast the (small-by-contract) query
+  * side and stream the corpus scan straight into per-query `TopKAgg`
+  * heaps, so a hot cell/bucket cannot concentrate in one task; it can
+  * only grow the CANDIDATE count, work that lands evenly on whichever
+  * input partitions hold the hot vectors. Sections 4–5 measure that
+  * claim: a corpus with `hotFrac` of its embeddings collapsed into a
+  * tiny ball (one hot IVF cell; one hot LSH bucket per band) is timed
+  * against the uniform corpus, with the candidate-pair counts printed
+  * beside the seconds — skew-immunity here means time tracks
+  * candidates (work-bound), not a task cliff. Salting is deliberately
+  * NOT applied: there is no per-key shuffle partition to salt.
+  *
   * Usage: `runMain graft.SkewProbe [sfDir] [hotPct]` — prints one JSON
   * line per (kernel, shape) with min-of-SPARK_GRAFT_ITERS seconds.
   */
@@ -127,6 +141,58 @@ object SkewProbe {
         .dropDuplicates("id1", "id2")
     }
     require(r3w == r3a, s"star shapes disagree: $r3w vs $r3a")
+
+    // ---- 4/5. ANN under a hot cell/bucket: work-bound, not task-bound ----
+    // hotPct% of embeddings collapse into a tiny ball around vector 0:
+    // component c of a hot row = base[c] + hash(vec_id, c)-derived
+    // jitter in [0, 0.01) — deterministic (no RNG), and small enough
+    // that every hot row lands in ONE IVF cell and agrees on every
+    // LSH band. Both corpora go through parquet so the timed plans
+    // read identical on-disk shapes.
+    val emb = Tables.embeddings(spark, sfDir)
+    val base = emb.orderBy("vec_id").select(col("embedding").as("__base")).limit(1)
+    val hotVec = expr(
+      "transform(__base, (x, c) -> cast(x + pmod(xxhash64(vec_id, c), 1000) / 100000.0d as float))")
+    emb.crossJoin(broadcast(base))
+      .select(col("vec_id"),
+        when(col("vec_id") % 100 < hotPct, hotVec)
+          .otherwise(col("embedding")).as("embedding"))
+      .write.mode("overwrite").parquet(s"$skewDir/emb_hot.parquet")
+    emb.select("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$skewDir/emb_uniform.parquet")
+
+    for (flavor <- Seq("uniform", "hot")) {
+      val corpusE = spark.read.parquet(s"$skewDir/emb_$flavor.parquet")
+      val queries = corpusE.filter(col("vec_id") % 100 === 0)
+
+      // IVF: train outside the timed region (sampled, bounded — not the
+      // skew question); the timed part is the serve path: assignment
+      // pass + probe join + scoring + heap. Report the hottest cell's
+      // mass share and the exact candidate count next to the seconds.
+      val idx = graft.vector.IvfIndex.build(corpusE, nList = 16)
+      val cellHist = idx.cells.groupBy("cell_id").count()
+        .agg(max("count").as("mx"), sum("count").as("n")).head()
+      val hotShare = cellHist.getLong(0).toDouble / cellHist.getLong(1)
+      val ivfCands = { // probed (query, cell) pairs × cell sizes, the exact scored-row count
+        val probed = graft.vector.IvfIndex.probedCells(idx, queries, nProbe = 4)
+        probed.join(idx.cells.groupBy("cell_id").count(), Seq("cell_id"))
+          .agg(sum("count")).head().getLong(0)
+      }
+      time(s"ivf_topk_$flavor", f"hotCell=$hotShare%.2f cands=$ivfCands") {
+        graft.vector.IvfIndex.topK(idx, queries, k = 5, nProbe = 4)
+      }
+
+      // LSH: same serve shape; candidate pairs = band-agreeing
+      // (query, corpus) pairs after the emit-once filter, counted with
+      // the library's own kernel so the work number is the scored-row
+      // truth, not a re-derivation.
+      val lshCands = graft.vector.SimilaritySearch
+        .lshCandidates(corpusE, queries, nBits = 24, nBands = 24).count()
+      time(s"lsh_topk_$flavor", s"cands=$lshCands") {
+        graft.vector.SimilaritySearch.lshTopK(
+          corpusE, queries, k = 5, nBits = 24, nBands = 24)
+      }
+    }
 
     spark.stop()
   }

@@ -86,20 +86,31 @@ object IvfIndex {
       cells = spark.read.parquet(s"$path/cells"),
       centroids = spark.read.parquet(s"$path/centroids"))
 
-  /** Query: per query vector, pick the nProbe nearest cells by centroid
-    * cosine, then exact-score only vectors in those cells. */
-  def topK(index: Index, queries: DataFrame, k: Int, nProbe: Int,
-           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  /** The probe-selection half of [[topK]]: per query, the nProbe
+    * nearest cells by centroid cosine — (query_id, q_vec, q_norm,
+    * cell_id) rows, queries×nProbe of them. Exposed so audit tooling
+    * (graft.SkewProbe) can count candidate rows with the library's own
+    * selection instead of a re-derivation. */
+  def probedCells(index: Index, queries: DataFrame, nProbe: Int,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
       VectorFunctions.normSq(col(vecCol)).as("q_norm"))
     // rank cells per query against broadcast centroids
     val cellSim = VectorFunctions.cosine(col("q_vec"), col("centroid"))
     val wCell = Window.partitionBy("query_id").orderBy(col("cell_sim").desc, col("cell_id"))
-    val probed = q.crossJoin(broadcast(index.centroids))
+    q.crossJoin(broadcast(index.centroids))
       .withColumn("cell_sim", cellSim)
       .withColumn("cell_rank", row_number().over(wCell))
       .filter(col("cell_rank") <= nProbe)
       .select("query_id", "q_vec", "q_norm", "cell_id")
+  }
+
+  /** Query: per query vector, pick the nProbe nearest cells by centroid
+    * cosine, then exact-score only vectors in those cells. */
+  def topK(index: Index, queries: DataFrame, k: Int, nProbe: Int,
+           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val probed = probedCells(index, queries, nProbe, idCol, vecCol)
     // candidates = corpus vectors in probed cells
     val c = index.cells.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("c_vec"), col("cell_id"),

@@ -93,6 +93,21 @@ object SimilaritySearch {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nBits: Int = 24, nBands: Int = 6,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cands = lshCandidates(corpus, queries, nBits, nBands, idCol, vecCol)
+    val sim = VectorFunctions.cosinePrenormed(
+      VectorFunctions.dot(col("q_vec"), col("c_vec")), col("q_norm"), col("c_norm"))
+    heapTopK(cands.withColumn("sim_r", round(sim, 6)), k)
+  }
+
+  /** The candidate-generation half of [[lshTopK]]: band-agreeing
+    * (query, corpus) pairs after the emit-once first-agreeing-band
+    * filter — exactly the rows [[lshTopK]] scores, one per pair.
+    * Exposed (package-private) so audit tooling (graft.SkewProbe) can
+    * count the scored work with the library's own kernel. */
+  private[graft] def lshCandidates(corpus: DataFrame, queries: DataFrame,
+                                   nBits: Int, nBands: Int,
+                                   idCol: String = "vec_id",
+                                   vecCol: String = "embedding"): DataFrame = {
     require(nBits % nBands == 0, "nBits must divide into nBands")
     val bandWidth = nBits / nBands
     def bands(df: DataFrame, id: String, vec: String, norm: String,
@@ -107,15 +122,12 @@ object SimilaritySearch {
         .select(col(id), col(vec), col(norm), col(sigName),
           col("band.band_id"), col("band.band_val"))
     }
-    val cands = broadcast(bands(queries, "query_id", "q_vec", "q_norm", "__qsig"))
+    broadcast(bands(queries, "query_id", "q_vec", "q_norm", "__qsig"))
       .join(bands(corpus, "neighbor_id", "c_vec", "c_norm", "__csig"),
         Seq("band_id", "band_val"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .filter(firstAgreeingBand(col("__qsig"), col("__csig"),
         nBands, bandWidth) === col("band_id"))
-    val sim = VectorFunctions.cosinePrenormed(
-      VectorFunctions.dot(col("q_vec"), col("c_vec")), col("q_norm"), col("c_norm"))
-    heapTopK(cands.withColumn("sim_r", round(sim, 6)), k)
   }
 
   /** Deterministic ±1 hyperplane matrix derived from md5 — the portable
