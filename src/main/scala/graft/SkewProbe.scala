@@ -163,7 +163,11 @@ object SkewProbe {
 
     for (flavor <- Seq("uniform", "hot")) {
       val corpusE = spark.read.parquet(s"$skewDir/emb_$flavor.parquet")
-      val queries = corpusE.filter(col("vec_id") % 100 === 0)
+      // vec_id % 50 == 0 → ids with %100 ∈ {0, 50}: HALF the queries
+      // are hot-ball members (probing the hot cell/bucket), half are
+      // untouched vectors — the realistic mixed-stress shape. (%100
+      // == 0 alone would make every query hot.)
+      val queries = corpusE.filter(col("vec_id") % 50 === 0)
 
       // IVF: train outside the timed region (sampled, bounded — not the
       // skew question); the timed part is the serve path: assignment
@@ -185,12 +189,15 @@ object SkewProbe {
       // LSH: same serve shape; candidate pairs = band-agreeing
       // (query, corpus) pairs after the emit-once filter, counted with
       // the library's own kernel so the work number is the scored-row
-      // truth, not a re-derivation.
+      // truth, not a re-derivation. 6 bands × 4 bits — the BUCKETED
+      // production shape, where a hot bucket concentrates candidates
+      // (nn05's 24 × 1-bit config is a capture/recall setting whose
+      // candidate set is ~all pairs regardless of skew).
       val lshCands = graft.vector.SimilaritySearch
-        .lshCandidates(corpusE, queries, nBits = 24, nBands = 24).count()
+        .lshCandidates(corpusE, queries, nBits = 24, nBands = 6).count()
       time(s"lsh_topk_$flavor", s"cands=$lshCands") {
         graft.vector.SimilaritySearch.lshTopK(
-          corpusE, queries, k = 5, nBits = 24, nBands = 24)
+          corpusE, queries, k = 5, nBits = 24, nBands = 6)
       }
     }
 
