@@ -365,4 +365,43 @@ class AnalyticsQueriesSpec extends SparkSpec {
     val total = spark.read.parquet(s"$sfDir/customer.parquet").count()
     assert(rows.map(_._3).sum == total, "QI classes must partition the table")
   }
+
+  test("gn02 == gn01 on an engineered corpus with counts AT the log2 bucket edges") {
+    // gn02's rank elimination buckets the count histogram by
+    // length(bin(c)) — integer log2, chosen over libm log2 precisely
+    // because 2.999… at powers of two would misbucket. The sf corpus's
+    // Zipf histogram doesn't guarantee boundary coverage, so this
+    // fixture engineers it: one unique bigram per target count, with
+    // counts at 2^k − 1 / 2^k / 2^k + 1 for every bucket up to 128,
+    // plus duplicate-count tie groups (three bigrams at c=8, two at
+    // c=16) to exercise the m>1 tie-run closed form across an edge.
+    val counts = Seq(1L, 2L, 3L, 4L, 5L, 7L, 8L, 8L, 8L, 9L, 15L, 16L,
+      16L, 17L, 31L, 32L, 33L, 63L, 64L, 65L, 127L, 128L, 129L)
+    val docs = counts.zipWithIndex.flatMap { case (c, i) =>
+      (0L until c).map(r => (i * 1000L + r, s"t${i}a t${i}b"))
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("/root/repo/target"), "gn_edge")
+      .toString
+    docs.toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val a = ProfilingQueries.gn01GiniConcentration.fn(spark, dir).collect()
+    val b = ProfilingQueries.gn02GiniBucketed.fn(spark, dir).collect()
+    assert(a.toSeq == b.toSeq, s"gn01 ${a.toSeq} != gn02 ${b.toSeq}")
+    // and both match the closed form computed from the known histogram
+    val asc = counts.sorted
+    val n = asc.length.toLong
+    val tot = asc.sum
+    val ric = asc.zipWithIndex.map { case (c, i) => (i + 1) * c }.sum
+    val expGini = BigDecimal((2.0 * ric - (n + 1) * tot) / (n.toDouble * tot))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val row = a.head
+    assert(row.getLong(0) == n && row.getLong(1) == tot)
+    assert(math.abs(row.getDouble(2) - expGini) < 1e-6,
+      s"gini ${row.getDouble(2)} vs engineered $expGini")
+    assert(math.abs(row.getDouble(3) -
+      asc.takeRight(10).sum.toDouble / tot) < 1e-6)
+  }
 }
