@@ -2,8 +2,12 @@
 # Run a graft main (Bench/Verify/ScaleUp/Prof) via plain java — avoids
 # the single sbt lock so tests and long benches can run concurrently.
 # Usage: scripts/run_main.sh graft.Bench [args...]
-# Env: SPARK_DRIVER_MEM (default 24g — the recorded bench discipline),
-#      plus whatever the main reads (SPARK_GRAFT_SF_DIR, _ITERS, ...).
+# Env: SPARK_DRIVER_MEM (default 24g — THE heap convention, decided
+#      r14: the GCLocker flag below fixed the sf10 OOM class at cause,
+#      so the r13 48g "headroom" override is retired; 24g keeps every
+#      recorded bench comparable with the r8+ history. Benches must
+#      not override this), plus whatever the main reads
+#      (SPARK_GRAFT_SF_DIR, _ITERS, ...).
 set -euo pipefail
 cd "$(dirname "$0")/.."
 CP="target/scala-2.13/classes:/opt/spark/jars/*"

@@ -182,6 +182,13 @@ object Plans {
     Check("bt01_bpe_train",
       Seq("TakeOrderedAndProject", "BroadcastNestedLoopJoin", "HashAggregate"),
       wantNone = Seq("Window")),
+    // BPE encode rides the trained merge table (broadcast) over the
+    // corpus scan; the vocab never windows. Shuffle count pinned (r14,
+    // slowest-25 sweep): 9 — the train-side subtrees dedupe via
+    // ReusedExchange and a lost reuse changes the COUNT first
+    Check("bt02_bpe_encode", Seq("HashAggregate"),
+      wantNone = Seq("Window", "CartesianProduct"),
+      shuffles = Some(9)),
     // value windows: every function shares ONE window spec keyed by
     // nation — one sort, one window operator
     Check("w08_value_windows", Seq("windowspecdefinition(c_nationkey")),
@@ -248,7 +255,8 @@ object Plans {
     // aggregate; a window/nested-loop means the contraction degraded
     // to a sorted or all-pairs form
     Check("dd06_dup_clusters", Seq("HashAggregate"),
-      wantNone = Seq("BroadcastNestedLoopJoin", "CartesianProduct", "Window")),
+      wantNone = Seq("BroadcastNestedLoopJoin", "CartesianProduct", "Window"),
+      shuffles = Some(5)),
     // winsorized stats: the per-group bound table joins back by
     // BROADCAST (corpus rows never shuffle to learn their bounds);
     // no window anywhere
@@ -269,7 +277,8 @@ object Plans {
     // prefix EQUI-join; the exact verify joins are hash joins too —
     // the quadratic ground truth lives only in the oracle
     Check("fz02_prefix_jaccard", Seq("Window"),
-      wantNone = Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+      wantNone = Seq("BroadcastNestedLoopJoin", "CartesianProduct"),
+      shuffles = Some(5)),
     // domain TV: one token-keyed equi-join, group table broadcast back,
     // the corpus total a broadcast scalar — no window, no sort until
     // the final 20-row ORDER BY
@@ -285,7 +294,8 @@ object Plans {
     // a TakeOrdered top-k — no join anywhere
     Check("ds01_dup_spans",
       Seq("Generate", "HashAggregate", "TakeOrderedAndProject"),
-      wantNone = Seq("Join")),
+      wantNone = Seq("Join"),
+      shuffles = Some(2)),
     // tolerance as-of keeps the join-free union+window composition —
     // the staleness test is a post-projection, not a re-join
     Check("aj03_asof_tolerance", Seq("Window", "RangeFrame"),
@@ -319,9 +329,11 @@ object Plans {
     // containment: shingle-keyed equi-joins only — the probe×corpus
     // pairing must never plan as a nested loop
     Check("dd12_containment", Seq("Generate", "HashAggregate"),
-      wantNone = Seq("BroadcastNestedLoopJoin")),
+      wantNone = Seq("BroadcastNestedLoopJoin"),
+      shuffles = Some(3)),
     // LM table: the rank window partitions by context, never global
-    Check("lm01_bigram_next", Seq("windowspecdefinition(ctx")),
+    Check("lm01_bigram_next", Seq("windowspecdefinition(ctx"),
+      shuffles = Some(3)),
     // surprisal: the per-term qbits table broadcasts back onto the
     // occurrence stream (vocab-sized build side)
     Check("ppx01_quantized_surprisal",
@@ -342,7 +354,8 @@ object Plans {
     // vocab growth: min-per-term partial agg; cumulative window rides
     // the tiny per-batch frame; join-free
     Check("vg01_vocab_growth", Seq("Generate", "HashAggregate", "Window"),
-      wantNone = Seq("Join")),
+      wantNone = Seq("Join"),
+      shuffles = Some(3)),
     // checksum: three scans, hash in the scan-side project, one union
     // of single-row aggregates — never a join
     Check("cs01_table_checksum", Seq("Union", "md5"),
@@ -457,7 +470,8 @@ object Plans {
     // fuzzy decontamination: shingle explode into hash equi-joins —
     // never a nested loop over docs×benchmark
     Check("dc03_fuzzy_decontamination", Seq("Generate", "BroadcastHashJoin"),
-      wantNone = Seq("CartesianProduct", "BroadcastNestedLoopJoin", "Window")),
+      wantNone = Seq("CartesianProduct", "BroadcastNestedLoopJoin", "Window"),
+      shuffles = Some(2)),
     // portable HLL state: bucket/rho are scan-side string/integer
     // projections feeding ONE partial max-aggregate (the distributed
     // HLL build shape) — no join, no window, no explode

@@ -1,7 +1,7 @@
 package graft.etl
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.RowOrdering
 import org.apache.spark.sql.functions._
 
 /** Deduplication — the reference's signature operator (SURVEY.md §2.4),
@@ -10,10 +10,30 @@ import org.apache.spark.sql.functions._
   * set-based probe).
   *
   * Scale notes:
-  *  - `firstOccurrenceWins` shuffles once on the key; the window's sort is
-  *    per-key within hash partitions, not a global sort. At 100 TB, skewed
-  *    keys are handled by AQE skew mitigation; the ordering column should
-  *    be a cheap monotonic id captured at scan.
+  *  - `firstOccurrenceWins` / `latestWins` are ONE partial aggregate
+  *    keyed by the dedup key (r14; previously a row_number window).
+  *    The window shape put every copy of a key in ONE task — a hot
+  *    ingest key (one hospital_pk repeated across millions of rows at
+  *    100 TB) became a single unsplittable sort that no AQE rule can
+  *    break up, with full row width riding the shuffle. min/max of a
+  *    struct ordered by (orderCol, remaining columns) is the SAME
+  *    "first/latest by orderCol" choice as a partial aggregate:
+  *    map-side combine collapses the hot key to one row per input
+  *    partition before anything shuffles. Same shape the text-side
+  *    kernels adopted in r13 (TextDedup.segmentDedupRebuild).
+  *  - Tie-break: the window's row_number over equal orderCol values
+  *    picked an arbitrary row; the struct min/max breaks full-row ties
+  *    deterministically by the remaining columns (lexicographic field
+  *    order). Callers follow the documented contract anyway: orderCol
+  *    is a unique total order captured at scan (e.g.
+  *    monotonically_increasing_id), so ties do not arise.
+  *  - Null ordering matches the window defaults: struct comparison
+  *    sorts a null field first ascending (= asc_nulls_first) and max
+  *    avoids nulls (= desc_nulls_last).
+  *  - Rows whose columns include a non-orderable type (MapType) cannot
+  *    ride a min(struct(...)); those fall back to min-order-per-key +
+  *    left-semi join back on (keys, orderCols) — the TextDedup
+  *    .exactDedup shape, whose residual join skew IS AQE-splittable.
   *  - `antiJoinExisting` plans as broadcast-hash anti-join when the
   *    existing-keys side is small (e.g. a dimension being topped up) and
   *    shuffled sort-merge otherwise — Catalyst/AQE decides from stats.
@@ -26,25 +46,44 @@ object Dedup {
     * by `orderCol` (e.g. a monotonically_increasing_id captured at scan —
     * `dropDuplicates` alone picks an ARBITRARY row, which diverges from
     * the reference's insert-order semantics, load_hhs.py:75,89,103). */
-  def firstOccurrenceWins(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
-    val w = Window.partitionBy(keys.map(col).toIndexedSeq: _*).orderBy(col(orderCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
-  }
+  def firstOccurrenceWins(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame =
+    pickOnePerKey(df, keys, Seq(orderCol), latest = false)
 
   /** Latest-wins dedup: keep the newest row per key (ties broken by
     * `tieCol` descending too) — the temporal complement of first-wins:
     * first-wins preserves the original load, latest-wins keeps the
     * freshest snapshot (CDC/compaction semantics). Same single-shuffle
-    * window shape. */
+    * partial-aggregate shape. */
   def latestWins(df: DataFrame, keys: Seq[String], orderCol: String,
-                 tieCol: String): DataFrame = {
-    val w = Window.partitionBy(keys.map(col).toIndexedSeq: _*)
-      .orderBy(col(orderCol).desc, col(tieCol).desc)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+                 tieCol: String): DataFrame =
+    pickOnePerKey(df, keys, Seq(orderCol, tieCol), latest = true)
+
+  /** One skew-immune partial aggregate: min/max of the full row packed
+    * as struct(orderCols..., remaining columns), unpacked back to the
+    * input column order. Falls back to agg + semi-join when any
+    * carried column is not orderable (MapType). */
+  private def pickOnePerKey(df: DataFrame, keys: Seq[String],
+                            orderCols: Seq[String], latest: Boolean): DataFrame = {
+    val keySet = keys.toSet
+    val rest = df.columns.filterNot(c => keySet.contains(c) || orderCols.contains(c)).toSeq
+    val pick: Column => Column = if (latest) max else min
+    val keyCols = keys.map(col).toIndexedSeq
+    if (rest.forall(c => RowOrdering.isOrderable(df.schema(c).dataType))) {
+      val packed = struct((orderCols ++ rest).map(col).toIndexedSeq: _*)
+      df.groupBy(keyCols: _*)
+        .agg(pick(packed).as("__pick"))
+        .select(df.columns.toIndexedSeq.map { c =>
+          if (keySet.contains(c)) col(c) else col("__pick").getField(c).as(c)
+        }: _*)
+    } else {
+      // keep only the per-key extreme of the order columns, join back —
+      // (keys ++ orderCols) must identify a unique row (the orderCol
+      // contract above), else ties all survive the semi-join
+      val picked = df.groupBy(keyCols: _*)
+        .agg(pick(struct(orderCols.map(col).toIndexedSeq: _*)).as("__pick"))
+        .select((keyCols ++ orderCols.map(c => col("__pick").getField(c).as(c))): _*)
+      df.join(picked, keys ++ orderCols, "left_semi")
+    }
   }
 
   /** D3 cross-load dedup: drop rows whose key already exists in the

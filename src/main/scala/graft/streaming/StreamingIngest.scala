@@ -178,6 +178,36 @@ object StreamingIngest {
         sink(graft.text.TextDedup.boilerplateStripAgainst(b, blocklist, segTokens)))
       .start()
 
+  /** STREAMING FIRST-WINS INGEST — the generic form of the HHS
+    * pipeline's dedup stage, pinned stream==batch by StreamingSpec on
+    * a duplicate-heavy fixture (r14, when the batch kernel moved from
+    * a row_number window to the skew-immune min(struct) aggregate).
+    * Per micro-batch: [[graft.etl.Dedup.firstOccurrenceWins]] drops
+    * in-batch duplicates (the SAME kernel as batch — the parity pin
+    * covers whatever shape the kernel carries), then an anti-join
+    * against the keys already in `outDir` drops cross-batch
+    * duplicates, then the survivors append. Batches run sequentially,
+    * so batch N's appends are batch N+1's existing side; equal to the
+    * batch kernel over the concatenated input whenever files arrive in
+    * order and `orderCol` grows with arrival (the file source's
+    * contract here, and the same "first = arrival order" rule the
+    * reference's loader implements, load_hhs.py:75). */
+  def firstWinsIngestStream(stream: DataFrame, keys: Seq[String],
+                            orderCol: String, outDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val sp = b.sparkSession
+        val existing =
+          if (java.nio.file.Files.exists(java.nio.file.Paths.get(outDir)))
+            sp.read.schema(b.schema).parquet(outDir)
+          else sp.createDataFrame(sp.sparkContext.emptyRDD[Row], b.schema)
+        graft.etl.Dedup.antiJoinExisting(
+            graft.etl.Dedup.firstOccurrenceWins(b, keys, orderCol),
+            existing, keys)
+          .write.mode("append").parquet(outDir)
+      }.start()
+
   /** STREAMING END-TO-END HHS INGEST: the whole batch warehouse load
     * ([[graft.warehouse.HhsPipeline.load]]) as one live pipeline —
     * file source → clean → validation split → watermarked key dedup

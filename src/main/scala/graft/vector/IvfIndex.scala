@@ -91,9 +91,9 @@ object IvfIndex {
     * cell_id) rows, queries×nProbe of them. Exposed so audit tooling
     * (graft.SkewProbe) can count candidate rows with the library's own
     * selection instead of a re-derivation. */
-  def probedCells(index: Index, queries: DataFrame, nProbe: Int,
-                  idCol: String = "vec_id",
-                  vecCol: String = "embedding"): DataFrame = {
+  private[graft] def probedCells(index: Index, queries: DataFrame, nProbe: Int,
+                                 idCol: String = "vec_id",
+                                 vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
       VectorFunctions.normSq(col(vecCol)).as("q_norm"))
     // rank cells per query against broadcast centroids

@@ -383,25 +383,31 @@ class AnalyticsQueriesSpec extends SparkSpec {
     val dir = java.nio.file.Files
       .createTempDirectory(java.nio.file.Paths.get("/root/repo/target"), "gn_edge")
       .toString
-    docs.toDF("doc_id", "text")
-      .withColumn("n_chars", length(col("text")))
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      docs.toDF("doc_id", "text")
+        .withColumn("n_chars", length(col("text")))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
-    val a = ProfilingQueries.gn01GiniConcentration.fn(spark, dir).collect()
-    val b = ProfilingQueries.gn02GiniBucketed.fn(spark, dir).collect()
-    assert(a.toSeq == b.toSeq, s"gn01 ${a.toSeq} != gn02 ${b.toSeq}")
-    // and both match the closed form computed from the known histogram
-    val asc = counts.sorted
-    val n = asc.length.toLong
-    val tot = asc.sum
-    val ric = asc.zipWithIndex.map { case (c, i) => (i + 1) * c }.sum
-    val expGini = BigDecimal((2.0 * ric - (n + 1) * tot) / (n.toDouble * tot))
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val row = a.head
-    assert(row.getLong(0) == n && row.getLong(1) == tot)
-    assert(math.abs(row.getDouble(2) - expGini) < 1e-6,
-      s"gini ${row.getDouble(2)} vs engineered $expGini")
-    assert(math.abs(row.getDouble(3) -
-      asc.takeRight(10).sum.toDouble / tot) < 1e-6)
+      val a = ProfilingQueries.gn01GiniConcentration.fn(spark, dir).collect()
+      val b = ProfilingQueries.gn02GiniBucketed.fn(spark, dir).collect()
+      assert(a.toSeq == b.toSeq, s"gn01 ${a.toSeq} != gn02 ${b.toSeq}")
+      // and both match the closed form computed from the known histogram
+      val asc = counts.sorted
+      val n = asc.length.toLong
+      val tot = asc.sum
+      val ric = asc.zipWithIndex.map { case (c, i) => (i + 1) * c }.sum
+      val expGini = BigDecimal((2.0 * ric - (n + 1) * tot) / (n.toDouble * tot))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val row = a.head
+      assert(row.getLong(0) == n && row.getLong(1) == tot)
+      assert(math.abs(row.getDouble(2) - expGini) < 1e-6,
+        s"gini ${row.getDouble(2)} vs engineered $expGini")
+      assert(math.abs(row.getDouble(3) -
+        asc.takeRight(10).sum.toDouble / tot) < 1e-6)
+    } finally {
+      // repeated runs would otherwise accumulate ~3k-row parquet dirs
+      // under target/ (ADVICE r13)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
   }
 }

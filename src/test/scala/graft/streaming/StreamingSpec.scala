@@ -378,6 +378,40 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("streaming first-wins ingest equals the batch kernel on a duplicate-heavy stream") {
+    import graft.etl.Dedup
+    val srcDir = s"$stagingDir/fw_src"
+    val outDir = s"$stagingDir/fw_out"
+    // duplicate-heavy fixture: 300 rows over 9 keys (keys 0-6 repeat
+    // within AND across all batches; keys 7-8 first appear in batch 2),
+    // plus a HOT key — k=0 absorbs a third of batch 0 — so the pin
+    // covers the skew shape the r14 aggregate kernel exists for.
+    // orderCol grows with file order, matching the file source's
+    // arrival-order contract.
+    val all = (0L until 300L).map { i =>
+      val k = if (i < 100 && i % 3 == 0) 0L else i % (if (i < 100) 7 else 9)
+      (i, k, s"payload$i")
+    }
+    // 3 mtime-ordered files = 3 micro-batches
+    all.grouped(100).zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("ord", "k", "payload").coalesce(1)
+        .write.mode("overwrite").parquet(s"$srcDir/f$i")
+      Thread.sleep(1100) // distinct mtimes → FileStreamSource order
+    }
+    val schema = all.take(1).toDF("ord", "k", "payload").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$srcDir/*")
+    val q = StreamingIngest.firstWinsIngestStream(stream, Seq("k"), "ord", outDir)
+    q.awaitTermination()
+    // the anti-join's USING columns lead the stored column order;
+    // realign before the positional exceptAll compare
+    val got = spark.read.parquet(outDir).select("ord", "k", "payload")
+    val want = Dedup.firstOccurrenceWins(
+      all.toDF("ord", "k", "payload"), Seq("k"), "ord")
+    assert(got.count() == 9 && want.count() == 9)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
   test("streaming CDC state equals batch apply; tombstone blocks late resurrection") {
     import spark.implicits._
     val srcDir = s"$stagingDir/cdc_src"
