@@ -79,10 +79,13 @@ object Dedup {
       // keep only the per-key extreme of the order columns, join back —
       // (keys ++ orderCols) must identify a unique row (the orderCol
       // contract above), else ties all survive the semi-join
+      val joinCols = keys ++ orderCols
+      require(joinCols.distinct == joinCols,
+        s"keys and order columns must be distinct for the semi-join fallback: $joinCols")
       val picked = df.groupBy(keyCols: _*)
         .agg(pick(struct(orderCols.map(col).toIndexedSeq: _*)).as("__pick"))
         .select((keyCols ++ orderCols.map(c => col("__pick").getField(c).as(c))): _*)
-      df.join(picked, keys ++ orderCols, "left_semi")
+      df.join(picked, joinCols, "left_semi")
     }
   }
 
