@@ -21,6 +21,17 @@ import exponents as ex
 # those bogus times must never reach the totals.
 MAX_ACCEPTED_FAILURES = 3
 
+# The 11 deliberately-exhaustive audit/truth probes (the r11 list,
+# SCALE.md; mirrored from graft.Bench.probeQueries). Decade runs may
+# skip them (SPARK_GRAFT_SKIP_PROBES=1, r15) — the table prints the
+# production/probe split either way, with "n/a" on skipped sides.
+PROBES = {
+    "nn01_cosine_topk", "nn03_embedding_neardup", "nn05_lsh_recall",
+    "nn06_ivf_allprobe", "nn09_adc_recall", "fz02_prefix_jaccard",
+    "sd01_semantic_dedup", "dd06_dup_clusters", "bj01_band_join",
+    "dd13_best_of_cluster", "sm04_leakage_safe_split",
+}
+
 
 def latest_allow_failed(basename):
     """Like exponents.latest but accepts lines with
@@ -87,6 +98,29 @@ def main():
     print(f"| total ({len(common)} queries) | {tots[0]:.1f} s | "
           f"{tots[1]:.1f} s | {tots[2]:.1f} s | "
           f"{e01:.2f} then {e12:.2f} (two-decade {e02:.2f}) |")
+    # production/probe split rows: computed on the common set so they
+    # stay comparable across skip-probes and full lines; when a side
+    # skipped the probes the probe row is n/a (its common-set probe
+    # total would be vacuously 0, not a measurement)
+    common_probes = [q for q in common if q in PROBES]
+    common_prod = [q for q in common if q not in PROBES]
+    ptot = [sum(q[k] for k in common_prod) for q in qmaps]
+    print(f"| production paths ({len(common_prod)} q) | {ptot[0]:.1f} | "
+          f"{ptot[1]:.1f} | {ptot[2]:.1f} | "
+          f"{ex.exp(ptot[0], ptot[1], 1):.2f} then "
+          f"{ex.exp(ptot[1], ptot[2], 1):.2f} "
+          f"(two-decade {ex.exp(ptot[0], ptot[2], 2):.2f}) |")
+    any_skipped = any(d.get("skip_probes") for d in entries)
+    if common_probes and not any_skipped:
+        btot = [sum(q[k] for k in common_probes) for q in qmaps]
+        print(f"| audit/truth probes ({len(common_probes)} q) | "
+              f"{btot[0]:.1f} | {btot[1]:.1f} | {btot[2]:.1f} | "
+              f"{ex.exp(btot[0], btot[1], 1):.2f} then "
+              f"{ex.exp(btot[1], btot[2], 1):.2f} "
+              f"(two-decade {ex.exp(btot[0], btot[2], 2):.2f}) |")
+    else:
+        print("| audit/truth probes | n/a | n/a | n/a | "
+              "skipped on >=1 side (skip_probes) |")
     print("\n## slowest 25 at", names[2], "(t_sf0.1, t_sf1, t_sf10, "
           "exp d1, exp d2, exp 2dec)")
     for q in sorted(common, key=lambda q: -qmaps[2][q])[:25]:

@@ -37,6 +37,22 @@ object Plans {
     Check("t02_recent_weeks", Seq("TakeOrderedAndProject")),
     // anti join planned as broadcast or shuffled hash/merge — just require the join type
     Check("d03_antijoin_new_keys", Seq("LeftAnti")),
+    // ingest dedup (the reference's signature operator): the r14
+    // skew-immune kernel is a min/max(struct) PARTIAL AGGREGATE —
+    // SortAggregate, because min/max over a struct is a declarative
+    // aggregate with an immutable buffer (no mutable-primitive layout
+    // for HashAggregate, not a TypedImperativeAggregate for
+    // ObjectHashAggregate); the partial phase before the exchange is
+    // what collapses a hot key per input partition. A Window here is
+    // the pre-r14 hot-key-in-one-task shape and must fail CI, not a
+    // round (VERDICT r14 #1); the orderable carry path never joins;
+    // exactly 2 shuffles (key agg + presentation sort).
+    Check("d01_dedup_first_wins", Seq("SortAggregate"),
+      wantNone = Seq("Window", "Join"), shuffles = Some(2)),
+    Check("d02_dedup_composite_key", Seq("SortAggregate"),
+      wantNone = Seq("Window", "Join"), shuffles = Some(2)),
+    Check("d05_dedup_latest_wins", Seq("SortAggregate"),
+      wantNone = Seq("Window", "Join"), shuffles = Some(2)),
     // column pruning: lineitem scan for a01 must read only the filter column
     Check("a01_count_filter", Seq("ReadSchema: struct<l_returnflag:string>")),
     // partial aggregation before the shuffle

@@ -6,26 +6,28 @@ import org.apache.spark.sql.functions._
 import graft.text.{TextDedup, TextFunctions}
 
 /** SKEW PROBE (round 13, VERDICT #4; ingest section + exit criteria
-  * round 14): measures the dedup kernels on a DELIBERATELY skewed
-  * corpus — one document's text copied into `hotFrac` (default 20%)
-  * of the corpus, which concentrates one hot fingerprint (exact
-  * dedup), one hot segment set (segment dedup) and one hot LSH bucket
-  * PER BAND (MinHash star pairing) — and, since r14, one hot ingest
-  * key (a single user_id carrying 20% of the events table, full row
-  * width riding) for the `etl.Dedup` first/latest-wins kernels. The
-  * sk02/sk04 salting pattern covers aggregation skew; this probe
-  * targets the dedup family's former weak shape — rank/min WINDOWS
-  * partitioned by a content key, which put the whole hot group in one
-  * task that no AQE rule can split.
+  * round 14; CI-grade small-fixture entry round 15): measures the
+  * dedup kernels on a DELIBERATELY skewed corpus — one document's
+  * text copied into `hotFrac` (default 20%) of the corpus, which
+  * concentrates one hot fingerprint (exact dedup), one hot segment
+  * set (segment dedup) and one hot LSH bucket PER BAND (MinHash star
+  * pairing) — and, since r14, one hot ingest key (a single user_id
+  * carrying 20% of the events table, full row width riding) for the
+  * `etl.Dedup` first/latest-wins kernels. The sk02/sk04 salting
+  * pattern covers aggregation skew; this probe targets the dedup
+  * family's former weak shape — rank/min WINDOWS partitioned by a
+  * content key, which put the whole hot group in one task that no AQE
+  * rule can split.
   *
   * For each kernel it times the old WINDOW shape (reconstructed here,
-  * verbatim) against the AGGREGATE shape now in [[TextDedup]] /
-  * [[graft.etl.Dedup]] (groupBy partial-agg, carrying the row in a
-  * min/max struct or joining back — map-side combine collapses the
-  * hot key per input partition; any residual join skew is
-  * AQE-splittable). Row counts are asserted equal, so the probe
-  * doubles as an equivalence check at probe scale (the real gates are
-  * d01/d02/d05/dd02/pd01's oracles and TextDedupSpec/DedupSpec).
+  * verbatim — provenance per section below) against the AGGREGATE
+  * shape now in [[TextDedup]] / [[graft.etl.Dedup]] (groupBy
+  * partial-agg, carrying the row in a min/max struct or joining
+  * back — map-side combine collapses the hot key per input partition;
+  * any residual join skew is AQE-splittable). Row counts are asserted
+  * equal, so the probe doubles as an equivalence check at probe scale
+  * (the real gates are d01/d02/d05/dd02/pd01's oracles and
+  * TextDedupSpec/DedupSpec).
   *
   * ANN side (VERDICT r12 #4 names "dd/nn"): the nn query kernels have
   * no content-keyed shuffle or window AT ALL — `IvfIndex.topK` and
@@ -41,30 +43,38 @@ import graft.text.{TextDedup, TextFunctions}
   * candidates (work-bound), not a task cliff. Salting is deliberately
   * NOT applied: there is no per-key shuffle partition to salt.
   *
-  * EXIT CRITERION (r14, VERDICT #7): the probe is pass/fail, not just
-  * a printout. It exits nonzero when (a) any aggregate shape runs
-  * >2× its window shape — the agg rewrite's local-scale overhead band
-  * is +25–35% (NOTES_r13), so 2× means the rewrite regressed — or
-  * (b) any ANN kernel's hot/uniform time ratio exceeds 2× its
-  * hot/uniform candidate ratio — time no longer tracking work is the
-  * task-cliff signature. A future skew regression fails a script, not
-  * a judge.
+  * EXIT CRITERIA (r14, VERDICT #7; threshold configurable r15): the
+  * probe is pass/fail, not just a printout. It exits nonzero when
+  * (a) any aggregate shape runs >RATIO× its window shape — the agg
+  * rewrite's local-scale overhead band is +25–35% (NOTES_r13), so the
+  * default 2× means the rewrite regressed — or (b) any ANN kernel's
+  * hot/uniform time ratio exceeds RATIO× its hot/uniform candidate
+  * ratio — time no longer tracking work is the task-cliff signature.
+  * A future skew regression fails a script, not a judge.
+  *
+  * MEASUREMENT DISCIPLINE (ADVICE r14): both criteria gate on
+  * min-of-ITERS wall-clock against a fixed band, so the signal is
+  * noise-sensitive. Authoritative runs need a quiet host (no
+  * concurrent benches/tests) and ITERS>=2; on shared or CI hardware
+  * widen the band via SPARK_GRAFT_SKEW_RATIO (the `ratio` parameter)
+  * instead of accepting flaky failures — SkewProbeSpec runs this
+  * probe inside `sbt test` at sf0.001 with ratio=4 for exactly that
+  * reason (the shape equivalence asserts stay exact; only the timing
+  * band widens).
   *
   * Usage: `runMain graft.SkewProbe [sfDir] [hotPct]` — prints one JSON
   * line per (kernel, shape) with min-of-SPARK_GRAFT_ITERS seconds,
   * then PASS/FAIL lines for the criteria above.
+  * Env: SPARK_GRAFT_ITERS (default 2), SPARK_GRAFT_SKEW_RATIO
+  * (default 2.0).
   */
 object SkewProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val hotPct = args.lift(1).map(_.toInt).getOrElse(20)
-    // "half the queries are hot" (vec_id % 50 below) only holds for
-    // hotPct in [1, 50] — beyond 50 both residue classes are hot and
-    // the mixed-stress labels lie (ADVICE r13)
-    require(hotPct >= 1 && hotPct <= 50,
-      s"hotPct must be in [1, 50], got $hotPct")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "2").toInt
+    val ratio = sys.env.getOrElse("SPARK_GRAFT_SKEW_RATIO", "2.0").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -74,12 +84,41 @@ object SkewProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val failures = run(spark, sfDir, hotPct, iters, ratio)
+
+    spark.stop()
+    if (failures.nonEmpty) {
+      failures.foreach(f => println(s"SKEWPROBE_FAIL $f"))
+      sys.exit(1)
+    }
+    println("SKEWPROBE_PASS all shapes within budget")
+  }
+
+  /** The whole probe as a callable: builds the skewed corpora under a
+    * temp dir (cleaned up on exit), times every (kernel, shape) pair,
+    * asserts shape equivalence (row counts MUST match — throws if
+    * not), and returns the list of exit-criteria failures (empty =
+    * pass). `sbt test` runs this at sf0.001 / iters=1 / ratio=4 via
+    * SkewProbeSpec so a skew-shape regression fails CI (VERDICT r14
+    * #1–2); the main above runs it at sf0.1 / ratio=2 for
+    * authoritative quiet-host measurements. */
+  def run(spark: SparkSession, sfDir: String, hotPct: Int = 20,
+          iters: Int = 2, ratio: Double = 2.0): Seq[String] = {
+    // "half the queries are hot" (vec_id % 50 below) only holds for
+    // hotPct in [1, 50] — beyond 50 both residue classes are hot and
+    // the mixed-stress labels lie (ADVICE r13)
+    require(hotPct >= 1 && hotPct <= 50,
+      s"hotPct must be in [1, 50], got $hotPct")
+    require(ratio >= 1.0, s"ratio must be >= 1, got $ratio")
+
     // skewed corpus: hotPct% of docs carry doc 0's exact text. Written
     // to parquet so every timed plan reads the same on-disk input (a
     // lazily-recomputed join-in would distort the timings).
     val docs = Tables.documents(spark, sfDir)
     val hotText = docs.orderBy("doc_id").select("text").limit(1)
-    val skewDir = java.nio.file.Files.createTempDirectory("skewprobe").toString
+    val skewPath = java.nio.file.Files.createTempDirectory("skewprobe")
+    val skewDir = skewPath.toString
+    try {
     docs.crossJoin(broadcast(hotText.select(col("text").as("__hot"))))
       .select(col("doc_id"),
         when(col("doc_id") % 100 < hotPct, col("__hot"))
@@ -107,19 +146,21 @@ object SkewProbe {
       rows
     }
 
-    /** criterion (a): the aggregate rewrite must stay within 2× of the
-      * window shape it replaced. */
+    /** criterion (a): the aggregate rewrite must stay within ratio× of
+      * the window shape it replaced. */
     def gateAggVsWindow(kernel: String, windowShape: String, aggShape: String): Unit =
       for (w <- secs.get((kernel, windowShape)); a <- secs.get((kernel, aggShape)))
-        if (a > 2.0 * w)
-          failures += f"$kernel: agg ${a}%.2fs > 2x window ${w}%.2fs"
+        if (a > ratio * w)
+          failures += f"$kernel: agg ${a}%.2fs > ${ratio}%.1fx window ${w}%.2fs"
 
     // ---- 0. ingest dedup: one hot key at hotPct% of the events table ----
     // The reference's signature operator (load_hhs.py:75) under the
     // 100 TB nightmare input: a single hospital_pk/user_id carrying
     // hotPct% of the batch, FULL ROW WIDTH (ts, type, value, props)
-    // riding the shuffle. Window shape = the pre-r14 etl.Dedup
-    // verbatim; agg shape = the library's current min/max(struct).
+    // riding the shuffle. Window shape = etl.Dedup.firstOccurrenceWins
+    // / latestWins verbatim as of commit 7ae2c59 (the last pre-rewrite
+    // revision; replaced by the min/max(struct) aggregate in 6c5b3a1);
+    // agg shape = the library's current kernel.
     val events = Tables.events(spark, sfDir)
     events.select(
         when(pmod(col("event_id"), lit(100)) < hotPct, lit(0L))
@@ -152,6 +193,9 @@ object SkewProbe {
     gateAggVsWindow("ingest_latest_wins", "window", "agg")
 
     // ---- 1. exact dedup: hot fingerprint ----
+    // Window shape = TextDedup.exactDedup verbatim as of commit
+    // d094bb3 (the last pre-rewrite revision; replaced by the
+    // agg+semi-join shape in edbd999, r13).
     val w1 = Window.partitionBy(TextFunctions.fingerprint(col("text")))
       .orderBy(col("doc_id"))
     val r1w = time("exact_dedup", "window") {
@@ -166,7 +210,11 @@ object SkewProbe {
 
     // ---- 2. segment dedup: hot segments ----
     // window shape on the same `segmented` intermediate the library
-    // builds internally (reconstructed: tokens → strided slices)
+    // builds internally (reconstructed: tokens → strided slices).
+    // Window form = TextDedup.segmentDedup's rank stage verbatim as of
+    // commit d094bb3 (the last pre-rewrite revision; replaced in
+    // edbd999, r13); the segmentation prefix mirrors the CURRENT
+    // library intermediate, so both shapes time the same input.
     def segs = corpus
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__toks"))
       .filter(size(col("__toks")) > 0)
@@ -188,6 +236,9 @@ object SkewProbe {
     gateAggVsWindow("segment_first_wins", "window", "agg")
 
     // ---- 3. star pairing: hot bucket in every band ----
+    // Window form = TextDedup.minHashCandidates' per-bucket min stage
+    // verbatim as of commit d094bb3 (pre-edbd999, r13: min(id) OVER
+    // (PARTITION BY band) — replaced by groupBy min + equi-join back).
     val banded = TextDedup.withMinHashSig(corpus, k = 3, nHashes = 32)
       .withColumn("band", explode(array((0 until 8).map(bId =>
         struct(lit(bId).as("band_id"),
@@ -282,22 +333,25 @@ object SkewProbe {
       }
     }
 
-    // criterion (b): hot/uniform TIME ratio must not exceed 2× the
+    // criterion (b): hot/uniform TIME ratio must not exceed ratio× the
     // hot/uniform CANDIDATE ratio — time decoupling from work is the
     // task-cliff signature the kernels are designed out of
     for (kernel <- Seq("ivf_topk", "lsh_topk")) {
       val tRatio = secs((kernel, "hot")) / secs((kernel, "uniform"))
       val cRatio = math.max(1.0,
         cands((kernel, "hot")).toDouble / cands((kernel, "uniform")))
-      if (tRatio > 2.0 * cRatio)
-        failures += f"$kernel: hot/uniform time ${tRatio}%.2fx > 2x candidate ratio ${cRatio}%.2fx"
+      if (tRatio > ratio * cRatio)
+        failures += f"$kernel: hot/uniform time ${tRatio}%.2fx > ${ratio}%.1fx candidate ratio ${cRatio}%.2fx"
     }
 
-    spark.stop()
-    if (failures.nonEmpty) {
-      failures.foreach(f => println(s"SKEWPROBE_FAIL $f"))
-      sys.exit(1)
+    failures.toSeq
+    } finally {
+      // probe corpora are throwaway — never leave temp parquet behind
+      // (same hygiene as the gn_edge fixture, ADVICE r13)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(skewPath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
-    println("SKEWPROBE_PASS all shapes within budget")
   }
 }

@@ -32,8 +32,10 @@ import org.apache.spark.sql.functions._
   *    avoids nulls (= desc_nulls_last).
   *  - Rows whose columns include a non-orderable type (MapType) cannot
   *    ride a min(struct(...)); those fall back to min-order-per-key +
-  *    left-semi join back on (keys, orderCols) — the TextDedup
-  *    .exactDedup shape, whose residual join skew IS AQE-splittable.
+  *    null-safe (<=>) left-semi join back on (keys, orderCols) — the
+  *    TextDedup.exactDedup shape, whose residual join skew IS
+  *    AQE-splittable. Null-safe so a null key group (or a null winning
+  *    orderCol) keeps its row exactly like the struct branch does.
   *  - `antiJoinExisting` plans as broadcast-hash anti-join when the
   *    existing-keys side is small (e.g. a dimension being topped up) and
   *    shuffled sort-merge otherwise — Catalyst/AQE decides from stats.
@@ -64,6 +66,15 @@ object Dedup {
     * carried column is not orderable (MapType). */
   private def pickOnePerKey(df: DataFrame, keys: Seq[String],
                             orderCols: Seq[String], latest: Boolean): DataFrame = {
+    // Degenerate inputs fail fast on EVERY path, not just the fallback:
+    // duplicate names among (keys ++ orderCols) would build a struct with
+    // ambiguous fields (e.g. latestWins with orderCol == tieCol), and an
+    // input column named like our agg alias would collide on unpack.
+    val joinCols = keys ++ orderCols
+    require(joinCols.distinct == joinCols,
+      s"keys and order columns must be distinct: $joinCols")
+    require(!df.columns.contains(PickAlias),
+      s"input must not contain a column named $PickAlias")
     val keySet = keys.toSet
     val rest = df.columns.filterNot(c => keySet.contains(c) || orderCols.contains(c)).toSeq
     val pick: Column => Column = if (latest) max else min
@@ -71,23 +82,28 @@ object Dedup {
     if (rest.forall(c => RowOrdering.isOrderable(df.schema(c).dataType))) {
       val packed = struct((orderCols ++ rest).map(col).toIndexedSeq: _*)
       df.groupBy(keyCols: _*)
-        .agg(pick(packed).as("__pick"))
+        .agg(pick(packed).as(PickAlias))
         .select(df.columns.toIndexedSeq.map { c =>
-          if (keySet.contains(c)) col(c) else col("__pick").getField(c).as(c)
+          if (keySet.contains(c)) col(c) else col(PickAlias).getField(c).as(c)
         }: _*)
     } else {
       // keep only the per-key extreme of the order columns, join back —
       // (keys ++ orderCols) must identify a unique row (the orderCol
-      // contract above), else ties all survive the semi-join
-      val joinCols = keys ++ orderCols
-      require(joinCols.distinct == joinCols,
-        s"keys and order columns must be distinct for the semi-join fallback: $joinCols")
+      // contract above), else ties all survive the semi-join. The join
+      // condition is null-SAFE (<=>): the struct branch keeps a row for
+      // a null key group (and min picks a null orderCol value first,
+      // matching asc_nulls_first), so the fallback must match those
+      // groups too instead of silently dropping every row in them.
       val picked = df.groupBy(keyCols: _*)
-        .agg(pick(struct(orderCols.map(col).toIndexedSeq: _*)).as("__pick"))
-        .select((keyCols ++ orderCols.map(c => col("__pick").getField(c).as(c))): _*)
-      df.join(picked, joinCols, "left_semi")
+        .agg(pick(struct(orderCols.map(col).toIndexedSeq: _*)).as(PickAlias))
+        .select((keys.map(c => col(c).as(s"__r_$c")) ++
+                 orderCols.map(c => col(PickAlias).getField(c).as(s"__r_$c"))).toIndexedSeq: _*)
+      val cond = joinCols.map(c => df(c) <=> picked(s"__r_$c")).reduce(_ && _)
+      df.join(picked, cond, "left_semi")
     }
   }
+
+  private val PickAlias = "__pick"
 
   /** D3 cross-load dedup: drop rows whose key already exists in the
     * warehouse (reference: load_quality.py:122-126 set-based IN probe).

@@ -193,9 +193,17 @@ object StreamingIngest {
     * contract here, and the same "first = arrival order" rule the
     * reference's loader implements, load_hhs.py:75). */
   def firstWinsIngestStream(stream: DataFrame, keys: Seq[String],
-                            orderCol: String, outDir: String)
+                            orderCol: String, outDir: String,
+                            checkpointDir: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream.trigger(Trigger.AvailableNow())
+      // Durable checkpoint by default (like the HHS streams above): an
+      // interrupted run resumes from the last committed batch instead
+      // of re-listing the whole source and leaning on the anti-join
+      // for idempotence. Callers can point it elsewhere (or at a temp
+      // dir in tests).
+      .option("checkpointLocation",
+              checkpointDir.getOrElse(s"$outDir/_checkpoints/first_wins"))
       .foreachBatch { (b: DataFrame, _: Long) =>
         val sp = b.sparkSession
         val existing =
@@ -206,6 +214,38 @@ object StreamingIngest {
             graft.etl.Dedup.firstOccurrenceWins(b, keys, orderCol),
             existing, keys)
           .write.mode("append").parquet(outDir)
+      }.start()
+
+  /** STREAMING LATEST-WINS INGEST — the CDC-flavored complement of
+    * [[firstWinsIngestStream]], running the SAME batch kernel
+    * ([[graft.etl.Dedup.latestWins]]) per micro-batch so the stream==
+    * batch parity pin (StreamingSpec, r15) covers whatever shape the
+    * kernel carries (the r14 min/max(struct) aggregate today). Unlike
+    * first-wins, a later batch can SUPERSEDE stored rows, so an
+    * append-only sink can't express it; state lives in the
+    * generational table protocol ([[maintainCdcState]]'s): per batch,
+    * current state ∪ new rows → latestWins → gen-<batchId> commit,
+    * _SUCCESS-gated, replay-idempotent (a replayed batch rebuilds the
+    * same generation from the same <batchId-exclusive state). Read the
+    * live table with [[currentAggState]]. Equal to the batch kernel
+    * over the concatenated input because latestWins is associative
+    * over row sets: max-by-(orderCol, tieCol) of a union is the max of
+    * per-part maxes. */
+  def latestWinsIngestStream(stream: DataFrame, keys: Seq[String],
+                             orderCol: String, tieCol: String,
+                             stateDir: String,
+                             checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+              checkpointDir.getOrElse(s"$stateDir/_checkpoints/latest_wins"))
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        val sp = b.sparkSession
+        val merged = currentAggState(sp, stateDir, maxExclusive = Some(batchId))
+          .map(_.unionByName(b)).getOrElse(b)
+        graft.etl.Dedup.latestWins(merged, keys, orderCol, tieCol)
+          .write.mode("overwrite").parquet(s"$stateDir/gen-$batchId")
+        pruneGenerations(sp, stateDir, keepAtOrAbove = batchId - 1)
       }.start()
 
   /** STREAMING END-TO-END HHS INGEST: the whole batch warehouse load

@@ -48,4 +48,52 @@ class DedupSpec extends SparkSpec {
     val again = Dedup.antiJoinExisting(fresh, existing, Seq("k"))
     assert(again.count() == fresh.count())
   }
+
+  test("semi-join fallback keeps null keys and null order values (null-safe join)") {
+    import org.apache.spark.sql.functions._
+    // ADVICE r14 (medium): the fallback's join was null-UNSAFE — a
+    // null key group, or a key whose winning orderCol is null, matched
+    // nothing and every row of the group vanished, so row counts
+    // diverged from the struct branch on the same call. Pin: a corpus
+    // with a null key group AND a null-orderCol winner, run through
+    // BOTH branches (with/without a MapType column), returns the same
+    // keys and the same picked order values.
+    val base = Seq(
+      (Option("a"), Option(5L), "a5"), (Option("a"), None, "aNull"),
+      (None, Option(1L), "n1"), (None, Option(2L), "n2"),
+      (Option("b"), Option(7L), "b7"))
+      .toDF("k", "ord", "tag")
+    val withMap = base.withColumn("props", map(lit("t"), col("tag")))
+    val structBranch = Dedup.firstOccurrenceWins(base, Seq("k"), "ord")
+      .select("k", "ord", "tag").as[(Option[String], Option[Long], String)]
+      .collect().toSet
+    val fallback = Dedup.firstOccurrenceWins(withMap, Seq("k"), "ord")
+      .select("k", "ord", "tag").as[(Option[String], Option[Long], String)]
+      .collect().toSet
+    // min(struct) sorts nulls first ascending: key "a" keeps its
+    // null-ord row; the null key group survives with its min
+    val expect = Set(
+      (Option("a"), Option.empty[Long], "aNull"),
+      (Option.empty[String], Option(1L), "n1"),
+      (Option("b"), Option(7L), "b7"))
+    assert(structBranch == expect)
+    assert(fallback == expect)
+  }
+
+  test("degenerate inputs fail fast on every branch") {
+    val df = Seq(("a", 1L, 2L)).toDF("k", "ord", "__pick")
+    // reserved alias collision — caught before any plan is built
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.firstOccurrenceWins(df, Seq("k"), "ord")
+    }
+    assert(e1.getMessage.contains("__pick"))
+    // latestWins with orderCol == tieCol would build a struct with
+    // duplicate field names; the distinctness require now guards the
+    // struct branch too, not just the fallback (ADVICE r14)
+    val df2 = Seq(("a", 1L, "x")).toDF("k", "ord", "v")
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.latestWins(df2, Seq("k"), "ord", "ord")
+    }
+    assert(e2.getMessage.contains("distinct"))
+  }
 }

@@ -412,6 +412,49 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("streaming latest-wins ingest equals the batch kernel with late updates on a hot key") {
+    import graft.etl.Dedup
+    val srcDir = s"$stagingDir/lw_src"
+    val stateDir = s"$stagingDir/lw_state"
+    // duplicate-heavy fixture with LATE UPDATES: keys 0-6 repeat within
+    // and across batches, k=0 is HOT (a third of batch 0 — the skew
+    // shape the r14 aggregate kernel exists for). Batch 2 carries both
+    // a genuinely-newer row for k=1 (higher ts → must supersede state)
+    // and a STALE row for k=2 (ts below its stored winner → must NOT),
+    // so the pin covers supersede and keep in one run. ord is the
+    // unique tie-break (the kernel's documented contract).
+    val base = (0L until 200L).map { i =>
+      val k = if (i < 100 && i % 3 == 0) 0L else i % 7
+      (i, k, i % 40, s"payload$i") // ts = i % 40: late batches aren't all-newer
+    }
+    // fresh update for k=1 at ts 99 (above every base ts), stale row
+    // for k=2 at ts 0 (below its stored winner)
+    val lateRows = Seq((200L, 1L, 99L, "fresh1"), (201L, 2L, 0L, "stale2"))
+    val all = base.map { case (o, k, t, p) => (o, k, t.toLong, p) } ++ lateRows
+    all.grouped(101).zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("ord", "k", "ts", "payload").coalesce(1)
+        .write.mode("overwrite").parquet(s"$srcDir/f$i")
+      Thread.sleep(1100) // distinct mtimes → FileStreamSource order
+    }
+    val schema = all.take(1).toDF("ord", "k", "ts", "payload").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$srcDir/*")
+    val q = StreamingIngest.latestWinsIngestStream(
+      stream, Seq("k"), "ts", "ord", stateDir)
+    q.awaitTermination()
+    val got = StreamingIngest.currentAggState(spark, stateDir).get
+      .select("ord", "k", "ts", "payload")
+    val want = Dedup.latestWins(
+      all.toDF("ord", "k", "ts", "payload"), Seq("k"), "ts", "ord")
+    assert(got.count() == 7 && want.count() == 7)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    // the late fresh row won its key; the late stale row did not
+    import spark.implicits._
+    val byKey = got.select("k", "payload").as[(Long, String)].collect().toMap
+    assert(byKey(1L) == "fresh1")
+    assert(byKey(2L) != "stale2")
+  }
+
   test("streaming CDC state equals batch apply; tombstone blocks late resurrection") {
     import spark.implicits._
     val srcDir = s"$stagingDir/cdc_src"
