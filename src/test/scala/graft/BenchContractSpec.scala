@@ -1,0 +1,31 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench harness's cross-file contracts (r15): the 11-query
+  * truth-probe list exists in THREE places that must agree — the
+  * Scala constant (`Bench.probeQueries`, drives the skip mode and the
+  * production/probe split in every history line), the Python mirror
+  * (`scripts/decade_table.py::PROBES`, drives the decade-table split
+  * rows), and the query registry itself (a renamed query would
+  * silently fall out of the probe set and shift every recorded split
+  * without any run failing). */
+class BenchContractSpec extends AnyFunSuite {
+
+  test("every probe-list entry is a registered query") {
+    val unknown = Bench.probeQueries.diff(SparkEntry.queries.keySet)
+    assert(unknown.isEmpty,
+      s"probe list names unregistered queries (renamed?): $unknown")
+  }
+
+  test("the Python PROBES mirror in decade_table.py matches Bench.probeQueries") {
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("scripts/decade_table.py")), "UTF-8")
+    // parse the PROBES = { "...", ... } block literally
+    val block = src.split("PROBES = \\{")(1).split("\\}")(0)
+    val py = "\"([a-z0-9_]+)\"".r.findAllMatchIn(block).map(_.group(1)).toSet
+    assert(py == Bench.probeQueries,
+      s"probe lists drifted: python-only=${py.diff(Bench.probeQueries)} " +
+        s"scala-only=${Bench.probeQueries.diff(py)}")
+  }
+}
