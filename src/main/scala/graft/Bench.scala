@@ -47,17 +47,73 @@ object Bench {
     "sd01_semantic_dedup", "dd06_dup_clusters", "bj01_band_join",
     "dd13_best_of_cluster", "sm04_leakage_safe_split")
 
+  /** HOST-MODE CALIBRATION (VERDICT r15 #2): the host is measurably
+    * bimodal (NOTES_r9; NOTES_r15 refined it — CPU-dense kernels drift
+    * 1.6–2× in the slow ambient mode while scan/shuffle drifts only
+    * 1.1–1.2×, with no competing process and nominal clocks), and three
+    * rounds have now spent triage hours deciding by hand whether a
+    * suite total moved because of code or because of the host. This
+    * runs two fixed DATA-INDEPENDENT probes before any recorded pass —
+    * one compute-dense (md5 + base-conv over a range: string alloc +
+    * hash loop, the kernel class that drifts hardest), one
+    * shuffle-dense (range → 1M-key groupBy → count) — and stamps their
+    * min-of-2 seconds into the history line together with the ratio vs
+    * the best calibration EVER RECORDED on this host
+    * (bench/calib_history.jsonl, append-only). Classification is
+    * self-calibrating: the best-known line defines fast mode, so the
+    * stamp needs no a-priori constants and tightens as fast-mode
+    * sessions append. Rule of thumb from the r15 retakes: cpu_vs_best
+    * ≳ 1.35 is the slow ambient mode; don't chase per-query
+    * regressions on such a line. */
+  def calibrate(spark: SparkSession): (Double, Double) = {
+    import org.apache.spark.sql.functions._
+    def timeMin(mk: => Unit): Double = {
+      var best = Double.MaxValue
+      for (_ <- 1 to 3) {
+        val t0 = System.nanoTime()
+        mk
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      best
+    }
+    def cpuJob(n: Long): Unit = spark.range(0, n, 1, 32)
+      .select(sum(conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10)
+        .cast("decimal(38,0)")).as("s"))
+      .head()
+    def shuffleJob(n: Long): Unit = spark.range(0, n, 1, 32)
+      .groupBy(pmod(col("id") * 2654435761L, lit(1000000L)).as("k"))
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")), count(lit(1))).head()
+    cpuJob(1000000L); shuffleJob(1000000L) // codegen/JIT warmup, untimed
+    (timeMin(cpuJob(8000000L)), timeMin(shuffleJob(30000000L)))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
     val skipProbes = sys.env.getOrElse("SPARK_GRAFT_SKIP_PROBES", "0") == "1"
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_CONCURRENT=N (N>=2) → timed passes submit all queries
+    // to an N-thread pool, one FAIR scheduler pool per query, and the
+    // recorded value is the BATCH WALL-CLOCK (VERDICT r15 #3: ~0.4 s of
+    // per-query job setup × 190 queries is half the sequential sf0.1
+    // total — the scheduler floor amortizes when submission overlaps).
+    // Sequential mode (driver default) is untouched; concurrent lines
+    // carry "concurrent":N so tooling never mixes the two populations.
+    val concurrent = sys.env.get("SPARK_GRAFT_CONCURRENT")
+      .map(_.trim.toInt).filter(_ >= 2)
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+    val spark = concurrent.fold(builder0)(_ =>
+      // FAIR across per-query pools; pools materialize on demand with
+      // weight 1 / minShare 0, so no allocation file is needed. Only
+      // set in concurrent mode — sequential lines stay bit-comparable
+      // with the r8+ history.
+      builder0.config("spark.scheduler.mode", "FAIR"))
       // A full-suite decade run keeps one JVM alive for hours across
       // ~550 query executions, and broadcast/shuffle state is only
       // reclaimed when the DRIVER GCs the referencing objects — with a
@@ -70,6 +126,54 @@ object Bench {
       .config("spark.cleaner.periodicGC.interval", "5min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Host-mode stamp, taken BEFORE warmup so it reads the same ambient
+    // state the recorded passes will run under. SPARK_GRAFT_CALIB=0
+    // skips it (sub-minute targeted runs where 10 s of probe dominates).
+    val calibJson =
+      if (sys.env.getOrElse("SPARK_GRAFT_CALIB", "1") == "0") ""
+      else {
+        val (cpuS, shufS) = calibrate(spark)
+        val histPath = java.nio.file.Paths.get("bench/calib_history.jsonl")
+        // best-ever is only meaningful within one local[N] config: the
+        // kernels use fixed work sizes, so a local[4] line would read
+        // as "4x slow mode" against a local[32] best
+        def priorBest(key: String): Option[Double] =
+          if (!java.nio.file.Files.exists(histPath)) None
+          else {
+            val re = (s""""$key":([0-9.]+)""").r
+            val vals = scala.jdk.CollectionConverters
+              .ListHasAsScala(java.nio.file.Files.readAllLines(histPath)).asScala
+              .filter(_.contains(s""""cpus":$cpus"""))
+              .flatMap(l => re.findFirstMatchIn(l).map(_.group(1).toDouble))
+            if (vals.isEmpty) None else Some(vals.min)
+          }
+        val cpuBest = priorBest("cpu_s").fold(cpuS)(math.min(_, cpuS))
+        val shufBest = priorBest("shuffle_s").fold(shufS)(math.min(_, shufS))
+        val uncalibrated = priorBest("cpu_s").isEmpty
+        val cpuR = cpuS / cpuBest
+        val shufR = shufS / shufBest
+        // thresholds from the r15 triage rule: compute-dense kernels
+        // drift >=1.35x in the slow ambient mode (observed 1.6-2x at
+        // the converged retakes), <=1.2x is within fast-mode noise
+        val mode =
+          if (uncalibrated) "uncalibrated"
+          else if (cpuR <= 1.2) "fast"
+          else if (cpuR >= 1.35) "slow"
+          else "mid"
+        val line = f"""{"cpu_s":$cpuS%.3f,"shuffle_s":$shufS%.3f,"cpus":$cpus,"ts":"${java.time.Instant.now()}"}"""
+        try {
+          java.nio.file.Files.createDirectories(histPath.getParent)
+          java.nio.file.Files.writeString(histPath, line + "\n",
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.APPEND)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] calib history append failed: ${e.getMessage}")
+        }
+        System.err.println(
+          f"[bench] calib cpu=$cpuS%.2fs (${cpuR}%.2fx best) shuffle=$shufS%.2fs (${shufR}%.2fx best) mode=$mode")
+        f""","cpus":$cpus,"calib":{"cpu_s":$cpuS%.3f,"shuffle_s":$shufS%.3f,"cpu_vs_best":$cpuR%.2f,"shuffle_vs_best":$shufR%.2f,"mode":"$mode"}"""
+      }
 
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
             dir: String): Unit =
@@ -158,24 +262,59 @@ object Bench {
     // name -> (exception class, stack-log path) of the FIRST failing
     // pass, for the history line
     val failedDetail = scala.collection.mutable.LinkedHashMap.empty[String, (String, String)]
-    val passes = (1 to iters).map { it =>
-      val pass = queries.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { run(fn, sfDir); true }
-          catch { case e: Throwable =>
+    // One timed execution of one query. Failure bookkeeping is
+    // synchronized because concurrent mode calls this from pool threads.
+    def timedOne(it: Int, name: String,
+                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (String, (Double, Boolean)) = {
+      val t0 = System.nanoTime()
+      val ok =
+        try { run(fn, sfDir); true }
+        catch { case e: Throwable =>
+          val log = logFailure(s"pass$it", name, e)
+          failed.synchronized {
             failed += name
-            val log = logFailure(s"pass$it", name, e)
             if (!failedDetail.contains(name))
               failedDetail(name) = (e.getClass.getName, log)
-            System.err.println(
-              s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage} (stack: $log)")
-            false
           }
-        val secs = (System.nanoTime() - t0) / 1e9
-        progress(s"pass$it", name, secs, ok)
-        name -> (secs, ok)
+          System.err.println(
+            s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage} (stack: $log)")
+          false
+        }
+      val secs = (System.nanoTime() - t0) / 1e9
+      progress(s"pass$it", name, secs, ok)
+      name -> (secs, ok)
+    }
+    // wall-clock of each whole pass — in concurrent mode THIS is the
+    // headline number (per-query times are contended and only sum to
+    // CPU-ish attribution, not elapsed time)
+    val passWalls = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val passes = (1 to iters).map { it =>
+      val w0 = System.nanoTime()
+      val pass = concurrent match {
+        case None =>
+          queries.map { case (name, fn) => timedOne(it, name, fn) }
+        case Some(n) =>
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+          try {
+            import scala.concurrent.{Await, ExecutionContext, Future}
+            import scala.concurrent.duration.Duration
+            implicit val ec: ExecutionContext =
+              ExecutionContext.fromExecutorService(pool)
+            val futs = queries.map { case (name, fn) =>
+              Future {
+                // one FAIR pool per query: equal weight, so a heavy
+                // probe can't starve the scheduler-floor queries whose
+                // setup time this mode exists to amortize
+                spark.sparkContext.setLocalProperty(
+                  "spark.scheduler.pool", s"bench_$name")
+                timedOne(it, name, fn)
+              }
+            }
+            Await.result(Future.sequence(futs), Duration.Inf)
+          } finally pool.shutdown()
       }
+      passWalls += (System.nanoTime() - w0) / 1e9
       spark.catalog.clearCache()
       graft.vector.ProductQuantizer.releaseCentroids()
       pass
@@ -189,7 +328,11 @@ object Bench {
       val okTimes = times.collect { case (t, true) => t }
       name -> (if (okTimes.nonEmpty) okTimes.min else times.map(_._1).min)
     }
-    val total = results.map(_._2).sum
+    // sequential: total = sum of per-query minimums (the r1+ headline).
+    // concurrent: total = min batch wall-clock — the number the mode
+    // exists to measure; the per-query sum would double-count overlap.
+    val total =
+      if (concurrent.isDefined) passWalls.min else results.map(_._2).sum
     // production/probe split (VERDICT r14 #3): the 11 truth probes are
     // Θ(output) by definition and cost ~half of sf10 wall-clock; every
     // line carries both components so decade tables can track the
@@ -215,7 +358,8 @@ object Bench {
     // skip-probes runs are partial within the nn/dd/fz/sd/bj/sm
     // families — their subtotals would trip the bands spuriously, same
     // rationale as the `only` exclusion above
-    if (only.isEmpty && !skipProbes && java.nio.file.Files.exists(budgetsPath)) {
+    if (only.isEmpty && !skipProbes && concurrent.isEmpty &&
+        java.nio.file.Files.exists(budgetsPath)) {
       val lines = scala.jdk.CollectionConverters
         .ListHasAsScala(java.nio.file.Files.readAllLines(budgetsPath)).asScala
       val budgetSf = lines.collectFirst {
@@ -274,10 +418,14 @@ object Bench {
       s""","corpus":{"id":"$corpusId","files":$corpusFiles,"bytes":$corpusBytes,"dirty":$corpusDirty}"""
     val splitJson =
       s""","total_production":${r3(prodTotal)},"total_probe":${r3(probeTotal)},"skip_probes":$skipProbes"""
+    // concurrent lines are a separate population: flagged with the pool
+    // width so cross-round tooling never compares them to sequential
+    // totals (per-query values on such a line are contended)
+    val concurrentJson = concurrent.map(n => s""","concurrent":$n""").getOrElse("")
     val failedDetailJson = failedDetail.map { case (n, (cls, log)) =>
       s""""$n":{"class":"$cls","log":"$log"}""" }.mkString(",\"failed_detail\":{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","ts":"$stamp","iters":$iters$onlyJson$splitJson,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson$failedDetailJson,"families":$famJson,"queries":$all$corpusJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","ts":"$stamp","iters":$iters$onlyJson$splitJson$concurrentJson$calibJson,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson$failedDetailJson,"families":$famJson,"queries":$all$corpusJson,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_full.json"), fullLine)
     try {
@@ -289,8 +437,20 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] history append failed: ${e.getMessage}")
     }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","iters":$iters$onlyJson$splitJson,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"queries":$top,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","iters":$iters$onlyJson$splitJson$concurrentJson,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"queries":$top,"sf":"$sfDir"}""")
     spark.stop()
     if (corpusDirty) sys.exit(1)
+    // Exit nonzero past a failure threshold (ADVICE r15, medium): the
+    // r14-style SIGTERM cascade failed 183 queries yet exited 0, so
+    // every pipeline above it reported success. Threshold (not >0)
+    // matches decade_table.py's MAX_ACCEPTED_FAILURES=3 — rare 1-in-10
+    // codec transients shouldn't abort a 3 h decade pipeline, a
+    // cascade must.
+    val maxFailed = sys.env.getOrElse("SPARK_GRAFT_MAX_FAILED", "3").toInt
+    if (failed.size > maxFailed) {
+      System.err.println(
+        s"[bench] ${failed.size} queries failed (> $maxFailed allowed) - exiting nonzero")
+      sys.exit(2)
+    }
   }
 }

@@ -30,6 +30,15 @@ object IngestBench {
     val dirs = if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1",
                "/root/repo/corpora/sf1")
+    // fail fast BEFORE any history line is appended: the default ladder
+    // includes corpora/sf1 (a ScaleUp artifact), and crashing mid-run on
+    // a fresh checkout used to leave a partial ladder in the committed
+    // history (ADVICE r15)
+    val missing = dirs.filterNot(d => java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(d)))
+    require(missing.isEmpty,
+      s"missing input dir(s): ${missing.mkString(", ")} — run graft.ScaleUp " +
+        "first (corpora/sfN dirs are built artifacts, not checked in)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "2").toInt.max(1)
     val spark = SparkSession.builder()

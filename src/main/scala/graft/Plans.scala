@@ -494,6 +494,26 @@ object Plans {
     Check("x06_portable_hll_state", Seq("md5", "HashAggregate"),
       wantNone = Seq("Join", "Window", "Generate"),
       shuffles = Some(2)),
+    // grouped sketch bounds (r16: the x02/x03 oracle re-registration).
+    // x02: exact-distinct expand + HLL partials ride ONE grouped
+    // frame — two-phase hash aggregation, never a join or window;
+    // 3 shuffles = distinct two-phase + presentation sort.
+    Check("x02_approx_distinct", Seq("Expand", "HashAggregate"),
+      wantNone = Seq("Join", "Window"), shuffles = Some(3)),
+    // x03: per-group GK sketches (ObjectHashAggregate partial/final),
+    // the 5-row quartile frame BROADCASTS back onto the scan, rank
+    // counts hash-aggregate; 3 shuffles = sketch agg + rank agg +
+    // presentation sort. A SortMergeJoin here means the broadcast hint
+    // regressed and the whole orders scan would shuffle at 100 TB.
+    Check("x03_approx_quartiles",
+      Seq("ObjectHashAggregate", "BroadcastHashJoin"),
+      wantNone = Seq("SortMergeJoin", "Window"), shuffles = Some(3)),
+    // dp02 accuracy gate: two single-aggregate-row profile frames
+    // (6 rows each after the stack Generate) meet in a broadcast join;
+    // 3 shuffles = the two profile aggregations' exchanges + the exact
+    // side's distinct phase
+    Check("dp02_profile_approx_bound", Seq("BroadcastHashJoin", "Generate"),
+      wantNone = Seq("SortMergeJoin", "Window"), shuffles = Some(3)),
     // covariance matrix: row-local pair explode into ONE partial-agg
     // shuffle keyed by (i,j); join- and window-free
     Check("cv01_covariance_matrix", Seq("Generate", "HashAggregate"),
@@ -648,6 +668,14 @@ object Plans {
         println(s"SHUFFLES $name $n")
       }
     }
+    // ad-hoc plan inspection while seeding pins for a NEW query (the
+    // checks above only dump pinned queries): --explain name1,name2
+    args.sliding(2).collectFirst { case Array("--explain", names) => names }
+      .foreach(_.split(',').map(_.trim).filter(_.nonEmpty).foreach { name =>
+        println(s"\n===== $name =====")
+        println(SparkEntry.queries(name)(spark, sfDir).queryExecution
+          .explainString(ExplainMode.fromString("formatted")))
+      })
     if (args.contains("--dump")) {
       checks.foreach { c =>
         println(s"\n===== ${c.query} =====")

@@ -73,7 +73,10 @@ object SkewProbe {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val hotPct = args.lift(1).map(_.toInt).getOrElse(20)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "2").toInt
+    // .max(1) matches Bench's clamp: ITERS=0 would make every timed
+    // loop a no-op (rows=0, best=MaxValue) and the shape-equivalence
+    // requires would pass vacuously on 0==0 (ADVICE r15)
+    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "2").toInt.max(1)
     val ratio = sys.env.getOrElse("SPARK_GRAFT_SKEW_RATIO", "2.0").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -347,11 +350,15 @@ object SkewProbe {
     failures.toSeq
     } finally {
       // probe corpora are throwaway — never leave temp parquet behind
-      // (same hygiene as the gn_edge fixture, ADVICE r13)
+      // (same hygiene as the gn_edge fixture, ADVICE r13); the walk
+      // stream itself must close too, or every probe run — including
+      // each `sbt test` via SkewProbeSpec — leaks a directory handle
+      // (ADVICE r15)
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(skewPath).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      val walk = java.nio.file.Files.walk(skewPath)
+      val paths = try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+        finally walk.close()
+      paths.foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
 }

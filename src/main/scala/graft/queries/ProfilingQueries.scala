@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
@@ -23,43 +24,57 @@ object ProfilingQueries {
     * with partial (map-side) aggregation, and adding a column adds
     * three expressions, not a pass. The deliberate scale caveat is
     * `countDistinct`: exact distinct on a high-cardinality key
-    * shuffles that column's values; at 100 TB swap those entries for
-    * `approx_count_distinct` (the x02 HLL path) — the profile contract
+    * shuffles that column's values; at 100 TB flip the
+    * [[ordersProfile]] `approx` knob to HLL++ sketches — wired and
+    * oracle-gated as dp02 below (VERDICT r15 #4); the profile contract
     * (one scan, stacked rows) is unchanged. */
   val dp01Profile = QueryDef("dp01_profile",
-    (s, d) => {
+    (s, d) => ordersProfile(s, d, approx = false),
+    Some(dp01OracleSql))
+
+  /** The profiling pass as the reusable KNOB dp01's scaladoc promises
+    * (VERDICT r15 #4): `approx = false` is dp01's exact form;
+    * `approx = true` swaps every exact countDistinct for HLL++
+    * `approx_count_distinct` (rsd 1%) — at 100 TB that removes the
+    * only per-column value shuffle (the expand feeding exact
+    * distinct), leaving one scan with fixed-size mergeable sketches
+    * per column. Identical contract either way: one aggregate row,
+    * stacked to one output row per column. */
+  def ordersProfile(s: SparkSession, d: String, approx: Boolean): DataFrame = {
+      val nd: Column => Column =
+        if (approx) c => approx_count_distinct(c, 0.01) else c => countDistinct(c)
       val price = col("o_totalprice").cast(DecimalType(12, 2))
       val day = col("o_orderdate").cast("date")
       Tables.orders(s, d).agg(
         count(lit(1)).as("n"),
         // o_orderkey
         sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("nn1"),
-        countDistinct(col("o_orderkey")).as("nd1"),
+        nd(col("o_orderkey")).as("nd1"),
         min(col("o_orderkey")).cast("string").as("mn1"),
         max(col("o_orderkey")).cast("string").as("mx1"),
         // o_custkey
         sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("nn2"),
-        countDistinct(col("o_custkey")).as("nd2"),
+        nd(col("o_custkey")).as("nd2"),
         min(col("o_custkey")).cast("string").as("mn2"),
         max(col("o_custkey")).cast("string").as("mx2"),
         // o_orderstatus
         sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L)).as("nn3"),
-        countDistinct(col("o_orderstatus")).as("nd3"),
+        nd(col("o_orderstatus")).as("nd3"),
         min(col("o_orderstatus")).as("mn3"),
         max(col("o_orderstatus")).as("mx3"),
         // o_totalprice (as decimal for stable rendering)
         sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("nn4"),
-        countDistinct(price).as("nd4"),
+        nd(price).as("nd4"),
         min(price).cast("string").as("mn4"),
         max(price).cast("string").as("mx4"),
         // o_orderdate (as date)
         sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("nn5"),
-        countDistinct(day).as("nd5"),
+        nd(day).as("nd5"),
         min(day).cast("string").as("mn5"),
         max(day).cast("string").as("mx5"),
         // o_orderpriority
         sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L)).as("nn6"),
-        countDistinct(col("o_orderpriority")).as("nd6"),
+        nd(col("o_orderpriority")).as("nd6"),
         min(col("o_orderpriority")).as("mn6"),
         max(col("o_orderpriority")).as("mx6"))
         .selectExpr("n", """stack(6,
@@ -73,8 +88,12 @@ object ProfilingQueries {
         .select(col("col_name"), col("n"), col("n_null"), col("n_distinct"),
           col("min_s"), col("max_s"))
         .orderBy("col_name")
-    },
-    Some("""WITH a AS (SELECT COUNT(*) AS n,
+  }
+
+  // lazy: dp01Profile above references this textually-later val — a
+  // strict val would still be null at dp01Profile's init
+  private lazy val dp01OracleSql: String =
+    """WITH a AS (SELECT COUNT(*) AS n,
            |  SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nn1,
            |  COUNT(DISTINCT o_orderkey) AS nd1,
            |  CAST(MIN(o_orderkey) AS VARCHAR) AS mn1, CAST(MAX(o_orderkey) AS VARCHAR) AS mx1,
@@ -105,6 +124,37 @@ object ProfilingQueries {
            |  UNION ALL SELECT n, 'o_totalprice', nn4, nd4, mn4, mx4 FROM a
            |  UNION ALL SELECT n, 'o_orderdate', nn5, nd5, mn5, mx5 FROM a
            |  UNION ALL SELECT n, 'o_orderpriority', nn6, nd6, mn6, mx6 FROM a)
+           |ORDER BY col_name""".stripMargin
+
+  /** The approx knob ORACLE-GATED (the x04 bound pattern): the exact
+    * profile (dp01's frame, which the oracle replays) joined against
+    * the `approx = true` profile on col_name, with a flag pinning each
+    * column's HLL++ estimate within 5× its 1% rsd of the exact
+    * distinct count. The oracle pins `within_bound = true`, so an HLL
+    * regression on ANY profiled column — including the low-cardinality
+    * ones where the sparse encoding must be exact — is a driver-gate
+    * hash mismatch. The exact side exists because the CHECK needs
+    * ground truth; production profiling at 100 TB calls
+    * `ordersProfile(_, _, approx = true)` alone (no expand, no value
+    * shuffle) — this query is the accuracy gate that keeps that knob
+    * honest. Both sides are 6-row frames after their single-scan
+    * aggregates; the join broadcasts. */
+  val dp02ProfileApproxBound = QueryDef("dp02_profile_approx_bound",
+    (s, d) => {
+      val exact = ordersProfile(s, d, approx = false)
+      val appr = ordersProfile(s, d, approx = true)
+        .select(col("col_name"), col("n_distinct").as("nd_approx"))
+      exact.join(broadcast(appr), Seq("col_name"))
+        .select(col("col_name"), col("n"), col("n_null"), col("n_distinct"),
+          col("min_s"), col("max_s"),
+          when(col("n_distinct") === 0, col("nd_approx") === 0)
+            .otherwise(abs(col("nd_approx") - col("n_distinct")).cast(DoubleType) /
+              col("n_distinct") <= 0.05).as("within_bound"))
+        .orderBy("col_name")
+    },
+    Some(s"""SELECT col_name, n, n_null, n_distinct, min_s, max_s,
+           |  true AS within_bound
+           |FROM (${dp01OracleSql.stripSuffix("ORDER BY col_name")})
            |ORDER BY col_name""".stripMargin))
 
   /** PAIRWISE COVARIANCE MATRIX of lineitem's four numeric measures in
@@ -503,7 +553,8 @@ object ProfilingQueries {
     },
     gn01GiniConcentration.oracle)
 
-  val all: Seq[QueryDef] = Seq(dp01Profile, cv01CovarianceMatrix,
+  val all: Seq[QueryDef] = Seq(dp01Profile, dp02ProfileApproxBound,
+    cv01CovarianceMatrix,
     gn01GiniConcentration, gn02GiniBucketed, vg01VocabGrowth,
     cs01TableChecksum, lr01LinearFit)
 }
