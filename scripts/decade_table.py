@@ -51,7 +51,7 @@ def latest_allow_failed(basename):
         d = json.loads(line)
         if os.path.basename(d.get("sf", "").rstrip("/")) != basename:
             continue
-        if d.get("only"):
+        if d.get("only") or d.get("concurrent"):
             continue
         if len(d.get("failed") or []) > MAX_ACCEPTED_FAILURES:
             print(f"# skipping aborted line {d.get('ts')} "

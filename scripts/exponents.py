@@ -34,9 +34,13 @@ def latest(basename):
         # line where a harness SIGTERM stopped the SparkContext mid-pass
         # and every later query failed fast) or a SPARK_GRAFT_BENCH_ONLY
         # subset would silently poison the exponent table.
-        if d.get("n_failed", 0) > 0 or d.get("only"):
+        if d.get("n_failed", 0) > 0 or d.get("only") or d.get("concurrent"):
+            # concurrent-mode lines (r16) are a separate population:
+            # their value is batch wall-clock and per-query times are
+            # contended — never comparable with sequential totals.
             print(f"# skipping {d.get('ts')} ({basename}): "
-                  f"n_failed={d.get('n_failed')} only={d.get('only')}",
+                  f"n_failed={d.get('n_failed')} only={d.get('only')} "
+                  f"concurrent={d.get('concurrent')}",
                   file=sys.stderr)
             continue
         hit = d
