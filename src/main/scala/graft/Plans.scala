@@ -495,11 +495,15 @@ object Plans {
       wantNone = Seq("Join", "Window", "Generate"),
       shuffles = Some(2)),
     // grouped sketch bounds (r16: the x02/x03 oracle re-registration).
-    // x02: exact-distinct expand + HLL partials ride ONE grouped
-    // frame — two-phase hash aggregation, never a join or window;
-    // 3 shuffles = distinct two-phase + presentation sort.
-    Check("x02_approx_distinct", Seq("Expand", "HashAggregate"),
-      wantNone = Seq("Join", "Window"), shuffles = Some(3)),
+    // x02: exact-distinct expand and the HLL frame stay SEPARATE and
+    // meet in a broadcast join — fusing them into one groupBy allocates
+    // the ~13 KB HLL buffers per (group × distinct-key) hash entry
+    // (measured 12+ min at sf10; see the QueryDef scaladoc). The pin
+    // bans the fused shape: with the join present, no plan can carry
+    // HLL buffers through the Expand branch.
+    Check("x02_approx_distinct",
+      Seq("Expand", "HashAggregate", "BroadcastHashJoin"),
+      wantNone = Seq("SortMergeJoin", "Window")),
     // x03: per-group GK sketches (ObjectHashAggregate partial/final),
     // the 5-row quartile frame BROADCASTS back onto the scan, rank
     // counts hash-aggregate; 3 shuffles = sketch agg + rank agg +

@@ -679,21 +679,31 @@ object RelationalQueries {
     * old row (and than global x04): per-group sketches exercise HLL
     * partial-merge across the group-keyed shuffle, and a regression in
     * hash, merge, or precision flips a hashed `within_bound` to false.
-    * Both aggregates ride ONE groupBy frame — one scan, one expand for
-    * the exact side (which the oracle needs anyway; production code
-    * uses the estimate alone, see dp02). */
+    *
+    * SHAPE WARNING (measured at sf10, r16): the exact and approx
+    * aggregates must be SEPARATE frames joined on the group key — the
+    * x04 pattern — never one fused groupBy. HLL++ at rsd 1% carries a
+    * fixed-width ~13 KB imperative buffer, and inside Spark's
+    * distinct-aggregate rewrite that buffer is allocated and zeroed
+    * for EVERY (group × distinct-key) hash entry of the first-phase
+    * aggregate (~51M entries × 26 KB at sf10 — a terabyte of memset
+    * plus a spill storm; the fused form ran 12+ minutes at sf10 while
+    * passing sf0.1 in seconds). Split, the sketch buffers exist for
+    * exactly |groups| entries and the exact side is the plain x01
+    * expand. The join is 3 rows × 3 rows, broadcast. */
   val x02ApproxDistinct = QueryDef("x02_approx_distinct",
     (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val exact = li.groupBy(col("l_returnflag")).agg(
+        count_distinct(col("l_partkey")).as("exact_parts"),
+        count_distinct(col("l_orderkey")).as("exact_orders"))
+      val approx = li.groupBy(col("l_returnflag").as("rf")).agg(
+        approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("ao"))
       def ok(a: String, e: String) =
         when(col(e) === 0, col(a) === 0)
           .otherwise(abs(col(a) - col(e)).cast(DoubleType) / col(e) <= 0.05)
-      Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"))
-        .agg(
-          count_distinct(col("l_partkey")).as("exact_parts"),
-          count_distinct(col("l_orderkey")).as("exact_orders"),
-          approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
-          approx_count_distinct(col("l_orderkey"), 0.01).as("ao"))
+      exact.join(broadcast(approx), col("l_returnflag") === col("rf"))
         .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
           (ok("ap", "exact_parts") && ok("ao", "exact_orders")).as("within_bound"))
         .orderBy("l_returnflag")
