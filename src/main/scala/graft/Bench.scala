@@ -155,7 +155,12 @@ object Bench {
         val shufR = shufS / shufBest
         // thresholds from the r15 triage rule: compute-dense kernels
         // drift >=1.35x in the slow ambient mode (observed 1.6-2x at
-        // the converged retakes), <=1.2x is within fast-mode noise
+        // the converged retakes), <=1.2x is within fast-mode noise.
+        // CAVEAT until the calib history spans both host modes at a
+        // given local[N]: "fast" only means "at this config's best
+        // known" — the first lines at a config trivially read 1.00x.
+        // The label becomes meaningful once a known-fast session (or a
+        // known-slow one) has stamped that config.
         val mode =
           if (uncalibrated) "uncalibrated"
           else if (cpuR <= 1.2) "fast"
@@ -336,10 +341,13 @@ object Bench {
     // production/probe split (VERDICT r14 #3): the 11 truth probes are
     // Θ(output) by definition and cost ~half of sf10 wall-clock; every
     // line carries both components so decade tables can track the
-    // production paths' scaling without losing the audit signal.
+    // production paths' scaling without losing the audit signal. In
+    // concurrent mode both sides come from the contended per-query
+    // sums (subtracting a contended sum from a wall total would go
+    // negative — observed r16).
     val probeTotal = results.collect {
       case (n, t) if probeQueries.contains(n) => t }.sum
-    val prodTotal = total - probeTotal
+    val prodTotal = results.map(_._2).sum - probeTotal
     def r3(v: Double): String = f"$v%.3f"
     // Per-family subtotals (family = leading alpha prefix of the query
     // name): the unit at which cross-round drift is attributable —

@@ -57,19 +57,29 @@ object StreamIngestBench {
     }
 
     val points = dirs.map { sfDir =>
-      val src = s"$sfDir/events.parquet"
-      val schema = spark.read.parquet(src).schema
-      val inputRows = spark.read.parquet(src).count()
+      // stage the events table into an 8-file directory OUTSIDE the
+      // timed region: the testdata ships events.parquet as a single
+      // FILE (the file-stream source needs a directory), and staging
+      // through Tables.events applies the ts normalization the raw
+      // file must never skip (TESTDATA gotcha). 8 files +
+      // maxFilesPerTrigger=1 → 8 real micro-batches per run.
       val work = java.nio.file.Paths.get("target/stream_ingest_bench")
+      val stage = work.resolve("src").toString
+      wipe(work)
+      Tables.events(spark, sfDir).repartition(8)
+        .write.mode("overwrite").parquet(stage)
+      val schema = spark.read.parquet(stage).schema
+      val inputRows = spark.read.parquet(stage).count()
 
       def timeKernel(kernel: String): (Double, Long) = {
         var best = Double.MaxValue
         var outRows = 0L
         for (_ <- 1 to iters) {
-          wipe(work)
+          wipe(work.resolve(kernel))
+          wipe(work.resolve("_checkpoints"))
           val out = work.resolve(kernel).toString
           val stream = spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "1").parquet(src)
+            .option("maxFilesPerTrigger", "1").parquet(stage)
           val t0 = System.nanoTime()
           val q = kernel match {
             case "first_wins" =>
