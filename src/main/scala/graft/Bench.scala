@@ -65,6 +65,25 @@ object Bench {
     * sessions append. Rule of thumb from the r15 retakes: cpu_vs_best
     * ≳ 1.35 is the slow ambient mode; don't chase per-query
     * regressions on such a line. */
+  /** Host-mode label for a calibration reading. `cpuR` = this line's
+    * cpu_s vs the config's best-ever; `spread` = the config's history
+    * max/min cpu_s INCLUDING this line. Thresholds from the r15 triage
+    * rule: compute-dense kernels drift >=1.35x in the slow ambient
+    * mode (observed 1.6-2x at the converged retakes), <=1.2x is
+    * within fast-mode noise. The cold-start rule (added r16 after the
+    * session-first read stamped a slow line "fast"): until the history
+    * at this local[N] has actually spanned both modes (spread >=
+    * 1.35), being near best-ever only proves consistency with every
+    * prior line — which may ALL be slow — so the label is
+    * "near-best-unconfirmed", not "fast". The first genuinely fast
+    * session lowers best by >=1.35x, the spread gate opens, and every
+    * later line classifies absolutely. */
+  def calibMode(cpuR: Double, spread: Double, uncalibrated: Boolean): String =
+    if (uncalibrated) "uncalibrated"
+    else if (cpuR >= 1.35) "slow"
+    else if (cpuR <= 1.2) { if (spread >= 1.35) "fast" else "near-best-unconfirmed" }
+    else "mid"
+
   def calibrate(spark: SparkSession): (Double, Double) = {
     import org.apache.spark.sql.functions._
     def timeMin(mk: => Unit): Double = {
@@ -138,34 +157,38 @@ object Bench {
         // best-ever is only meaningful within one local[N] config: the
         // kernels use fixed work sizes, so a local[4] line would read
         // as "4x slow mode" against a local[32] best
-        def priorBest(key: String): Option[Double] =
-          if (!java.nio.file.Files.exists(histPath)) None
+        def priorVals(key: String): Seq[Double] =
+          if (!java.nio.file.Files.exists(histPath)) Seq.empty
           else {
             val re = (s""""$key":([0-9.]+)""").r
-            val vals = scala.jdk.CollectionConverters
+            scala.jdk.CollectionConverters
               .ListHasAsScala(java.nio.file.Files.readAllLines(histPath)).asScala
               .filter(_.contains(s""""cpus":$cpus"""))
               .flatMap(l => re.findFirstMatchIn(l).map(_.group(1).toDouble))
-            if (vals.isEmpty) None else Some(vals.min)
+              .toSeq
           }
+        def priorBest(key: String): Option[Double] = {
+          val vs = priorVals(key); if (vs.isEmpty) None else Some(vs.min)
+        }
+        def priorWorst(key: String): Option[Double] = {
+          val vs = priorVals(key); if (vs.isEmpty) None else Some(vs.max)
+        }
         val cpuBest = priorBest("cpu_s").fold(cpuS)(math.min(_, cpuS))
         val shufBest = priorBest("shuffle_s").fold(shufS)(math.min(_, shufS))
         val uncalibrated = priorBest("cpu_s").isEmpty
         val cpuR = cpuS / cpuBest
         val shufR = shufS / shufBest
-        // thresholds from the r15 triage rule: compute-dense kernels
-        // drift >=1.35x in the slow ambient mode (observed 1.6-2x at
-        // the converged retakes), <=1.2x is within fast-mode noise.
-        // CAVEAT until the calib history spans both host modes at a
-        // given local[N]: "fast" only means "at this config's best
-        // known" — the first lines at a config trivially read 1.00x.
-        // The label becomes meaningful once a known-fast session (or a
-        // known-slow one) has stamped that config.
-        val mode =
-          if (uncalibrated) "uncalibrated"
-          else if (cpuR <= 1.2) "fast"
-          else if (cpuR >= 1.35) "slow"
-          else "mid"
+        // Spread of the config's full calib history (incl. this line):
+        // max/min cpu_s. Until the history has SEEN both host modes at
+        // this local[N] (spread >= the 1.35x slow threshold), "near
+        // best-ever" is not evidence of fast mode — the best-ever line
+        // may itself be a slow-mode reading. The r16 session-first read
+        // demonstrated the failure: cpu 4.15 s vs a best of 3.54 s
+        // (both slow; fast is ~2.4-2.7 s extrapolating the 1.6-2x
+        // kernel drift) stamped "fast" at 1.17x. So:
+        val cpuWorst = priorWorst("cpu_s").fold(cpuS)(math.max(_, cpuS))
+        val spread = cpuWorst / cpuBest
+        val mode = Bench.calibMode(cpuR, spread, uncalibrated)
         val line = f"""{"cpu_s":$cpuS%.3f,"shuffle_s":$shufS%.3f,"cpus":$cpus,"ts":"${java.time.Instant.now()}"}"""
         try {
           java.nio.file.Files.createDirectories(histPath.getParent)

@@ -18,6 +18,20 @@ class BenchContractSpec extends AnyFunSuite {
       s"probe list names unregistered queries (renamed?): $unknown")
   }
 
+  test("calibMode: near-best never stamps fast until the history spans both modes") {
+    // the r16 session-first failure case: cpu 4.15 s vs best 3.54 s
+    // (1.17x) with an all-slow history (spread 4.15/3.28 = 1.26)
+    assert(Bench.calibMode(1.17, 1.26, uncalibrated = false) ==
+      "near-best-unconfirmed")
+    // once a genuinely fast session has stamped the config (spread
+    // opens past the 1.35x slow threshold), near-best means fast
+    assert(Bench.calibMode(1.05, 1.66, uncalibrated = false) == "fast")
+    // degraded-vs-best is always classifiable, spread or not
+    assert(Bench.calibMode(1.40, 1.40, uncalibrated = false) == "slow")
+    assert(Bench.calibMode(1.28, 1.66, uncalibrated = false) == "mid")
+    assert(Bench.calibMode(1.00, 1.00, uncalibrated = true) == "uncalibrated")
+  }
+
   test("the Python PROBES mirror in decade_table.py matches Bench.probeQueries") {
     val src = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("scripts/decade_table.py")), "UTF-8")
