@@ -43,6 +43,18 @@ def latest(basename):
                   f"concurrent={d.get('concurrent')}",
                   file=sys.stderr)
             continue
+        # Decade legs run at local[32] (pipeline convention); the sf0.1
+        # BAND runs at local[4] and also appends full-suite lines, so
+        # latest-wins would mix configs in one exponent row (caught
+        # r16: a local[4] band line became the sf0.1 decade point
+        # against local[32] sf1/sf10). Lines carry "cpus" since r16;
+        # older lines lack it and stay eligible (pre-r16 decade legs
+        # were all 32-cpu by the same convention).
+        if "cpus" in d and d["cpus"] != 32:
+            print(f"# skipping {d.get('ts')} ({basename}): "
+                  f"cpus={d['cpus']} (decade legs are local[32])",
+                  file=sys.stderr)
+            continue
         hit = d
     if hit is None:
         sys.exit(f"no clean history entry with sf basename {basename!r}")

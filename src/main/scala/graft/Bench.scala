@@ -64,8 +64,11 @@ object Bench {
     * stamp needs no a-priori constants and tightens as fast-mode
     * sessions append. Rule of thumb from the r15 retakes: cpu_vs_best
     * ≳ 1.35 is the slow ambient mode; don't chase per-query
-    * regressions on such a line. */
-  /** Host-mode label for a calibration reading. `cpuR` = this line's
+    * regressions on such a line. (This comment describes the system;
+    * `calibrate` below times the kernels, `calibMode` labels the
+    * reading.)
+    *
+    * Host-mode label for a calibration reading. `cpuR` = this line's
     * cpu_s vs the config's best-ever; `spread` = the config's history
     * max/min cpu_s INCLUDING this line. Thresholds from the r15 triage
     * rule: compute-dense kernels drift >=1.35x in the slow ambient

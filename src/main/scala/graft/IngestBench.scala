@@ -87,7 +87,9 @@ object IngestBench {
       }
       val (nHosp, nBeds, nRej) = counts
       val inputRows = spark.read.option("header", "true").csv(csvDir).count()
-      val line = f"""{"metric":"ingest_rows_per_sec","value":${inputRows / best}%.0f,"input_rows":$inputRows,"hospitals":$nHosp,"bed_rows":$nBeds,"rejects":$nRej,"sec":$best%.2f,"iters":$iters,"ts":"${java.time.Instant.now()}","src":"$sfDir"}"""
+      // cpus in the line: rows/s from different local[N] configs are
+      // different populations — see the calib-stamp convention.
+      val line = f"""{"metric":"ingest_rows_per_sec","value":${inputRows / best}%.0f,"input_rows":$inputRows,"hospitals":$nHosp,"bed_rows":$nBeds,"rejects":$nRej,"sec":$best%.2f,"iters":$iters,"cpus":$cpus,"ts":"${java.time.Instant.now()}","src":"$sfDir"}"""
       println(line)
       try {
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get("bench"))

@@ -103,7 +103,10 @@ object StreamIngestBench {
 
       val results = Seq("first_wins", "latest_wins").map { kernel =>
         val (secs, outRows) = timeKernel(kernel)
-        val line = f"""{"metric":"stream_ingest_rows_per_sec","kernel":"$kernel","value":${inputRows / secs}%.0f,"input_rows":$inputRows,"out_rows":$outRows,"sec":$secs%.2f,"iters":$iters,"ts":"${java.time.Instant.now()}","src":"$sfDir"}"""
+        // cpus in the line: rows/s from different local[N] configs are
+        // different populations (the calib-stamp lesson) — a reader
+        // comparing ladder points must be able to see the config.
+        val line = f"""{"metric":"stream_ingest_rows_per_sec","kernel":"$kernel","value":${inputRows / secs}%.0f,"input_rows":$inputRows,"out_rows":$outRows,"sec":$secs%.2f,"iters":$iters,"cpus":$cpus,"ts":"${java.time.Instant.now()}","src":"$sfDir"}"""
         println(line)
         try {
           java.nio.file.Files.createDirectories(java.nio.file.Paths.get("bench"))
