@@ -171,13 +171,22 @@ object Plans {
       wantNone = Seq("Window")),
     // pagerank: the damping base is a lazy 1-row broadcast-scalar frame
     // (never a plan-build-time count()); rank flow per round is plain
-    // hash aggregation. Shuffle count pinned (r13): 79 Exchanges for
-    // the six unrolled rounds — the loop-invariant edge subtrees dedupe
-    // via ReusedExchange, and losing that reuse (the silent 2× shuffle)
-    // changes the COUNT long before any node name changes
+    // hash aggregation. r16: the per-round joins are pinned
+    // SHUFFLE_HASH — the pre-r16 plan let size estimates broadcast the
+    // |V|-sized rank/contrib frames every round (a shape that cannot
+    // survive a billion-node graph) and sort-merge the edge stream
+    // (re-SORTING |e| per round above the reused exchange); hashed
+    // keyed shuffles are the Pregel schedule and measured 6.9→4.4 s
+    // warm at sf0.1. Static shuffle count re-pinned 79→159 (forcing
+    // the estimate-broadcast joins back to keyed shuffles makes every
+    // round's exchanges explicit; at runtime AQE stage reuse dedupes
+    // the loop-invariant subtrees). A BroadcastHashJoin reappearing
+    // here means the hints regressed and the rank frame is being
+    // broadcast again.
     Check("pr01_pagerank",
-      Seq("BroadcastNestedLoopJoin", "HashAggregate"),
-      shuffles = Some(79)),
+      Seq("BroadcastNestedLoopJoin", "ShuffledHashJoin", "HashAggregate"),
+      wantNone = Seq("BroadcastHashJoin"),
+      shuffles = Some(159)),
     // grouping sets: ONE scan fans out through Expand into partial/final
     // hash aggregation — not a union of per-set scans
     Check("g04_grouping_sets", Seq("Expand", "HashAggregate")),
@@ -204,7 +213,7 @@ object Plans {
     // ReusedExchange and a lost reuse changes the COUNT first
     Check("bt02_bpe_encode", Seq("HashAggregate"),
       wantNone = Seq("Window", "CartesianProduct"),
-      shuffles = Some(9)),
+      shuffles = Some(11)),
     // value windows: every function shares ONE window spec keyed by
     // nation — one sort, one window operator
     Check("w08_value_windows", Seq("windowspecdefinition(c_nationkey")),
@@ -250,17 +259,26 @@ object Plans {
     Check("dd13_best_of_cluster",
       Seq("row_number() windowspecdefinition(cluster_id"),
       wantNone = Seq("BroadcastNestedLoopJoin", "CartesianProduct"),
-      shuffles = Some(6)),
+      shuffles = Some(5)),
     // leakage-safe split: contraction edges are equi-join pairs and
     // the split assignment is an aggregate — no window sort, no
     // nested-loop pair generation anywhere
     Check("sm04_leakage_safe_split", Seq("HashAggregate"),
       wantNone = Seq("BroadcastNestedLoopJoin", "CartesianProduct", "Window"),
-      shuffles = Some(4)),
-    // profile: ONE scan fanned through Expand into all per-column
-    // aggregates — N-column profiling must never become N scans or
-    // acquire a join
-    Check("dp01_profile", Seq("Expand"), wantNone = Seq("Join")),
+      shuffles = Some(3)),
+    // profile (r16 shape): the numeric/distinct aggregates fan through
+    // Expand into HASH aggregation, the four string min/max ride a
+    // separate sort-free ungrouped aggregate, and the two 1-row frames
+    // meet in a broadcast nested-loop cross — N-column profiling must
+    // never become N scans (3 shuffles = distinct phase + final agg +
+    // string agg) and the Expand side must never regress to
+    // SortAggregate (one string buffer in that frame forces a full
+    // sort of the 7×-expanded table on both sides of the exchange —
+    // the r16 finding that motivated the split: 3.2 s → 1.8 s sf0.1,
+    // 6.2 s → 2.6 s sf1)
+    Check("dp01_profile",
+      Seq("Expand", "HashAggregate", "BroadcastNestedLoopJoin"),
+      wantNone = Seq("SortMergeJoin"), shuffles = Some(3)),
     // portable minhash: band explode (Generate) feeds hash equi-joins;
     // the only BNLJ is the 1-row corpus-doubling offset scalar (Cross
     // BuildRight on a single-row side — required, cannot be banned).
@@ -346,15 +364,15 @@ object Plans {
     // pairing must never plan as a nested loop
     Check("dd12_containment", Seq("Generate", "HashAggregate"),
       wantNone = Seq("BroadcastNestedLoopJoin"),
-      shuffles = Some(3)),
+      shuffles = Some(4)),
     // LM table: the rank window partitions by context, never global
     Check("lm01_bigram_next", Seq("windowspecdefinition(ctx"),
-      shuffles = Some(3)),
+      shuffles = Some(4)),
     // surprisal: the per-term qbits table broadcasts back onto the
     // occurrence stream (vocab-sized build side)
     Check("ppx01_quantized_surprisal",
       Seq("BroadcastHashJoin", "BroadcastExchange"),
-      shuffles = Some(8)),
+      shuffles = Some(7)),
     // Gini: one global window over the AGGREGATED vocab-sized frame,
     // no join anywhere
     Check("gn01_gini_concentration", Seq("Window", "HashAggregate"),
@@ -366,12 +384,12 @@ object Plans {
     Check("gn02_gini_bucketed",
       Seq("windowspecdefinition(bl", "HashAggregate"),
       wantNone = Seq("CartesianProduct", "SortMergeJoin"),
-      shuffles = Some(6)),
+      shuffles = Some(7)),
     // vocab growth: min-per-term partial agg; cumulative window rides
     // the tiny per-batch frame; join-free
     Check("vg01_vocab_growth", Seq("Generate", "HashAggregate", "Window"),
       wantNone = Seq("Join"),
-      shuffles = Some(3)),
+      shuffles = Some(4)),
     // checksum: three scans, hash in the scan-side project, one union
     // of single-row aggregates — never a join
     Check("cs01_table_checksum", Seq("Union", "md5"),
@@ -487,7 +505,7 @@ object Plans {
     // never a nested loop over docs×benchmark
     Check("dc03_fuzzy_decontamination", Seq("Generate", "BroadcastHashJoin"),
       wantNone = Seq("CartesianProduct", "BroadcastNestedLoopJoin", "Window"),
-      shuffles = Some(2)),
+      shuffles = Some(4)),
     // portable HLL state: bucket/rho are scan-side string/integer
     // projections feeding ONE partial max-aggregate (the distributed
     // HLL build shape) — no join, no window, no explode
@@ -512,12 +530,14 @@ object Plans {
     Check("x03_approx_quartiles",
       Seq("ObjectHashAggregate", "BroadcastHashJoin"),
       wantNone = Seq("SortMergeJoin", "Window"), shuffles = Some(3)),
-    // dp02 accuracy gate: two single-aggregate-row profile frames
-    // (6 rows each after the stack Generate) meet in a broadcast join;
-    // 3 shuffles = the two profile aggregations' exchanges + the exact
-    // side's distinct phase
+    // dp02 accuracy gate: the exact profile (dp01's r16 split shape —
+    // hash-aggregated Expand + sort-free string frame) joined against
+    // the single-frame approx profile; 4 shuffles = exact distinct
+    // phase + exact final agg + exact string agg + approx agg. The
+    // approx side must stay ONE frame (no Expand exists there to
+    // poison — splitting it was measured to regress)
     Check("dp02_profile_approx_bound", Seq("BroadcastHashJoin", "Generate"),
-      wantNone = Seq("SortMergeJoin", "Window"), shuffles = Some(3)),
+      wantNone = Seq("SortMergeJoin", "Window"), shuffles = Some(4)),
     // covariance matrix: row-local pair explode into ONE partial-agg
     // shuffle keyed by (i,j); join- and window-free
     Check("cv01_covariance_matrix", Seq("Generate", "HashAggregate"),

@@ -277,7 +277,10 @@ object BreadthQueries {
     * tiny per-group bound table, corpus scanned twice, no window). */
   val f09WinsorizedStats = QueryDef("f09_winsorized_stats",
     (s, d) => {
-      val li = Tables.lineitem(s, d)
+      // lineitemSpread (r16): exact percentile buffers every value in
+      // per-group maps during the PARTIAL phase — single-threaded on
+      // the 1-row-group scan before the spread (see Tables)
+      val li = Tables.lineitemSpread(s, d)
       val bounds = li.groupBy("l_returnflag").agg(
         round(expr("percentile(l_extendedprice, 0.05)"), 6).as("lo_r"),
         round(expr("percentile(l_extendedprice, 0.95)"), 6).as("hi_r"))

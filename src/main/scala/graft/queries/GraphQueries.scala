@@ -49,6 +49,9 @@ object GraphQueries {
       // step and persist is what keeps the plan linear.)
       val e = Tables.orders(s, d)
         .select(col("o_orderkey"), (col("o_custkey") * 2).as("src"))
+        // SHUFFLE_HASH: build the orders side per partition instead of
+        // sorting both fact streams for a merge (guide §3.1)
+        .hint("shuffle_hash")
         .join(Tables.lineitem(s, d)
           .select(col("l_orderkey"), (col("l_suppkey") * 2 + 1).as("dst")),
           col("o_orderkey") === col("l_orderkey"))
@@ -58,20 +61,38 @@ object GraphQueries {
       val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
       val baseDf = nodes.agg(count(lit(1)).as("__n"))
         .select(expr(s"$Q div nullif(__n, 0)").as("base"))
-      val r0 = nodes.crossJoin(broadcast(baseDf)).select(col("id"), col("base").as("pr"))
+      // The rank frame CARRIES outdeg (r16 opt, guide §2.4): the old
+      // shape joined e⨝deg inside every round — a loop-invariant
+      // |e|-sized merge join repeated 6× (exchange reuse dedupes the
+      // SHUFFLES, not the per-round join work above them). Attaching
+      // outdeg to the node frame once (left join; sink-only nodes carry
+      // null and contribute nothing — they never match e.src) turns
+      // each round into exactly two joins: e⨝r on src, nodes⨝contrib
+      // on id. Rank values are bit-identical: pr div outdeg is computed
+      // from the same (pr, outdeg) pairs, just routed via r instead of
+      // a per-round deg join.
+      val nd = nodes.join(deg, nodes("id") === deg("src"), "left")
+        .select(col("id"), col("outdeg"))
+      val r0 = nd.crossJoin(broadcast(baseDf))
+        .select(col("id"), col("base").as("pr"), col("outdeg"))
       def step(r: DataFrame): DataFrame = {
+        // SHUFFLE_HASH on the rank side (guide §3.1): sort-merge would
+        // re-SORT the |e| edge stream in every round (exchange reuse
+        // dedupes the shuffle, not the sort above it); hashing the
+        // |V|-row rank frame per partition streams the edges unsorted.
         val contrib = e
-          .join(deg, "src")
-          .join(r.select(col("id").as("src"), col("pr")), "src")
+          .join(r.select(col("id").as("src"), col("pr"), col("outdeg"))
+            .hint("shuffle_hash"), "src")
           .select(col("dst").as("id"), expr("pr div outdeg").as("c"))
           .groupBy("id").agg(sum(col("c")).as("s"))
-        nodes.join(contrib, Seq("id"), "left")
+        nd.join(contrib.hint("shuffle_hash"), Seq("id"), "left")
           .crossJoin(broadcast(baseDf))
           .select(col("id"),
-            expr("(15 * base) div 100 + (85 * coalesce(s, 0)) div 100").as("pr"))
+            expr("(15 * base) div 100 + (85 * coalesce(s, 0)) div 100").as("pr"),
+            col("outdeg"))
       }
       val r6 = Iterator.iterate(r0)(step).drop(6).next()
-      r6.orderBy(col("pr").desc, col("id")).limit(20)
+      r6.select(col("id"), col("pr")).orderBy(col("pr").desc, col("id")).limit(20)
     },
     Some {
       val iter = (i: Int) =>
@@ -179,6 +200,8 @@ object GraphQueries {
     (s, d) => {
       val e0 = Tables.orders(s, d)
         .select(col("o_orderkey"), (col("o_custkey") * 2).as("src"))
+        // SHUFFLE_HASH: same rationale as pr01's edge build
+        .hint("shuffle_hash")
         .join(Tables.lineitem(s, d)
           .select(col("l_orderkey"), (col("l_suppkey") * 2 + 1).as("dst")),
           col("o_orderkey") === col("l_orderkey"))
@@ -186,13 +209,27 @@ object GraphQueries {
       val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       val seed = e.agg(min(col("src")).as("id"))
         .select(col("id"), lit(0L).as("dist"))
-      def step(dt: DataFrame): DataFrame = {
-        val hop = dt.withColumnRenamed("id", "src")
+      // FRONTIER-ONLY expansion (r16 opt, guide §2.3 — shuffle fewer
+      // bytes): round k only expands nodes discovered in round k−1
+      // (dist = k−1). Expanding the full distance table re-walked every
+      // settled node's edges each round for hops that can never improve
+      // (a node at dist j was already expanded in round j+1, and min()
+      // discards re-derived distances). Textbook BFS correctness: the
+      // set of nodes at dist k is exactly the frontier's neighbors not
+      // seen earlier, so the union+min fixpoint is unchanged — only the
+      // per-round join fan-out and the rows entering the min-aggregate
+      // shrink (late rounds touch a small frontier instead of all |V|).
+      def step(dt: DataFrame, round: Int): DataFrame = {
+        // the frontier join is left UNHINTED: AQE broadcasts the small
+        // frontier at runtime, and that measured faster than forcing a
+        // shuffled-hash join (6.2-6.9 s vs 5.6-6.0 s warm at sf0.1)
+        val hop = dt.filter(col("dist") === (round - 1))
+          .withColumnRenamed("id", "src")
           .join(e, "src")
           .select(col("dst").as("id"), (col("dist") + 1L).as("dist"))
         dt.union(hop).groupBy("id").agg(min(col("dist")).as("dist"))
       }
-      val d4 = Iterator.iterate(seed.toDF())(step).drop(4).next()
+      val d4 = (1 to 4).foldLeft(seed.toDF()) { case (dt, k) => step(dt, k) }
       d4.orderBy("id")
     },
     Some("""WITH RECURSIVE e AS (

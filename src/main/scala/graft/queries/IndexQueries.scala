@@ -91,7 +91,15 @@ object IndexQueries {
       val dsh = docs.select(col("doc_id"),
         explode(TextFunctions.shingles(col("text"), 2)).as("s"))
       val sizes = esh.groupBy("ex_id").agg(count(lit(1)).as("n"))
-      val inter = esh.join(dsh, Seq("s"))
+      // broadcast the PROBE-side shingles (r16 opt, guide §3.1): esh is
+      // 1/20 of docs × ≤7 prefix shingles — small by construction at
+      // any corpus size — while dsh is the full corpus shingle stream.
+      // Unhinted, Spark's size estimate (raw parquet bytes, blind to
+      // the explode fan-out) picked the CORPUS side as the build side;
+      // the hint pins the only side that stays broadcastable at scale,
+      // and the intersection count then partial-aggregates map-side
+      // without dsh ever crossing an exchange.
+      val inter = broadcast(esh).join(dsh, Seq("s"))
         .groupBy("ex_id", "doc_id").agg(count(lit(1)).as("inter"))
       inter.join(sizes, Seq("ex_id"))
         .filter(col("inter") * 10 >= col("n") * 9)
@@ -141,10 +149,17 @@ object IndexQueries {
           split(col("sh"), " ").getItem(1).as("nxt"))
         .groupBy("ctx", "nxt").agg(count(lit(1)).as("cnt"))
       val byCtx = Window.partitionBy("ctx")
+      // rank FIRST, total SECOND (r16 opt): row_number's window sorts
+      // by (ctx, cnt desc, nxt); the unordered sum-over-ctx window only
+      // requires clustering by ctx, which that ordering already
+      // satisfies — this order plans ONE sort between the two windows
+      // where the reverse order needed two (sort by ctx, then re-sort
+      // by (ctx, cnt desc, nxt)). Same two window functions, same
+      // values, one less vocab-sized sort.
       val ranked = pairs
-        .withColumn("ctx_total", sum(col("cnt")).over(byCtx))
         .withColumn("rk", row_number().over(
           byCtx.orderBy(col("cnt").desc, col("nxt"))).cast("long"))
+        .withColumn("ctx_total", sum(col("cnt")).over(byCtx))
       ranked.filter(col("ctx_total") >= 100 && col("rk") <= 3)
         .select(col("ctx"), col("nxt"), col("cnt"), col("ctx_total"), col("rk"))
         .orderBy("ctx", "rk")
@@ -174,8 +189,8 @@ object IndexQueries {
     * signal); low = boilerplate.
     *
     * NO LOGARITHM IS EVER EVALUATED. floor(log₂(T/c)) = max k with
-    * c·2ᵏ ≤ T (integer comparisons against a broadcast 40-row powers
-    * table), and the two fractional bits come from comparing
+    * c·2ᵏ ≤ T (row-local exact bit length of T div c — see the r16
+    * note at the computation), and the two fractional bits come from comparing
     * c⁴·2⁴ᵇ·{2,4,8} ≤ T⁴ in DECIMAL(38,0) — floor(4·log₂ r) = 4b+f
     * exactly, because x ∈ [1,2) ⇒ floor(log₂ x⁴) = floor(4·log₂ x).
     * Cross-checked against float log₂ on every term at build time;
@@ -201,13 +216,21 @@ object IndexQueries {
       val c = dt.groupBy("term").agg(sum(col("occ")).cast("bigint").as("c"))
         .withColumn("ctx", split(col("term"), " ").getItem(0))
       val t = c.groupBy("ctx").agg(sum(col("c")).cast("bigint").as("tc"))
-      val pw = s.range(0, 40).select(col("id").as("k"),
-        expr("shiftleft(cast(1 as bigint), cast(id as int))").as("p"))
       val dec = (x: org.apache.spark.sql.Column) => x.cast(DecimalType(38, 0))
+      // b = max k with c·2ᵏ ≤ tc, computed ROW-LOCALLY (r16 opt): since
+      // 2ᵏ is an integer, c·2ᵏ ≤ tc ⟺ 2ᵏ ≤ tc div c, so
+      // b = floor(log₂(tc div c)) = length(bin(tc div c)) − 1 — the
+      // gn02 exact-bit-length trick (no libm log2, whose 2.999… at
+      // powers of two would mis-floor). The old shape derived the same
+      // b from a 40-row broadcast nested-loop powers join (×40 row
+      // fan-out on the vocab frame) + a re-aggregation; this is one
+      // codegen'd expression per vocab row, and keeps the old form's
+      // k ≤ 39 cap so the two are value-identical on any input either
+      // handles (tc div c ≥ 1 always: c ≤ tc by construction).
       val b = c.join(t, Seq("ctx"))
-        .join(broadcast(pw), pw("p") <= t("tc") && c("c") * pw("p") <= t("tc"))
-        .groupBy(col("term"), col("c"), col("tc"))
-        .agg(max(col("k")).as("b"), max(col("p")).as("pb"))
+        .withColumn("b", least(length(bin(expr("tc div c"))).cast("long") - 1L,
+          lit(39L)))
+        .withColumn("pb", expr("shiftleft(cast(1 as bigint), cast(b as int))"))
       val c4 = dec(col("c")) * dec(col("c")) * dec(col("c")) * dec(col("c"))
       val pb4 = dec(col("pb")) * dec(col("pb")) * dec(col("pb")) * dec(col("pb"))
       val tc4 = dec(col("tc")) * dec(col("tc")) * dec(col("tc")) * dec(col("tc"))

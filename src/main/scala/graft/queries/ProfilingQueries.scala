@@ -20,9 +20,11 @@ object ProfilingQueries {
     * identically (double→string formatting differs across engines;
     * decimal→string does not).
     *
-    * 100 TB: the scan is the cost — all 18 aggregates ride one pass
-    * with partial (map-side) aggregation, and adding a column adds
-    * three expressions, not a pass. The deliberate scale caveat is
+    * 100 TB: the scan is the cost — the aggregates ride two parallel
+    * passes (numeric/distinct + string min/max; see the r16 note in
+    * [[ordersProfile]]) with partial (map-side) aggregation, and
+    * adding a column adds expressions, not passes per column. The
+    * deliberate scale caveat is
     * `countDistinct`: exact distinct on a high-cardinality key
     * shuffles that column's values; at 100 TB flip the
     * [[ordersProfile]] `approx` knob to HLL++ sketches — wired and
@@ -45,7 +47,24 @@ object ProfilingQueries {
         if (approx) c => approx_count_distinct(c, 0.01) else c => countDistinct(c)
       val price = col("o_totalprice").cast(DecimalType(12, 2))
       val day = col("o_orderdate").cast("date")
-      Tables.orders(s, d).agg(
+      // r16 opt (guide §1.2 step 2), EXACT PATH ONLY: the four STRING
+      // min/max aggregates (status, priority) have immutable (string)
+      // buffers, and one of them in an aggregate forces the WHOLE
+      // aggregate into SortAggregate — with the exact path's
+      // distinct-rewrite Expand that meant sorting 7× the table on both
+      // sides of the exchange (measured: the two Sorts dominated dp01,
+      // 3.2 s → 1.8 s at sf0.1). Split them into their own ungrouped
+      // aggregate (SortAggregate with NO grouping keys needs no Sort:
+      // partial min/max streams per partition) and crossJoin the two
+      // 1-row frames; every numeric/distinct aggregate then rides a
+      // plain HashAggregate over the Expand. Values are identical — the
+      // same aggregates over the same scan, just planned in two frames.
+      // The APPROX path keeps the original single-frame shape: with no
+      // distinct rewrite there is no Expand, the ungrouped SortAggregate
+      // never sorts, and splitting it was measured to REGRESS (a second
+      // scan bought nothing).
+      val o = Tables.orders(s, d)
+      val numAggs = Seq(
         count(lit(1)).as("n"),
         // o_orderkey
         sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("nn1"),
@@ -57,11 +76,9 @@ object ProfilingQueries {
         nd(col("o_custkey")).as("nd2"),
         min(col("o_custkey")).cast("string").as("mn2"),
         max(col("o_custkey")).cast("string").as("mx2"),
-        // o_orderstatus
+        // o_orderstatus (string min/max in strAggs)
         sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L)).as("nn3"),
         nd(col("o_orderstatus")).as("nd3"),
-        min(col("o_orderstatus")).as("mn3"),
-        max(col("o_orderstatus")).as("mx3"),
         // o_totalprice (as decimal for stable rendering)
         sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("nn4"),
         nd(price).as("nd4"),
@@ -72,11 +89,21 @@ object ProfilingQueries {
         nd(day).as("nd5"),
         min(day).cast("string").as("mn5"),
         max(day).cast("string").as("mx5"),
-        // o_orderpriority
+        // o_orderpriority (string min/max in strAggs)
         sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L)).as("nn6"),
-        nd(col("o_orderpriority")).as("nd6"),
+        nd(col("o_orderpriority")).as("nd6"))
+      val strAggs = Seq(
+        min(col("o_orderstatus")).as("mn3"),
+        max(col("o_orderstatus")).as("mx3"),
         min(col("o_orderpriority")).as("mn6"),
         max(col("o_orderpriority")).as("mx6"))
+      val profiled =
+        if (approx) // single frame: no Expand exists to poison
+          o.agg((numAggs ++ strAggs).head, (numAggs ++ strAggs).tail: _*)
+        else // split: Expand side stays HashAggregate, strings sort-free
+          o.agg(numAggs.head, numAggs.tail: _*)
+            .crossJoin(broadcast(o.agg(strAggs.head, strAggs.tail: _*)))
+      profiled
         .selectExpr("n", """stack(6,
           'o_orderkey',      nn1, nd1, mn1, mx1,
           'o_custkey',       nn2, nd2, mn2, mx2,
@@ -177,7 +204,9 @@ object ProfilingQueries {
       val p = col("l_extendedprice").cast(DecimalType(12, 2))
       val dc = col("l_discount").cast(DecimalType(12, 2))
       val t = col("l_tax").cast(DecimalType(12, 2))
-      val agg = Tables.lineitem(s, d).agg(
+      // lineitemSpread (r16): 16 decimal multiply-sums in the partial
+      // phase of a 1-task scan were the whole query (see Tables)
+      val agg = Tables.lineitemSpread(s, d).agg(
         count(lit(1)).as("n"),
         sum(q).cast(DoubleType).as("sq"), sum(p).cast(DoubleType).as("sp"),
         sum(dc).cast(DoubleType).as("sd"), sum(t).cast(DoubleType).as("st"),

@@ -317,7 +317,14 @@ object ScaleQueries {
       val full = li.groupBy("l_returnflag").agg(
         expr("hll_sketch_estimate(hll_sketch_agg(l_partkey))").as("est_direct"),
         countDistinct(col("l_partkey")).as("n_exact"))
-      hist.join(delta, "l_returnflag").join(full, "l_returnflag")
+      // broadcast hints (r16): all three frames are |distinct flag|
+      // rows (3 here) of sketch blobs — group-count-sized at ANY corpus
+      // scale — but the blobs inflate Catalyst's size estimate past the
+      // auto-broadcast threshold, so unhinted these planned as TWO
+      // sort-merge joins (sort + merge + an exchange per side). The
+      // hints pin the shape a key-count-sized sketch table warrants.
+      hist.join(broadcast(delta), "l_returnflag")
+        .join(broadcast(full), "l_returnflag")
         .select(col("l_returnflag"), col("n_exact"),
           (abs(expr("hll_sketch_estimate(hll_union(sk_h, sk_d))")
             .cast(DoubleType) - col("n_exact")) <=
