@@ -131,12 +131,20 @@ object ConnectedComponents {
     * exposed so specs can pin the O(log diameter) convergence bound. */
   def starContraction(ids: DataFrame, edges: DataFrame,
                       maxIter: Int = 30): (DataFrame, Int) = {
+    // LAZY checkpoints throughout (r16): eager localCheckpoint runs a
+    // materialization job and the fingerprint scan right after it is a
+    // second job — lazy, the fingerprint aggregate materializes the
+    // checkpoint in the SAME job, halving the per-round job count (at
+    // probe scale the loop is scheduling-floor-bound: each extra job
+    // is a full barrier on an idle cluster). Lineage truncation is
+    // identical — the checkpoint exists before any later round plans
+    // against it, because fp() always executes first.
     var e = edges
       .select(greatest(col("id1"), col("id2")).as("h"),
         least(col("id1"), col("id2")).as("l"))
       .filter(col("h") =!= col("l"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     def fp(df: DataFrame): (Long, java.math.BigDecimal) = {
       val r = df.agg(count(lit(1)),
         sum(xxhash64(col("h"), col("l")).cast("decimal(38,0)"))).head()
@@ -146,7 +154,7 @@ object ConnectedComponents {
     var iter = 0
     var converged = prev._1 == 0L
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
       val cur = fp(next)
       // fingerprint match is necessary-but-probabilistic (a ~2^-64
       // per-round hash collision could accept a non-fixpoint and emit
@@ -156,10 +164,14 @@ object ConnectedComponents {
       // contracted edge set (≤ one edge per non-root node): the cost
       // is a single small anti-join, the payoff is a deterministic
       // correctness guarantee instead of an astronomically-likely one.
+      // both anti-join directions in ONE action (r16): the symmetric
+      // difference is empty iff both sides are — a union costs the
+      // same two anti-joins but one job instead of two
       converged = cur == prev && {
         val old = e
-        old.join(next, Seq("h", "l"), "left_anti").isEmpty &&
-          next.join(old, Seq("h", "l"), "left_anti").isEmpty
+        old.join(next, Seq("h", "l"), "left_anti")
+          .unionByName(next.join(old, Seq("h", "l"), "left_anti"))
+          .isEmpty
       }
       e = next
       prev = cur

@@ -74,11 +74,17 @@ object Triangles {
     // wedges at a shared apex; dst1 < dst2 picks each unordered
     // out-neighbor pair once, and makes (dst1, dst2) canonical for the
     // closing-edge probe
-    val w = oriented.as("e1").join(oriented.as("e2"),
+    // SHUFFLE_HASH on the wedge self-join and the closing-edge probe
+    // (r16, guide §3.1 — the pr01 rationale): sort-merge planned a
+    // Sort above every exchange of the oriented/canonical edge
+    // streams; hash-building one side per partition streams the other
+    // unsorted. Keyed shuffles, not broadcasts — both sides are
+    // edge-scale, so this is the 100 TB-safe pin.
+    val w = oriented.as("e1").join(oriented.as("e2").hint("shuffle_hash"),
       col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
       .select(col("e1.src").as("u"), col("e1.dst").as("v"),
         col("e2.dst").as("w"))
-    w.join(e, w("v") === e("a") && w("w") === e("b"))
+    w.join(e.hint("shuffle_hash"), w("v") === e("a") && w("w") === e("b"))
       .select("u", "v", "w")
   }
 

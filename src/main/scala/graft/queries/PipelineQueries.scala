@@ -316,9 +316,13 @@ object PipelineQueries {
     * bounds per-doc pair fan-out structurally. */
   val co01TokenPmi = QueryDef("co01_token_pmi",
     (s, d) => {
+      // distinct (doc, token) pairs computed SCAN-SIDE (r16, guide
+      // §2.4): doc_ids are unique, so per-doc array_distinct before the
+      // explode IS the distinct — the old .distinct() shuffled the full
+      // exploded token stream just to dedupe within each document
       val toks = Tables.documents(s, d)
-        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("t"))
-        .distinct()
+        .select(col("doc_id"),
+          explode(array_distinct(TextFunctions.tokens(col("text")))).as("t"))
       val freq = toks.groupBy("t").agg(count(lit(1)).as("df"))
         .filter(col("df") >= 20)
       val ft = toks.join(broadcast(freq), "t").select("doc_id", "t", "df")

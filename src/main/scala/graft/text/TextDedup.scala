@@ -143,16 +143,27 @@ object TextDedup {
                          textCol: String = "text"): DataFrame = {
     require(num > 0 && num <= den, "threshold must be in (0, 1]")
     // distinct tokens per doc; feeds df-count, prefixes, and both
-    // verification sides — one materialization
+    // verification sides — one materialization. The set size n rides
+    // along SCAN-SIDE (r16, guide §1.2 step 2): it is just the length
+    // of the distinct-token array, known before the explode — the old
+    // count().over(partitionBy(id)) window recomputed it from the
+    // exploded stream, adding a second Window operator to every
+    // consumer of `ranked` for a value the scan already had.
     val tok = docs.select(col(idCol).as("id"),
-        explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("t"))
+        array_distinct(TextFunctions.tokens(col(textCol))).as("__ts"))
+      .select(col("id"), size(col("__ts")).cast("long").as("n"),
+        explode(col("__ts")).as("t"))
       .transform(org.apache.spark.sql.graftbridge.GraftSqlBridge.sharedInPlan)
     val dfc = tok.groupBy("t").agg(count(lit(1)).as("df"))
     val ranked = tok.join(dfc, "t")
       .withColumn("r", row_number().over(
         Window.partitionBy("id").orderBy(col("df"), col("t"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("id")))
-    // prefix length n − ⌈τn⌉ + 1, integer-exact
+    // prefix length n − ⌈τn⌉ + 1, integer-exact. Persisted (r16): the
+    // candidate self-join references this frame TWICE, and without the
+    // persist the whole df-join + rank-window subtree is planned (and
+    // executed) once per side — broadcast-hash self-joins get no
+    // ReusedExchange dedup. The frame is small by construction
+    // (prefix tokens only, ≈(1−τ)·|tok| rows).
     val prefix = ranked.filter(
         col("r") <= col("n") - expr(s"($num * n + ${den - 1}) div $den") + lit(1))
       .select(col("id"), col("t"), col("n"))
