@@ -201,19 +201,22 @@ object Plans {
     // unicode normalization is a scan-side codegen projection
     Check("f08_unicode_normalize", Seq("unicode_normalize", "Scan parquet"),
       wantNone = Seq("Join", "HashAggregate")),
-    // BPE training: pair counts partial/final-aggregate, each argmax is
-    // a TakeOrdered(1) broadcast back as a scalar — and the vocabulary
-    // never windows or sorts globally
-    Check("bt01_bpe_train",
-      Seq("TakeOrderedAndProject", "BroadcastNestedLoopJoin", "HashAggregate"),
-      wantNone = Seq("Window")),
-    // BPE encode rides the trained merge table (broadcast) over the
-    // corpus scan; the vocab never windows. Shuffle count pinned (r14,
-    // slowest-25 sweep): 9 — the train-side subtrees dedupe via
-    // ReusedExchange and a lost reuse changes the COUNT first
+    // BPE training (r16 driver-paced loop): each step's argmax is a
+    // TakeOrdered(1) COLLECT during query build (the CC convergence-
+    // probe pattern), inlined as literals into the next rewrite — so
+    // the returned merge table is a LocalTableScan of already-computed
+    // rows and the per-step BroadcastNestedLoopJoin is gone. The
+    // training work itself (pair-count aggregations over the persisted
+    // vocab) runs in the per-step collect jobs, inside the timed build.
+    Check("bt01_bpe_train", Seq("LocalTableScan"),
+      wantNone = Seq("Window", "BroadcastNestedLoopJoin", "CartesianProduct")),
+    // BPE encode rides the trained merge table over the corpus scan;
+    // the vocab never windows, and the r16 literal rewrite removed the
+    // per-step BNLJ subtrees. Shuffle count re-pinned: 11 → 6 (vocab
+    // agg + spread reuse + encoder join + final agg/sort).
     Check("bt02_bpe_encode", Seq("HashAggregate"),
-      wantNone = Seq("Window", "CartesianProduct"),
-      shuffles = Some(11)),
+      wantNone = Seq("Window", "CartesianProduct", "BroadcastNestedLoopJoin"),
+      shuffles = Some(6)),
     // value windows: every function shares ONE window spec keyed by
     // nation — one sort, one window operator
     Check("w08_value_windows", Seq("windowspecdefinition(c_nationkey")),

@@ -60,31 +60,67 @@ object BpeTrain {
                           nMerges: Int): (DataFrame, DataFrame) = {
     var v = vocab(docs, textCol)
       .select(col("w"), col("cnt"), encode(col("w")).as("enc"))
-    val steps = (1 to nMerges).map { step =>
-      // Each step consumes the previous vocabulary TWICE (pair counting
-      // for the argmax, and the merge rewrite) — persisting the
-      // vocab-sized frame keeps the plan tree linear in nMerges instead
-      // of doubling per step. The vocabulary is corpus-distinct words:
-      // tiny relative to the corpus, safe to cache at any scale.
-      v = org.apache.spark.sql.graftbridge.GraftSqlBridge.sharedInPlan(v)
-      val pairs = v
-        .select(col("cnt"),
-          split(trim(col("enc"), "|"), "\\|\\|").as("syms"))
-        .select(col("cnt"), explode(zip_with(
-          slice(col("syms"), lit(1), size(col("syms")) - 1),
-          slice(col("syms"), lit(2), size(col("syms")) - 1),
-          (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum(col("cnt")).as("n"))
-      // argmax with a total tie-break: count desc, then (a,b) lexicographic
-      val best = pairs.orderBy(col("n").desc, col("a"), col("b")).limit(1)
-      v = v.crossJoin(broadcast(best))
-        .select(col("w"), col("cnt"), replace(col("enc"),
-          concat(lit("|"), col("a"), lit("||"), col("b"), lit("|")),
-          concat(lit("|"), col("a"), col("b"), lit("|"))).as("enc"))
-      best.select(lit(step).cast(LongType).as("step"), col("a"), col("b"),
-        concat(col("a"), col("b")).as("merged"), col("n"))
+    // Driver-paced argmax loop (r16, guide §1.2 step 1): the winning
+    // pair is ONE row per step, and the old lazy form paid for it
+    // twice over — the 1-row frame fed a per-step
+    // crossJoin(broadcast(best)) AND the returned merge table, two
+    // subtrees a BroadcastExchange never ReusedExchange-dedupes, so
+    // the whole vocab pair-count aggregation executed twice per step;
+    // and each step cost two scheduler barriers (cache build +
+    // broadcast build). Collecting the argmax to the driver (the CC
+    // convergence-probe pattern — a 1-row aggregate, legal at any
+    // corpus size) makes each step exactly ONE job: the TakeOrdered(1)
+    // collect, whose action also materializes that step's vocab cache.
+    // The rewrite then inlines the winner as string LITERALS — the
+    // per-step BroadcastNestedLoopJoin disappears from the plan, and
+    // the merge table is a LocalTableScan of already-computed rows.
+    // Merge decisions are identical: same aggregation, same total
+    // (n desc, a, b) tie-break, collected instead of broadcast.
+    val found = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    (1 to nMerges).foreach { step =>
+      if (!exhausted) {
+        // persisting the vocab keeps the plan linear in nMerges (each
+        // step consumes the previous vocab for pair counting, and the
+        // final vocab feeds bt02's encoder join)
+        v = org.apache.spark.sql.graftbridge.GraftSqlBridge.sharedInPlan(v)
+        val top = v
+          .select(col("cnt"),
+            split(trim(col("enc"), "|"), "\\|\\|").as("syms"))
+          .select(col("cnt"), explode(zip_with(
+            slice(col("syms"), lit(1), size(col("syms")) - 1),
+            slice(col("syms"), lit(2), size(col("syms")) - 1),
+            (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("cnt")).as("n"))
+          .orderBy(col("n").desc, col("a"), col("b")).limit(1)
+          .collect()
+        if (top.isEmpty) {
+          // no adjacent pair anywhere (all words single-symbol): the
+          // old crossJoin-with-empty left an EMPTY vocab and no merge
+          // rows from this step on — preserve both
+          exhausted = true
+          v = v.limit(0)
+        } else {
+          val (a, b, n) =
+            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          found += ((step, a, b, n))
+          v = v.select(col("w"), col("cnt"),
+            replace(col("enc"), lit(s"|$a||$b|"), lit(s"|$a$b|")).as("enc"))
+        }
+      }
     }
-    (steps.reduce((a, b) => a.union(b)).orderBy("step"), v)
+    val spark = docs.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("step", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("a", org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("b", org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("merged", org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("n", LongType, nullable = true)))
+    val rows = found.map { case (step, a, b, n) =>
+      org.apache.spark.sql.Row(step.toLong, a, b, a + b, n)
+    }
+    import scala.jdk.CollectionConverters._
+    (spark.createDataFrame(rows.toList.asJava, schema).orderBy("step"), v)
   }
 }
