@@ -35,4 +35,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 8g vs 205.7 s at 24g, same tree) and spiky queries degrade 2x
   // (dd11 6.2->3.7 s). The box has 128 GiB; 24g is still conservative.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // JIT code cache (r16): the JDK default (240 MB) is sized for one
+  // application, not a 191-query suite where every query contributes
+  // whole-stage-codegen classes per pass. A full cache flips HotSpot
+  // into flush/recompile churn (or disables compilation outright) and
+  // CPU-dense kernels silently run partially interpreted — the
+  // late-suite 1.6–6x per-query degradation previously triaged as
+  // "host ambient mode" (NOTES_r9). Parameterised like the heap; 1g is
+  // plain VM provisioning, not a local[32] tuning constant.
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_GRAFT_CODECACHE", "1g")}",
 )

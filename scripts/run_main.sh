@@ -29,6 +29,7 @@ done
 # heap is (JDK-8192647 class). Raising the retry count to 64 removes
 # the spurious throw; genuinely-full heaps still OOM normally.
 exec java -Xmx"${SPARK_DRIVER_MEM:-24g}" $ADD_OPENS \
+  -XX:ReservedCodeCacheSize="${SPARK_GRAFT_CODECACHE:-1g}" \
   -XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64 \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "$CP" "$@"

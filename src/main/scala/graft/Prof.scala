@@ -26,6 +26,17 @@ object Prof {
       case "explain" :: name :: Nil =>
         println(SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))
+      // batch plan dump for the plans/<round>/ audit files: one JVM,
+      // one formatted plan per file, suffix chosen by the caller
+      case "explainAll" :: outDir :: suffix :: names if names.nonEmpty =>
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+        names.foreach { n =>
+          val p = SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(outDir, s"$n$suffix.txt"), p)
+          println(s"[prof] wrote $outDir/$n$suffix.txt")
+        }
       case name :: rest =>
         val n = rest.headOption.map(_.toInt).getOrElse(3)
         val fn = SparkEntry.queries(name)

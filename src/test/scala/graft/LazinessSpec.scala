@@ -39,7 +39,13 @@ class LazinessSpec extends SparkSpec {
       "nn06_ivf_allprobe", "j03_bucketed_join", "j04_clustered_range",
       "zo01_zorder_range",
       "sm04_leakage_safe_split", // runStars CC fixpoint, like dd06/sd01
-      "hi01_hierarchy_flatten")  // pointer-doubling fixpoint loop
+      "hi01_hierarchy_flatten",  // pointer-doubling fixpoint loop
+      // BPE training (r16): each merge step's argmax is a 1-row
+      // TakeOrdered(1) collect inlined as literals into the next
+      // rewrite — a sequential driver-paced loop like the CC
+      // fixpoints (the lazy broadcast form re-ran the vocab pair
+      // aggregation once per consumer; see BpeTrain.scala)
+      "bt01_bpe_train", "bt02_bpe_encode")
 
   test("every registered query builds and optimizes with zero jobs") {
     // warm the table cache first so file-listing jobs (a read-time cost,
